@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.util.{D, Tables}
+
+/** Aggregations (SURVEY §2.4).
+  *
+  * 100-TB notes: every groupBy here compiles to partial (map-side) +
+  * final HashAggregate — the shuffle carries pre-combined partials, not
+  * rows. Decimal sums make results independent of partition count/order.
+  * ROLLUP/CUBE/GROUPING SETS expand before the partial agg (Expand node);
+  * group-key cardinality stays tiny, so the shuffle is negligible at any
+  * scale.
+  */
+object Aggs {
+
+  /** TPC-H-Q1-shaped pricing summary — the flagship (SparkEntry.entry). */
+  val aggQ1Pricing = Q(
+    "agg_q1_pricing",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          D.sumDec(col("l_quantity")).as("sum_qty"),
+          D.sumDec(col("l_extendedprice")).as("sum_base_price"),
+          D.sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          D.sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc_price,
+            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_charge,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 2) AS avg_price,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Distinct aggregates — Catalyst expands to a two-phase agg. */
+  val aggDistinct = Q(
+    "agg_distinct",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum_distinct(D.dec(col("l_quantity"))).cast(D.Money).as("sum_distinct_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            count(DISTINCT l_partkey) AS n_parts,
+            CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_distinct_qty,
+            count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** min/max/avg/stddev per segment (rounding per determinism policy #3). */
+  val aggStats = Q(
+    "agg_stats",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .groupBy("c_mktsegment")
+        .agg(
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          round(avg(col("c_acctbal")), 2).as("avg_bal"),
+          round(stddev_samp(col("c_acctbal")), 2).as("stddev_bal"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+            min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+            round(avg(c_acctbal), 2) AS avg_bal,
+            round(stddev_samp(c_acctbal), 2) AS stddev_bal,
+            count(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** ROLLUP subtotals; NULLS FIRST pinned in both engines (SURVEY §2.4). */
+  val aggRollup = Q(
+    "agg_rollup",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          D.sumDec(col("c_acctbal")).as("sum_bal"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    },
+    Some("""SELECT n_name, c_mktsegment, count(*) AS n_customers,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, c_mktsegment)
+            ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  val aggCube = Q(
+    "agg_cube",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), D.sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Explicit grouping sets + grouping() markers, via spark.sql. */
+  val aggGroupingSets = Q(
+    "agg_grouping_sets",
+    (spark, sfDir) => {
+      Tables.customer(spark, sfDir).createOrReplaceTempView("gs_customer")
+      Tables.nation(spark, sfDir).createOrReplaceTempView("gs_nation")
+      spark.sql("""
+        SELECT n_name, c_mktsegment,
+               grouping(n_name) AS g_nation, grouping(c_mktsegment) AS g_seg,
+               count(*) AS n_customers
+        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""")
+    },
+    Some("""SELECT n_name, c_mktsegment,
+            grouping(n_name) AS g_nation, grouping(c_mktsegment) AS g_seg,
+            count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+            ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
+    aggCube, aggGroupingSets)
+}
