@@ -24,18 +24,18 @@ object Aggs {
         .agg(
           D.sumDec(col("l_quantity")).as("sum_qty"),
           D.sumDec(col("l_extendedprice")).as("sum_base_price"),
-          D.sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          D.sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          D.sumDec4(D.net(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+          D.sumDec6(D.charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 2).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
-    Some("""SELECT l_returnflag, l_linestatus,
-            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc_price,
-            CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_charge,
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            ${D.oSumDec("l_quantity")} AS sum_qty,
+            ${D.oSumDec("l_extendedprice")} AS sum_base_price,
+            CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4)) AS sum_disc_price,
+            CAST(sum(${D.oCharge("l_extendedprice", "l_discount", "l_tax")}) AS DECIMAL(18,6)) AS sum_charge,
             round(avg(l_quantity), 4) AS avg_qty,
             round(avg(l_extendedprice), 2) AS avg_price,
             round(avg(l_discount), 4) AS avg_disc,
@@ -88,8 +88,17 @@ object Aggs {
     (spark, sfDir) => {
       val c = Tables.customer(spark, sfDir)
       val n = Tables.nation(spark, sfDir)
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .rollup("n_name", "c_mktsegment")
+      // ROLLUP expressed as its grouping-sets expansion ((a,b),(a),()):
+      // Dataset.rollup after a join trips Spark 4.1's
+      // DetectAmbiguousSelfJoin false-positive on the Expand node
+      // (round-1 verdict #3; reproduced even with aliased projections),
+      // while the groupingSets API resolves cleanly and is semantically
+      // identical. Same partial+final hash-agg physical plan.
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name", "c_mktsegment", "c_acctbal")
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("c_mktsegment")), Seq(col("n_name")), Seq.empty),
+          col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
           D.sumDec(col("c_acctbal")).as("sum_bal"))
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
@@ -112,19 +121,24 @@ object Aggs {
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
-  /** Explicit grouping sets + grouping() markers, via spark.sql. */
+  /** Explicit grouping sets + grouping() markers, via the Dataset API
+    * (no shared temp-view state — round-1 advice). grouping() is TINYINT in
+    * Spark vs BIGINT in DuckDB (round-1 verdict #5) — cast pins BIGINT. */
   val aggGroupingSets = Q(
     "agg_grouping_sets",
     (spark, sfDir) => {
-      Tables.customer(spark, sfDir).createOrReplaceTempView("gs_customer")
-      Tables.nation(spark, sfDir).createOrReplaceTempView("gs_nation")
-      spark.sql("""
-        SELECT n_name, c_mktsegment,
-               grouping(n_name) AS g_nation, grouping(c_mktsegment) AS g_seg,
-               count(*) AS n_customers
-        FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
-        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-        ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""")
+      val c = Tables.customer(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(n("n_name"), c("c_mktsegment"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq.empty),
+          col("n_name"), col("c_mktsegment"))
+        .agg(
+          grouping(col("n_name")).cast("bigint").as("g_nation"),
+          grouping(col("c_mktsegment")).cast("bigint").as("g_seg"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     },
     Some("""SELECT n_name, c_mktsegment,
             grouping(n_name) AS g_nation, grouping(c_mktsegment) AS g_seg,

@@ -6,35 +6,56 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Determinism helpers (SURVEY §2 policy). Both engines (Spark, DuckDB) must
   * produce bit-identical values; these pin down the places where IEEE-double
-  * non-associativity or engine-specific rounding could diverge:
+  * non-associativity or engine-specific rounding could diverge.
   *
-  *  - money/quantity sums run in decimal(18,2) — exact + associative, so the
-  *    result is independent of shuffle partitioning (critical at 100 TB where
-  *    partition counts differ run to run);
-  *  - computed money (price*(1-disc)) is rounded to 2dp in double first
-  *    (round-half-away is identical in both engines for positive values),
-  *    then cast to decimal — the double is within 1e-12 of the grid point, so
-  *    the cast is unambiguous;
-  *  - averages/ratios stay double but are rounded so summation-order noise
-  *    (~N·M·eps) sits far below the rounding boundary;
-  *  - aggregate results are re-cast to pin the output type (Spark's
-  *    sum(decimal(18,2)) widens to decimal(28,2); DuckDB's to decimal(38,2)).
+  * Core rule (round-1 verdict #4): NEVER round a computed double to build a
+  * money value — Spark rounds the shortest-repr BigDecimal of the double
+  * (1222.745 → 1222.75) while DuckDB rounds the double bits (→ 1222.74), so
+  * exact midpoints diverge. Instead cast the stored 2-dp inputs to
+  * decimal(18,2) FIRST (exact — fixtures carry no sub-cent digits, verified
+  * in FIXTURES.md) and do all arithmetic in decimal: products of 2-dp
+  * decimals are exact 4-dp/6-dp decimals, no rounding step exists, and
+  * decimal sums are associative so results are independent of partition
+  * count/order (critical at 100 TB where partitioning differs run to run).
   */
 object D {
   val Money: DecimalType = DecimalType(18, 2)
+  val Money4: DecimalType = DecimalType(18, 4)
+  val Money6: DecimalType = DecimalType(18, 6)
 
   /** Exact cast of a stored 2-dp double (price, qty, value) to decimal. */
   def dec(c: Column): Column = c.cast(Money)
 
-  /** Computed money expression → stable decimal (round-then-cast). */
-  def money(c: Column): Column = round(c, 2).cast(Money)
+  /** Decimal literal 1.00 — keeps (1 - disc) in exact decimal arithmetic. */
+  private def one: Column = lit(1).cast(DecimalType(3, 2))
+
+  /** price * (1 - discount), exact decimal, scale 4 (no rounding occurs:
+    * (18,2)*(19,2) is scale-4-exact; the down-cast only narrows precision). */
+  def net(price: Column, disc: Column): Column =
+    (dec(price) * (one - dec(disc))).cast(Money4)
+
+  /** price * (1 - discount) * (1 + tax), exact decimal, scale 6. */
+  def charge(price: Column, disc: Column, tax: Column): Column =
+    (net(price, disc) * (one + dec(tax))).cast(Money6)
 
   /** Exact, partition-order-independent decimal sum with pinned type. */
   def sumDec(c: Column): Column = sum(dec(c)).cast(Money)
 
-  /** Sum of a computed money expression, pinned type. */
-  def sumMoney(c: Column): Column = sum(money(c)).cast(Money)
+  /** Sum of an already-decimal scale-4 expression, pinned type. */
+  def sumDec4(c: Column): Column = sum(c).cast(Money4)
+
+  /** Sum of an already-decimal scale-6 expression, pinned type. */
+  def sumDec6(c: Column): Column = sum(c).cast(Money6)
 
   /** Timestamp output normalization — all query outputs are timestamp_ntz. */
   def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  // Oracle-side (DuckDB SQL) mirrors of the same expressions, so every
+  // module states the two sides adjacently and identically.
+  def oDec(col: String): String = s"CAST($col AS DECIMAL(18,2))"
+  def oNet(price: String, disc: String): String =
+    s"CAST(${oDec(price)} * (1 - ${oDec(disc)}) AS DECIMAL(18,4))"
+  def oCharge(price: String, disc: String, tax: String): String =
+    s"CAST(${oNet(price, disc)} * (1 + ${oDec(tax)}) AS DECIMAL(18,6))"
+  def oSumDec(col: String): String = s"CAST(sum(${oDec(col)}) AS DECIMAL(18,2))"
 }
