@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{D, Tables}
+
+/** All join shapes (SURVEY §2.3).
+  *
+  * 100-TB notes: fact-to-fact joins (lineitem⋈orders) shuffle on the join
+  * key and scale horizontally; dimension joins (nation/region, and the
+  * pre-aggregated sides below) carry explicit `broadcast` hints so the plan
+  * is broadcast-hash regardless of statistics. The theta/cross joins are
+  * bounded by construction (supplier ≤1000 rows, region×nation = 125).
+  * Self-joins rename columns instead of relying on dataset-apply refs —
+  * unambiguous and immune to DetectAmbiguousSelfJoin false positives.
+  */
+object Joins {
+
+  /** orders ⋈ customer, revenue per market segment. */
+  val joinInnerEqui = Q(
+    "join_inner_equi",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), D.sumDec(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment"),
+    Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+            ${D.oSumDec("o_totalprice")} AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** 5-way star join: lineitem⋈orders⋈customer⋈nation⋈region; revenue per
+    * (region, nation). nation/region are broadcast (tiny at every sf). */
+  val joinBcastChain = Q(
+    "join_bcast_chain",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          D.sumDec4(D.net(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name"),
+    Some(s"""SELECT r_name, n_name,
+            CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4)) AS revenue,
+            count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** Every customer with its order count — zero-order customers kept. */
+  val joinLeftOuter = Q(
+    "join_left_outer",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** Mirror of the above through a right outer join. */
+  val joinRightOuter = Q(
+    "join_right_outer",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** Full outer over pre-aggregated per-nation counts; the side filters
+    * guarantee null-extended rows on both sides at every sf. Pre-aggregating
+    * before the outer join keeps the join input bounded (≤25 rows/side)
+    * regardless of fact-table size — the 100-TB-safe formulation. */
+  val joinFullOuter = Q(
+    "join_full_outer",
+    (spark, sfDir) => {
+      val s = Tables.supplier(spark, sfDir).filter(col("s_nationkey") < 15)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      val c = Tables.customer(spark, sfDir).filter(col("c_nationkey") >= 10)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+      s.join(c, col("sk") === col("ck"), "full")
+        .select(coalesce(col("sk"), col("ck")).as("nationkey"), col("n_supp"), col("n_cust"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT coalesce(s.sk, c.ck) AS nationkey, n_supp, n_cust
+            FROM (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier
+                  WHERE s_nationkey < 15 GROUP BY s_nationkey) s
+            FULL JOIN (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer
+                  WHERE c_nationkey >= 10 GROUP BY c_nationkey) c
+            ON s.sk = c.ck ORDER BY nationkey"""))
+
+  /** Customers having at least one 'F'-status order (left semi). */
+  val joinSemi = Q(
+    "join_semi",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .join(
+          Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            ORDER BY c_custkey"""))
+
+  /** Customers with no order above 300k (left anti; every customer has
+    * *some* order in the fixtures, so the anti side must be filtered). */
+  val joinAnti = Q(
+    "join_anti",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .join(
+          Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+            ORDER BY c_custkey"""))
+
+  /** region × nation cartesian (5 × 25 — bounded dimension tables only). */
+  val joinCross = Q(
+    "join_cross",
+    (spark, sfDir) =>
+      Tables.region(spark, sfDir).select("r_name")
+        .crossJoin(Tables.nation(spark, sfDir).select("n_name"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name"""))
+
+  /** Non-equi (theta) self-join: supplier pairs ordered by account balance.
+    * BroadcastNestedLoopJoin; supplier is ≤1000 rows at any sf, so the
+    * pair count is bounded (~n²/2) — never run a theta join on a fact table. */
+  val joinTheta = Q(
+    "join_theta",
+    (spark, sfDir) => {
+      val s = Tables.supplier(spark, sfDir)
+      val a = s.select(col("s_suppkey").as("k1"), col("s_acctbal").as("bal1"))
+      val b = s.select(col("s_suppkey").as("k2"), col("s_acctbal").as("bal2"))
+      a.join(b, col("bal1") < col("bal2"))
+        .select(col("k1"), col("k2"),
+          (D.dec(col("bal2")) - D.dec(col("bal1"))).cast(D.Money).as("bal_gap"))
+        .orderBy("k1", "k2")
+    },
+    Some("""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+            CAST(CAST(b.s_acctbal AS DECIMAL(18,2)) - CAST(a.s_acctbal AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS bal_gap
+            FROM supplier a JOIN supplier b ON a.s_acctbal < b.s_acctbal
+            ORDER BY k1, k2"""))
+
+  /** Equi + range self-join on events: pairs of same-user events within
+    * one hour, counted per user. The equi conjunct (user_id) drives the
+    * shuffle partitioning; the range conjunct is a post-join filter —
+    * per-user event density bounds the blowup. */
+  val joinRange = Q(
+    "join_range",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val a = ev.select(col("user_id"), col("ts").as("ts_a"))
+      val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+      a.join(b,
+          col("user_id") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT a.user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 1 HOUR
+            GROUP BY a.user_id ORDER BY a.user_id"""))
+
+  /** As-of join: for each event, the most recent signup (inclusive) of the
+    * same user. Spark has no native asof join — the union/window
+    * formulation sorts signups before events at equal ts (tag 0 < 1), so
+    * `last(sts ignore nulls)` over rows-unbounded-preceding reproduces
+    * DuckDB's `ASOF ... ON a.ts >= b.ts` inclusive boundary exactly.
+    * O(n log n) via one shuffle+sort per user partition — scales like any
+    * window; signups are deduped on (user, ts) so ties cannot flip. */
+  val joinAsof = Q(
+    "join_asof",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+        lit(1).as("tag"), lit(null).cast("timestamp_ntz").as("sts"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts")).distinct()
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+          lit(0).as("tag"), col("ts").as("sts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.unionByName(signup)
+        .withColumn("last_signup_ts", last(col("sts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT a.event_id, a.user_id, a.ts, b.ts AS last_signup_ts
+            FROM events a ASOF LEFT JOIN
+              (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+            ORDER BY a.event_id"""))
+
+  def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
+    joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
+    joinRange, joinAsof)
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.util.{D, Tables}
+
+/** Top-k and set operations (SURVEY §2.6).
+  *
+  * 100-TB notes: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+  * each partition keeps only its local top-k, the driver merges k·p rows,
+  * no global sort materializes. Set ops are hash-based shuffles on the
+  * full row; inputs here are projected to the minimal column set first.
+  */
+object SetOps {
+
+  /** TPC-H-Q3-shaped: top-10 revenue orders for BUILDING customers. */
+  val sortLimitTopk = Q(
+    "sort_limit_topk",
+    (spark, sfDir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp_ntz")
+      Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(D.sumDec4(D.net(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate,
+            CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** customer ∪ supplier with a source tag (UNION ALL, schema aligned). */
+  val setUnionAll = Q(
+    "set_union_all",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .select(lit("C").as("src"), col("c_custkey").as("key"),
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+        .unionByName(
+          Tables.supplier(spark, sfDir)
+            .select(lit("S").as("src"), col("s_suppkey").as("key"),
+              col("s_name").as("name"), col("s_acctbal").as("acctbal")))
+        .orderBy("src", "key"),
+    Some("""SELECT 'C' AS src, c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer
+            UNION ALL
+            SELECT 'S', s_suppkey, s_name, s_acctbal FROM supplier
+            ORDER BY src, key"""))
+
+  /** Distinct nation keys referenced by customers or suppliers. */
+  val setUnionDistinct = Q(
+    "set_union_distinct",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(spark, sfDir).select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  /** Nation keys with both high-balance customers AND any supplier. */
+  val setIntersect = Q(
+    "set_intersect",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000.0)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(spark, sfDir).select(col("s_nationkey")))
+        .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  /** Nation keys with customers but no high-balance supplier. */
+  val setExcept = Q(
+    "set_except",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(spark, sfDir).filter(col("s_acctbal") > 5000.0)
+          .select(col("s_nationkey")))
+        .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
+            ORDER BY nationkey"""))
+
+  def qs: Seq[Q] = Seq(sortLimitTopk, setUnionAll, setUnionDistinct,
+    setIntersect, setExcept)
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{D, Tables}
+
+/** Window functions (SURVEY §2.5).
+  *
+  * 100-TB notes: every window is partitioned by a high-cardinality key
+  * (custkey / user_id / orderpriority), so state per partition stays
+  * bounded and the sort is distributed; only the final presentation
+  * ORDER BY is global. Rank-family outputs are cast to BIGINT to match
+  * DuckDB's native window-function type.
+  */
+object Windows {
+
+  private def rankWindow = Window
+    .partitionBy("o_custkey")
+    .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  /** row_number / rank / dense_rank per customer by price desc. */
+  val winRank = Q(
+    "win_rank",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(rankWindow).cast("bigint"))
+        .withColumn("rk", rank().over(rankWindow).cast("bigint"))
+        .withColumn("drk", dense_rank().over(rankWindow).cast("bigint"))
+        .orderBy("o_custkey", "rn"),
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, rn"""))
+
+  /** Top-3 orders per customer (rank-and-filter pattern). */
+  val winTopkGroup = Q(
+    "win_topk_group",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(rankWindow).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn"),
+    Some("""SELECT * FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+            ORDER BY o_custkey, rn"""))
+
+  /** Running revenue per customer over order date (ROWS frame, decimal). */
+  val winRunning = Q(
+    "win_running",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(D.dec(col("o_totalprice"))).over(w).cast(D.Money).as("running_rev"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(18,2)) AS running_rev
+            FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  /** 30-day trailing revenue per customer: a value-RANGE frame over integer
+    * days-since-epoch — identical semantics to an interval RANGE frame on
+    * the (midnight-aligned) timestamps, expressible in both engines. */
+  val winRangeFrame = Q(
+    "win_range_frame",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("d_days"))
+        .rangeBetween(-30, 0)
+      Tables.orders(spark, sfDir)
+        .withColumn("d_days",
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(D.dec(col("o_totalprice"))).over(w).cast(D.Money).as("trail30"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(18,2)) AS trail30
+            FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  /** lag/lead per user over event time — null edges at partition bounds. */
+  val winLeadLag = Q(
+    "win_lead_lag",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (col("value") - lag(col("value"), 1).over(w)).as("dv"),
+          lead(col("ts"), 1).over(w).as("next_ts"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""SELECT user_id, event_id, ts,
+            value - lag(value) OVER w AS dv,
+            lead(ts) OVER w AS next_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, ts, event_id"""))
+
+  /** ntile / percent_rank / cume_dist per order priority. */
+  val winNtilePct = Q(
+    "win_ntile_pct",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+            ntile(4) OVER w AS quartile,
+            round(percent_rank() OVER w, 6) AS pr,
+            round(cume_dist() OVER w, 6) AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderpriority, o_totalprice, o_orderkey"""))
+
+  def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
+    winLeadLag, winNtilePct)
+}
