@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Array / map / generator surface over embeddings, events.props and
+  * documents (SURVEY §2.8) — the "multimodal columns" substrate.
+  *
+  * Determinism: float elements are cast to double BEFORE any arithmetic on
+  * both engines, and higher-order folds (`aggregate` ↔ `list_aggregate`)
+  * run left-to-right in both, so sums are bit-identical; results are still
+  * rounded to 4dp as belt-and-braces. All higher-order expressions are
+  * codegen-friendly built-ins evaluated row-local — no shuffle, scales
+  * linearly with rows at any sf.
+  */
+object Arrays {
+
+  /** embedding elements cast to double (element-wise, order-preserving). */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def sumArr(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  val arrBasics = Q(
+    "arr_basics",
+    (spark, sfDir) =>
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          round(sumArr(dbl(slice(col("embedding"), 1, 8))), 4).as("sum8"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+            len(embedding) AS dim,
+            CAST(embedding[1] AS DOUBLE) AS e1,
+            round(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum8
+            FROM embeddings ORDER BY vec_id"""))
+
+  val arrHigherOrder = Q(
+    "arr_higher_order",
+    (spark, sfDir) => {
+      val e = dbl(col("embedding"))
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          round(sqrt(sumArr(transform(e, x => x * x))), 4).as("l2_norm"),
+          size(filter(e, x => x > 0)).cast("bigint").as("n_pos"),
+          round(sumArr(zip_with(e, e, (a, b) => a * b)), 4).as("dot_self"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+            round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 4) AS l2_norm,
+            len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+            round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum'), 4) AS dot_self
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** JSON string → typed MapType → exploded (key, value) rows. The fixture
+    * props always carry the single key 'k', which the oracle mirrors. */
+  val mapFromJson = Q(
+    "map_from_json",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .select(col("event_id"),
+          explode(from_json(col("props"), lit("map<string,int>"))))
+        .select(col("event_id"), col("key").as("k"), col("value").as("v"))
+        .orderBy("event_id", "k"),
+    Some("""SELECT event_id, 'k' AS k,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS v
+            FROM events ORDER BY event_id, k"""))
+
+  /** Word count over whitespace-split tokens, top-20 (generator surface). */
+  val fnExplodeTokens = Q(
+    "fn_explode_tokens",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+    Some("""SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
+
+  /** Positional explode → bigrams via lead() per document. */
+  val fnPosexplodeBigrams = Q(
+    "fn_posexplode_bigrams",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"), col("col").as("tok"))
+        .withColumn("next_tok", lead(col("tok"), 1).over(w))
+        .filter(col("next_tok").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("tok"), col("next_tok")).as("bigram"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""SELECT doc_id, pos, tok || ' ' || next_tok AS bigram FROM (
+              SELECT doc_id, pos, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
+              FROM (SELECT doc_id,
+                           CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents))
+            WHERE next_tok IS NOT NULL
+            ORDER BY doc_id, pos"""))
+
+  def qs: Seq[Q] = Seq(arrBasics, arrHigherOrder, mapFromJson,
+    fnExplodeTokens, fnPosexplodeBigrams)
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Scalar function families (SURVEY §2.7). One query per family; every
+  * expression is a codegen'd built-in (no UDFs anywhere).
+  *
+  * Cross-engine pitfalls pinned here:
+  *  - DuckDB length/year/datediff/ceil-as-int return BIGINT → Spark casts up.
+  *  - Spark dayofweek is 1=Sunday, DuckDB 0=Sunday → oracle adds 1.
+  *  - Spark datediff(end, start) vs DuckDB datediff('day', start, end).
+  *  - DuckDB regexp_replace is first-match unless the 'g' flag is given;
+  *    Spark is always global.
+  *  - transcendentals (sqrt/ln/exp/pow) run on the small `part` table and
+  *    round to 6dp: last-ulp libm differences sit ~1e-10 below the rounding
+  *    boundary, so the risk window is negligible at 2k-20k rows.
+  */
+object Fns {
+
+  val fnString = Q(
+    "fn_string",
+    (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_type")).as("low_type"),
+          length(col("p_name")).cast("bigint").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          expr("replace(p_name, ' ', '_')").as("snake_name"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trimmed"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+            upper(p_name) AS up_name, lower(p_type) AS low_type,
+            length(p_name) AS name_len,
+            substring(p_name, 1, 5) AS name5,
+            concat_ws('|', p_brand, p_type) AS brand_type,
+            replace(p_name, ' ', '_') AS snake_name,
+            lpad(p_brand, 12, '*') AS brand_padded,
+            trim('  ' || p_brand || '  ') AS brand_trimmed
+            FROM part ORDER BY p_partkey"""))
+
+  val fnRegex = Q(
+    "fn_regex",
+    (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+          col("p_type").rlike("^(PROMO|ECONOMY)").as("is_cheap"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+            regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+            regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+            regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+            regexp_matches(p_type, '^(PROMO|ECONOMY)') AS is_cheap
+            FROM part ORDER BY p_partkey"""))
+
+  val fnDate = Q(
+    "fn_date",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          month(col("o_orderdate")).cast("bigint").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+          dayofweek(col("o_orderdate")).cast("bigint").as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("bigint").as("days_since_95"),
+          add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderdate,
+            year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+            day(o_orderdate) AS dom,
+            dayofweek(o_orderdate) + 1 AS dow,
+            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+            datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_95,
+            CAST(o_orderdate::DATE + INTERVAL 1 MONTH AS DATE) AS next_month,
+            last_day(o_orderdate::DATE) AS month_end
+            FROM orders ORDER BY o_orderkey"""))
+
+  val fnMath = Q(
+    "fn_math",
+    (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"),
+          round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+          round(log(col("p_retailprice")), 6).as("ln_price"),
+          round(exp(col("p_retailprice") / 1000.0), 6).as("exp_scaled"),
+          pow(col("p_size").cast("double"), 2.0).as("size_sq"),
+          abs(col("p_size") - 25).cast("bigint").as("size_dev"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          (col("p_size") % 7).cast("bigint").as("size_mod7"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+            round(sqrt(p_retailprice), 6) AS sqrt_price,
+            round(ln(p_retailprice), 6) AS ln_price,
+            round(exp(p_retailprice / 1000.0), 6) AS exp_scaled,
+            pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+            CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+            CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+            CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+            CAST(p_size % 7 AS BIGINT) AS size_mod7
+            FROM part ORDER BY p_partkey"""))
+
+  val fnConditional = Q(
+    "fn_conditional",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000.0, "big")
+            .when(col("o_totalprice") > 100000.0, "mid")
+            .otherwise("small").as("price_band"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+          greatest(col("o_totalprice"), lit(250000.0)).as("price_floor250k"),
+          least(col("o_totalprice"), lit(250000.0)).as("price_cap250k"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+            CASE WHEN o_totalprice > 300000.0 THEN 'big'
+                 WHEN o_totalprice > 100000.0 THEN 'mid'
+                 ELSE 'small' END AS price_band,
+            coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+            greatest(o_totalprice, 250000.0) AS price_floor250k,
+            least(o_totalprice, 250000.0) AS price_cap250k
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** JSON extraction from the events.props string column → typed agg. */
+  val fnJson = Q(
+    "fn_json",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(round(avg(col("k")), 4).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+            round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+            count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional, fnJson)
+}

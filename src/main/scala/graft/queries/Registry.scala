@@ -25,7 +25,8 @@ object Registry {
   // Only modules that exist in the tree may appear here (round-1 verdict #1:
   // listing phantom modules broke the whole build). Append as modules land.
   def all: Seq[Q] =
-    Scans.qs ++ Aggs.qs ++ Joins.qs ++ Windows.qs ++ SetOps.qs
+    Scans.qs ++ Aggs.qs ++ Joins.qs ++ Windows.qs ++ SetOps.qs ++
+      Fns.qs ++ Arrays.qs
 
   // Every Q listed in `all` has passed tools/parity.py at sf0.001/sf0.01
   // before being committed — the gate is enforced by process, so the
