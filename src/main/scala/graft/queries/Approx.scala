@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Approximate / sketch-based operators (SURVEY §2.11 P3) — consciously
+  * oracle-less: HLL registers and MinHash families are implementation-
+  * specific, so no cross-engine value match exists. The driver records a
+  * weaker rows-only check; accuracy is pinned by ScalaTest ε-bounds against
+  * the exact counterparts (agg_distinct, text_jaccard_pairs).
+  */
+object Approx {
+
+  /** HyperLogLog++ distinct parts per return flag, next to the exact count
+    * so the sketch error is visible in the output itself. */
+  val aggApproxDistinct = Q(
+    "agg_approx_distinct",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** MinHash-LSH approximate Jaccard join over token sets (doc_id < 50,
+    * same corpus slice as the exact text_jaccard_pairs): tokens →
+    * HashingTF binary vectors (stateless, deterministic) → seeded
+    * MinHashLSH → approxSimilarityJoin. This bucketed join — not the
+    * all-pairs cap — is the shape that scales to 100 TB: candidates meet
+    * only within matching hash bands.
+    *
+    * Output is (d1, d2, approx_jaccard = 1 - lsh_distance), pairs with
+    * distance <= 0.9, ordered. */
+  val minhashLshJaccard = Q(
+    "minhash_lsh_jaccard",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("tokens"))
+      val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val vecs = tf.transform(docs).select("doc_id", "features")
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.9, "dist")
+        .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
+          round(lit(1.0) - col("dist"), 4).as("approx_jaccard"))
+        .filter(col("d1") < col("d2"))
+        .orderBy("d1", "d2")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard)
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{D, Tables}
+
+/** ML preprocessing tier (SURVEY §2.11): normalization, encoding, label
+  * indexing, deterministic splits, and the composed batch pipeline — the
+  * Spark-native generalization of a sensory batch preprocessor (decode →
+  * normalize → encode → split → batch).
+  *
+  * All stages are pure expressions (MLlib MinMaxScaler/StandardScaler/
+  * OneHotEncoder/StringIndexer equivalents in closed form): codegen'd, no
+  * per-executor state, oracle-matchable, and shuffle-free except for the
+  * tiny per-group stats aggregations — the 100-TB-safe formulation.
+  * Train/test split uses md5 (identical across engines), never rand(seed).
+  */
+object MlPrep {
+
+  /** Min-max normalize event values to [0,1] per event type. */
+  val mlMinmaxNorm = Q(
+    "ml_minmax_norm",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("event_type")
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - min(col("value")).over(w)) /
+            nullif(max(col("value")).over(w) - min(col("value")).over(w), lit(0.0)), 6)
+            .as("value_norm"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type, value,
+            round((value - min(value) OVER (PARTITION BY event_type)) /
+                  nullif(max(value) OVER (PARTITION BY event_type)
+                         - min(value) OVER (PARTITION BY event_type), 0.0), 6) AS value_norm
+            FROM events ORDER BY event_id"""))
+
+  /** Z-score of order totals per market segment — stats aggregated once and
+    * broadcast back (agg+join scales better than a 5-partition window). */
+  val mlZscore = Q(
+    "ml_zscore",
+    (spark, sfDir) => {
+      val j = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+      val stats = j.groupBy(col("c_mktsegment").as("seg"))
+        .agg(avg(col("o_totalprice")).as("mu"),
+          stddev_samp(col("o_totalprice")).as("sigma"))
+      j.join(broadcast(stats), col("c_mktsegment") === col("seg"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          round((col("o_totalprice") - col("mu")) / col("sigma"), 4).as("z"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, c_mktsegment,
+            round((o_totalprice - mu) / sigma, 4) AS z
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN (SELECT c_mktsegment AS seg, avg(o_totalprice) AS mu,
+                         stddev_samp(o_totalprice) AS sigma
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY c_mktsegment) s
+              ON c_mktsegment = seg
+            ORDER BY o_orderkey"""))
+
+  /** One-hot encode event_type over its (closed, fixture-pinned) domain. */
+  val mlOnehot = Q(
+    "ml_onehot",
+    (spark, sfDir) => {
+      def oh(v: String) = when(col("event_type") === v, 1).otherwise(0).as(s"oh_$v")
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          oh("click"), oh("error"), oh("purchase"), oh("signup"), oh("view"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type,
+            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS oh_click,
+            CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS oh_error,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS oh_purchase,
+            CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS oh_signup,
+            CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS oh_view
+            FROM events ORDER BY event_id"""))
+
+  /** StringIndexer semantics: label = rank by (frequency DESC, value ASC). */
+  val mlLabelIndex = Q(
+    "ml_label_index",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label",
+          (dense_rank().over(Window.orderBy(col("n").desc, col("event_type"))) - 1)
+            .cast("bigint"))
+        .orderBy("label"),
+    Some("""SELECT event_type, count(*) AS n,
+            CAST(dense_rank() OVER (ORDER BY count(*) DESC, event_type) - 1 AS BIGINT) AS label
+            FROM events GROUP BY event_type ORDER BY label"""))
+
+  /** Deterministic 80/20 split on md5 of a salted id — engine-portable
+    * (md5 hex is identical everywhere; lowercase-hex string compare equals
+    * numeric byte compare: 0xcc/0x100 = 79.7% train). */
+  val mlSplitHash = Q(
+    "ml_split_hash",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .select(col("event_id"),
+          when(substring(md5(concat(lit("ev"), col("event_id").cast("string"))), 1, 2) < "cc",
+            "train").otherwise("test").as("split"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+            CASE WHEN substring(md5('ev' || CAST(event_id AS VARCHAR)), 1, 2) < 'cc'
+                 THEN 'train' ELSE 'test' END AS split
+            FROM events ORDER BY event_id"""))
+
+  /** The composed sensory-batch analog: normalize + one-hot + label index +
+    * md5 split, assembled per event and ordered — one pass, all expressions. */
+  val mlPipelineBatch = Q(
+    "ml_pipeline_batch",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("event_type")
+      val labels = Tables.events(spark, sfDir)
+        .groupBy(col("event_type").as("lbl_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lbl_type"),
+          (dense_rank().over(Window.orderBy(col("n").desc, col("lbl_type"))) - 1)
+            .cast("bigint").as("label"))
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - min(col("value")).over(w)) /
+            nullif(max(col("value")).over(w) - min(col("value")).over(w), lit(0.0)), 6)
+            .as("f_norm"))
+        .join(broadcast(labels), col("event_type") === col("lbl_type"))
+        .select(col("event_id"),
+          when(substring(md5(concat(lit("ev"), col("event_id").cast("string"))), 1, 2) < "cc",
+            "train").otherwise("test").as("split"),
+          col("f_norm"), col("label"))
+        .orderBy("event_id")
+    },
+    Some("""WITH labels AS (
+              SELECT event_type AS lbl_type,
+                     CAST(dense_rank() OVER (ORDER BY count(*) DESC, event_type) - 1 AS BIGINT) AS label
+              FROM events GROUP BY event_type),
+            feats AS (
+              SELECT event_id, event_type,
+                     round((value - min(value) OVER (PARTITION BY event_type)) /
+                           nullif(max(value) OVER (PARTITION BY event_type)
+                                  - min(value) OVER (PARTITION BY event_type), 0.0), 6) AS f_norm
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN substring(md5('ev' || CAST(event_id AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train' ELSE 'test' END AS split,
+                   f_norm, label
+            FROM feats JOIN labels ON event_type = lbl_type
+            ORDER BY event_id"""))
+
+  def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
+    mlSplitHash, mlPipelineBatch)
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.{D, Tables}
+
+/** Time-series / windowed aggregation over the events stream table, batch
+  * semantics (SURVEY §2.9). The same window()/session_window() expressions
+  * run unchanged under Structured Streaming (see the streaming parity
+  * tests) — this is the batch face of the streaming surface.
+  *
+  * 100-TB notes: tumbling/sliding windows are plain hash aggregations on
+  * (bucket, type) — partial+final agg, shuffle carries combined partials.
+  * Session windows and dedup partition by user_id (high cardinality) —
+  * state per key is bounded by per-user event counts, never global.
+  */
+object TimeSeries {
+
+  /** 1h tumbling count + decimal sum per event type. */
+  val tsTumbling = Q(
+    "ts_tumbling",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+        .select(D.ntz(col("window.start")).as("bucket"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type"),
+    Some(s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+            count(*) AS n, ${D.oSumDec("value")} AS sum_value
+            FROM events GROUP BY bucket, event_type
+            ORDER BY bucket, event_type"""))
+
+  /** 1h windows sliding every 30m — each event lands in exactly two
+    * windows. Oracle reconstructs the two disjoint bucket families
+    * (:00-aligned and :30-offset) with time_bucket. */
+  val tsSliding = Q(
+    "ts_sliding",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+        .select(D.ntz(col("window.start")).as("bucket"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type"),
+    Some(s"""SELECT bucket, event_type, n, sum_value FROM (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+                     count(*) AS n, ${D.oSumDec("value")} AS sum_value
+              FROM events GROUP BY bucket, event_type
+              UNION ALL
+              SELECT time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 30 MINUTES) AS bucket, event_type,
+                     count(*) AS n, ${D.oSumDec("value")} AS sum_value
+              FROM events GROUP BY bucket, event_type)
+            ORDER BY bucket, event_type"""))
+
+  /** Per-user session windows with a 30-minute inactivity gap. Spark opens
+    * a NEW session when the gap is >= the duration (session interval is
+    * [ts, ts+gap), half-open), so the gaps-and-islands oracle breaks on
+    * `>= INTERVAL 30 MINUTES` — the =30min tie is pinned by a unit test. */
+  val tsSession = Q(
+    "ts_session",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), D.sumDec(col("value")).as("sum_value"))
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy("user_id", "session_start"),
+    Some(s"""WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+              FROM events),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, ${D.oSumDec("value")} AS sum_value
+            FROM numbered GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** Keyed dedup keeping the first event per (user, type, minute) —
+    * row_number()=1, NOT dropDuplicates (which keeps an arbitrary row per
+    * key under shuffle and would be nondeterministic). */
+  val tsDedup = Q(
+    "ts_dedup",
+    (spark, sfDir) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), date_trunc("minute", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, ts, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type, date_trunc('minute', ts)
+                ORDER BY ts, event_id) AS rn
+              FROM events)
+            WHERE rn = 1 ORDER BY event_id"""))
+
+  def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup)
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Vector / similarity-search tier over embeddings (SURVEY §2.11).
+  *
+  * Determinism: Spark `aggregate` and DuckDB `list_aggregate('sum')` both
+  * fold left-to-right over double-cast elements, so dot products and norms
+  * are bit-identical (verified: 500/500 vectors match the reference fold;
+  * DuckDB's builtin list_cosine_similarity does NOT — 1/500 differs in the
+  * last ulp — so oracles spell out the same zip/transform/aggregate shape).
+  *
+  * 100-TB notes: vec_cosine_topk broadcasts the single query vector and
+  * scans linearly — the 1-vs-all shape scales to any corpus; the top-k is
+  * TakeOrdered (per-partition heap, no global sort). All-pairs
+  * vec_knn_threshold is capped (vec_id < 200) because pairwise cosine is
+  * inherently quadratic; the uncapped path is LSH bucketing (Approx).
+  */
+object Vectors {
+
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def sumArr(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    sumArr(zip_with(a, b, (x, y) => x * y))
+
+  private def norm(c: Column): Column = sqrt(sumArr(transform(c, x => x * x)))
+
+  /** DuckDB mirror of the exact same left-to-right fold expressions. */
+  private def oDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), p -> p[1]*p[2]), 'sum')"
+  private def oNorm(c: String): String =
+    s"sqrt(list_aggregate(list_transform($c, x -> x*x), 'sum'))"
+
+  /** L2-normalize embeddings: norm + first four normalized dims. */
+  val vecL2Normalize = Q(
+    "vec_l2_normalize",
+    (spark, sfDir) => {
+      val e = dbl(col("embedding"))
+      val n = norm(e)
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          round(n, 4).as("l2_norm"),
+          round(element_at(e, 1) / n, 6).as("n1"),
+          round(element_at(e, 2) / n, 6).as("n2"),
+          round(element_at(e, 3) / n, 6).as("n3"),
+          round(element_at(e, 4) / n, 6).as("n4"))
+        .orderBy("vec_id")
+    },
+    Some(s"""SELECT vec_id, round(nrm, 4) AS l2_norm,
+            round(e1 / nrm, 6) AS n1, round(e2 / nrm, 6) AS n2,
+            round(e3 / nrm, 6) AS n3, round(e4 / nrm, 6) AS n4
+            FROM (SELECT vec_id, ${oNorm("embedding::DOUBLE[]")} AS nrm,
+                         embedding[1]::DOUBLE AS e1, embedding[2]::DOUBLE AS e2,
+                         embedding[3]::DOUBLE AS e3, embedding[4]::DOUBLE AS e4
+                  FROM embeddings)
+            ORDER BY vec_id"""))
+
+  /** Flagship similarity search: exact cosine top-10 neighbors of vec_id=0.
+    * The query vector is broadcast; ordering uses the ROUNDED similarity
+    * (ulp-noise-proof) with vec_id tiebreak. */
+  val vecCosineTopk = Q(
+    "vec_cosine_topk",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(dbl(col("embedding")).as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(${oDot("embedding::DOUBLE[]", "(SELECT qe FROM qv)")} /
+                         (${oNorm("embedding::DOUBLE[]")} * ${oNorm("(SELECT qe FROM qv)")}), 4) AS cos_sim
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
+  /** Embedding near-dup pairs: cosine >= 0.3 among vec_id < 200 (capped —
+    * quadratic by construction; LSH is the uncapped path). */
+  val vecKnnThreshold = Q(
+    "vec_knn_threshold",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+      val a = emb.select(col("vec_id").as("v1"), dbl(col("embedding")).as("e1"))
+      val b = emb.select(col("vec_id").as("v2"), dbl(col("embedding")).as("e2"))
+      a.join(b, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          round(dot(col("e1"), col("e2")) / (norm(col("e1")) * norm(col("e2"))), 4)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("v1", "v2")
+    },
+    Some(s"""SELECT v1, v2, cos_sim FROM (
+              SELECT a.vec_id AS v1, b.vec_id AS v2,
+                     round(${oDot("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} /
+                           (${oNorm("a.embedding::DOUBLE[]")} * ${oNorm("b.embedding::DOUBLE[]")}), 4) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 200 AND b.vec_id < 200)
+            WHERE cos_sim >= 0.3
+            ORDER BY v1, v2"""))
+
+  def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold)
+}
