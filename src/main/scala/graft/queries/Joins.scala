@@ -31,19 +31,28 @@ object Joins {
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   /** 5-way star join: lineitem⋈orders⋈customer⋈nation⋈region; revenue per
-    * (region, nation). nation/region are broadcast (tiny at every sf). */
+    * (region, nation). nation/region are broadcast (tiny at every sf).
+    * Lineitem revenue is pre-aggregated per orderkey BEFORE the join —
+    * partial-aggregation pushdown Catalyst doesn't do on its own: the
+    * fact-fact shuffle carries one row per order instead of one per line
+    * (4× less at TPC-H shape), and decimal sums are associative so the
+    * regrouped result is exactly identical. */
   val joinBcastChain = Q(
     "join_bcast_chain",
     (spark, sfDir) =>
       Tables.lineitem(spark, sfDir)
+        .groupBy("l_orderkey")
+        .agg(
+          sum(D.net(col("l_extendedprice"), col("l_discount"))).as("rev_o"),
+          count(lit(1)).as("n_items_o"))
         .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          D.sumDec4(D.net(col("l_extendedprice"), col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum(col("rev_o")).cast(D.Money4).as("revenue"),
+          sum(col("n_items_o")).as("n_items"))
         .orderBy("r_name", "n_name"),
     Some(s"""SELECT r_name, n_name,
             CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4)) AS revenue,
@@ -194,24 +203,26 @@ object Joins {
     * DuckDB's `ASOF ... ON a.ts >= b.ts` inclusive boundary exactly.
     * O(n log n) via one shuffle+sort per user partition — scales like any
     * window; signups are deduped on (user, ts) so ties cannot flip. */
+  /** Core as-of formulation, factored out so the =ts boundary is unit-
+    * testable on in-memory frames (SemanticsSpec). */
+  def asofLastSignup(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+      lit(1).as("tag"), lit(null).cast("timestamp_ntz").as("sts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts")).distinct()
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("tag"), col("ts").as("sts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.unionByName(signup)
+      .withColumn("last_signup_ts", last(col("sts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select("event_id", "user_id", "ts", "last_signup_ts")
+  }
+
   val joinAsof = Q(
     "join_asof",
-    (spark, sfDir) => {
-      val ev = Tables.events(spark, sfDir)
-      val base = ev.select(col("event_id"), col("user_id"), col("ts"),
-        lit(1).as("tag"), lit(null).cast("timestamp_ntz").as("sts"))
-      val signup = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts")).distinct()
-        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
-          lit(0).as("tag"), col("ts").as("sts"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.unionByName(signup)
-        .withColumn("last_signup_ts", last(col("sts"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
-        .select("event_id", "user_id", "ts", "last_signup_ts")
-        .orderBy("event_id")
-    },
+    (spark, sfDir) => asofLastSignup(Tables.events(spark, sfDir)).orderBy("event_id"),
     Some("""SELECT a.event_id, a.user_id, a.ts, b.ts AS last_signup_ts
             FROM events a ASOF LEFT JOIN
               (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') b

@@ -53,23 +53,28 @@ object TimeSeries {
               FROM events GROUP BY bucket, event_type)
             ORDER BY bucket, event_type"""))
 
-  /** Per-user session windows with a 30-minute inactivity gap. Spark opens
-    * a NEW session when the gap is >= the duration (session interval is
-    * [ts, ts+gap), half-open), so the gaps-and-islands oracle breaks on
-    * `>= INTERVAL 30 MINUTES` — the =30min tie is pinned by a unit test. */
+  /** Per-user session windows with a 30-minute inactivity gap. Spark's
+    * session interval is CLOSED at [ts, ts+gap]: an event arriving exactly
+    * gap after the previous one stays in the SAME session (pinned by
+    * SemanticsSpec), so the gaps-and-islands oracle breaks strictly on
+    * `> INTERVAL 30 MINUTES`. */
+  /** Core sessionization, factored out so the =30min gap tie is unit-
+    * testable on in-memory frames (SemanticsSpec). */
+  def sessionize(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), D.sumDec(col("value")).as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
   val tsSession = Q(
     "ts_session",
     (spark, sfDir) =>
-      Tables.events(spark, sfDir)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-          count(lit(1)).as("n_events"), D.sumDec(col("value")).as("sum_value"))
-        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      sessionize(Tables.events(spark, sfDir))
         .orderBy("user_id", "session_start"),
     Some(s"""WITH flagged AS (
               SELECT user_id, ts, value,
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                               >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+                               > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
               FROM events),
             numbered AS (
               SELECT user_id, ts, value,
