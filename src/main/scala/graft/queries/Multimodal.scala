@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables
+
+/** Multimodal-column surface (task brief: image/audio/video as opaque
+  * `binary` columns with typed metadata; decode / feature-extract / frame-
+  * sample as batch transforms with a STUBBED codec).
+  *
+  * The fixture corpus has no real media, so the opaque payload is the
+  * UTF-8 byte stream of documents.text (pure ASCII in fixtures — pinned in
+  * MultimodalSpec — so the DuckDB oracle can mirror byte ops with string
+  * ops). What is REAL here, and what the tier demonstrates:
+  *  - binary payloads flowing through scans/filters/exprs untouched,
+  *  - typed metadata columns next to the blob,
+  *  - frame sampling as zero-copy byte-range slices (codegen'd substring),
+  *  - a per-partition imperative decode (`decodeFeatures`, mapPartitions —
+  *    the pattern a real image/audio codec would use) with a deterministic
+  *    fake decoder standing in for the absent media libs.
+  *
+  * 100-TB notes: blobs never reach the driver; frame sampling and decode
+  * are row-local (no shuffle); mapPartitions keeps the codec call batched
+  * per partition rather than per row.
+  */
+object Multimodal {
+
+  /** Opaque payload + typed metadata: byte length, content hash, tags. */
+  val mmBinaryMeta = Q(
+    "mm_binary_meta",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
+          md5(col("text").cast("binary")).as("content_hash"),
+          col("lang"), col("source"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, encode(text) AS payload,
+            octet_length(encode(text)) AS n_bytes,
+            md5(text) AS content_hash, lang, source
+            FROM documents ORDER BY doc_id"""))
+
+  /** Frame sampling: three fixed 50-byte windows at 100-byte strides —
+    * the byte-range analog of video frame extraction; frames past the end
+    * of the payload are empty and dropped. */
+  val mmFrameSample = Q(
+    "mm_frame_sample",
+    (spark, sfDir) => {
+      val blob = col("text").cast("binary")
+      val frames = array((0 until 3).map(i => substring(blob, i * 100 + 1, 50)): _*)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), posexplode(frames).as(Seq("frame_no", "frame")))
+        .filter(length(col("frame")) > 0)
+        .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
+          md5(col("frame")).as("frame_hash"),
+          length(col("frame")).cast("bigint").as("frame_bytes"))
+        .orderBy("doc_id", "frame_no")
+    },
+    Some("""SELECT doc_id, frame_no, md5(f) AS frame_hash,
+                   CAST(length(f) AS BIGINT) AS frame_bytes
+            FROM (SELECT doc_id,
+                         generate_subscripts(fs, 1) - 1 AS frame_no,
+                         unnest(fs) AS f
+                  FROM (SELECT doc_id,
+                               [substring(text, 1, 50), substring(text, 101, 50),
+                                substring(text, 201, 50)] AS fs
+                        FROM documents))
+            WHERE length(f) > 0 ORDER BY doc_id, frame_no"""))
+
+  /** The stubbed decoder: payload bytes → normalized [0,1] doubles. A real
+    * deployment would call an image/audio codec here; the fake reads the
+    * first `dim` bytes. Deterministic, so it stays oracle-checkable. */
+  def fakeDecode(payload: Array[Byte], dim: Int): Array[Double] =
+    payload.iterator.take(dim).map(b => (b & 0xff) / 255.0).toArray
+
+  /** mapPartitions decode plumbing: binary in → fixed-width feature vector
+    * out, batched per partition (codec setup would amortize here). */
+  def decodeFeatures(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .mapPartitions { rows =>
+        // per-partition scope: a real codec would init its context once here
+        rows.map { r =>
+          Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1), dim))
+        }
+      }(encoder)
+  }
+
+  /** Decoded-feature stats per document: mean of the first 16 normalized
+    * bytes, computed through the mapPartitions decode path. The oracle
+    * replays the same left-to-right fold over ascii codes (fixtures are
+    * ASCII, so string positions == byte positions). */
+  val mmDecodeStats = Q(
+    "mm_decode_stats",
+    (spark, sfDir) =>
+      decodeFeatures(Tables.documents(spark, sfDir), 16)
+        .select(col("doc_id"),
+          size(col("features")).cast("bigint").as("dim"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x) / 16.0, 6)
+            .as("mean_intensity"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(16 AS BIGINT) AS dim,
+            round(list_aggregate(
+                    list_transform(generate_series(1, 16),
+                                   i -> ascii(substring(text, i, 1)) / CAST(255 AS DOUBLE)),
+                    'sum') / 16.0, 6) AS mean_intensity
+            FROM documents ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmDecodeStats)
+}
