@@ -67,13 +67,15 @@ object Vectors {
     "vec_cosine_topk",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
+      // norms are projected BEFORE the join: one norm per row, not per pair
       val q = emb.filter(col("vec_id") === 0)
-        .select(dbl(col("embedding")).as("qe"))
+        .select(dbl(col("embedding")).as("qe"), norm(dbl(col("embedding"))).as("qn"))
       emb.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .select(col("vec_id"), dbl(col("embedding")).as("e"),
+          norm(dbl(col("embedding"))).as("en"))
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(dot(col("e"), col("qe")) / (norm(col("e")) * norm(col("qe"))), 4)
+          round(dot(col("e"), col("qe")) / (col("en") * col("qn")), 4)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
@@ -91,11 +93,15 @@ object Vectors {
     "vec_knn_threshold",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
-      val a = emb.select(col("vec_id").as("v1"), dbl(col("embedding")).as("e1"))
-      val b = emb.select(col("vec_id").as("v2"), dbl(col("embedding")).as("e2"))
+      // norms precomputed per row (200 each) instead of per pair (~20k):
+      // cuts two thirds of the fold work out of the quadratic join
+      val a = emb.select(col("vec_id").as("v1"), dbl(col("embedding")).as("e1"),
+        norm(dbl(col("embedding"))).as("nrm1"))
+      val b = emb.select(col("vec_id").as("v2"), dbl(col("embedding")).as("e2"),
+        norm(dbl(col("embedding"))).as("nrm2"))
       a.join(b, col("v1") < col("v2"))
         .select(col("v1"), col("v2"),
-          round(dot(col("e1"), col("e2")) / (norm(col("e1")) * norm(col("e2"))), 4)
+          round(dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")), 4)
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("v1", "v2")

@@ -53,6 +53,89 @@ class StreamingParitySpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("sliding 1h/30m aggregation: streaming result == batch result") {
+    val dir = stagedEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("stream_sliding")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_sliding")
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("session windows: streaming result == batch result") {
+    val dir = stagedEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val agg = stream
+      .withWatermark("ts", "60 days")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("stream_session")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_session")
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+    val batch = spark.read.parquet(dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("watermark drops data later than the delay in append mode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late_").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, java.sql.Timestamp.valueOf(t)) }
+        .toDF("event_id", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // Two runs over one checkpoint: the watermark survives the restart, so
+    // run 2 sees the late row against run 1's committed watermark — the
+    // real-world late-arrival shape, with deterministic batch boundaries.
+    val ckpt = Files.createTempDirectory("graft_late_ckpt_").toString
+    val out = Files.createTempDirectory("graft_late_out_").toString
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(dir).schema
+      val agg = spark.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1: events in hours 0 and 3 → watermark commits at 03:00-10min
+    write(Seq((1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 03:00:00")))
+    runOnce()
+    // run 2: an on-time event plus a LATE one (hour 0, behind the watermark)
+    write(Seq((3L, "2024-01-01 03:20:00"), (4L, "2024-01-01 00:20:00")))
+    runOnce()
+    // append mode emits each window once, when the watermark passes its
+    // end. Had the late row been accepted after the hour-0 window was
+    // finalized and evicted, a second hour-0 row (n=1) would appear; had
+    // it been merged, the single row would read n=2. Exactly one row with
+    // n=1 proves the drop.
+    val h0 = spark.read.parquet(out)
+      .filter(col("window.start").cast("string") === "2024-01-01 00:00:00")
+      .select(col("n")).collect().map(_.getLong(0)).toSeq
+    assert(h0 == Seq(1L), s"hour-0 window rows: $h0")
+  }
+
   test("stateful streaming dedup == batch row_number dedup on full replay") {
     val dir = stagedEventsDir()
     val schema = spark.read.parquet(dir).schema
