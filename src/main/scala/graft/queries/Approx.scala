@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
 import org.apache.spark.sql.functions._
 import graft.util.Tables
 
@@ -53,5 +53,36 @@ object Approx {
     },
     None)
 
-  def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard)
+  /** ANN over embeddings via random-projection LSH — the bucketed scale
+    * path for similarity search (brute-force cosine is the exact baseline,
+    * vec_cosine_topk): vectors are L2-normalized first so euclidean
+    * distance is monotone in cosine (d² = 2 − 2·cos), hashed into seeded
+    * random-projection buckets, and only bucket-mates are compared.
+    * Returns the approximate top-10 neighbors of vec_id=0 with the cosine
+    * recovered from the bucketed euclidean distance. Recall vs the exact
+    * top-10 is pinned by AnnRecallSpec. */
+  val vecAnnLsh = Q(
+    "vec_ann_lsh",
+    (spark, sfDir) => {
+      val raw = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          org.apache.spark.ml.functions.array_to_vector(
+            transform(col("embedding"), x => x.cast("double"))).as("raw"))
+      val vecs = new org.apache.spark.ml.feature.Normalizer()
+        .setInputCol("raw").setOutputCol("v").setP(2.0)
+        .transform(raw).select("vec_id", "v")
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("v").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+      val model = lsh.fit(vecs)
+      val query = vecs.filter(col("vec_id") === 0).head().getAs[
+        org.apache.spark.ml.linalg.Vector]("v")
+      model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), query, 10, "dist")
+        .select(col("vec_id"),
+          round(lit(1.0) - col("dist") * col("dist") / 2.0, 4).as("approx_cos"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard, vecAnnLsh)
 }

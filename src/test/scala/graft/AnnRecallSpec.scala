@@ -1,0 +1,26 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+
+/** Pins the LSH ANN path's quality against the exact cosine baseline. */
+class AnnRecallSpec extends SparkSpec {
+  test("vec_ann_lsh recalls most of the exact cosine top-10") {
+    val exact = Registry.byName("vec_cosine_topk").build(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Registry.byName("vec_ann_lsh").build(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall (exact=$exact approx=$approx)")
+  }
+
+  test("vec_ann_lsh approx cosine tracks the exact similarity within 0.05") {
+    val exact = Registry.byName("vec_cosine_topk").build(spark, sf001)
+      .withColumnRenamed("cos_sim", "exact_cos")
+    val approx = Registry.byName("vec_ann_lsh").build(spark, sf001)
+    val joined = approx.join(exact, "vec_id")
+    val maxErr = joined.agg(max(abs(col("approx_cos") - col("exact_cos"))))
+      .head().getDouble(0)
+    assert(maxErr < 0.05, s"max |approx-exact| = $maxErr")
+  }
+}
