@@ -107,6 +107,29 @@ object Arrays {
             WHERE next_tok IS NOT NULL
             ORDER BY doc_id, pos"""))
 
+  /** Array set algebra over token arrays: distinct-sort, prefix slice,
+    * stopword intersection size, overlap flag. */
+  val arrSetops = Q(
+    "arr_setops",
+    (spark, sfDir) => {
+      val toks = split(col("text"), " ", -1)
+      val stop = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+          concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 5)).as("first5"),
+          size(array_intersect(array_distinct(toks), stop)).cast("bigint").as("n_stop"),
+          arrays_overlap(toks, stop).as("has_stop"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            len(list_distinct(string_split(text, ' '))) AS n_distinct,
+            array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['the','a','of','and','to'])) AS BIGINT) AS n_stop,
+            list_has_any(string_split(text, ' '), ['the','a','of','and','to']) AS has_stop
+            FROM documents ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(arrBasics, arrHigherOrder, mapFromJson,
-    fnExplodeTokens, fnPosexplodeBigrams)
+    fnExplodeTokens, fnPosexplodeBigrams, arrSetops)
 }

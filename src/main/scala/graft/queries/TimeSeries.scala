@@ -108,5 +108,38 @@ object TimeSeries {
               FROM events)
             WHERE rn = 1 ORDER BY event_id"""))
 
-  def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup)
+  /** Calendar gap-fill: a dense hourly (bucket × event_type) grid over the
+    * observed span, zero-filled where no events landed. The grid is built
+    * from a 1-row bounds aggregate crossed with the distinct type set —
+    * both tiny at any data scale, so the cross join is safe. */
+  val tsGapFill = Q(
+    "ts_gap_fill",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+      val counts = ev.groupBy("bucket", "event_type").agg(count(lit(1)).as("cnt"))
+      val buckets = ev.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("bucket"))
+      val types = ev.select("event_type").distinct()
+      buckets.crossJoin(types)
+        .join(counts, Seq("bucket", "event_type"), "left")
+        .select(col("bucket"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""WITH b AS (SELECT unnest(generate_series(
+                         date_trunc('hour', (SELECT min(ts) FROM events)),
+                         date_trunc('hour', (SELECT max(ts) FROM events)),
+                         INTERVAL 1 HOUR)) AS bucket),
+                 t AS (SELECT DISTINCT event_type FROM events),
+                 c AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                              count(*) AS cnt
+                       FROM events GROUP BY bucket, event_type)
+            SELECT b.bucket, t.event_type, coalesce(c.cnt, CAST(0 AS BIGINT)) AS n
+            FROM b CROSS JOIN t
+            LEFT JOIN c ON b.bucket = c.bucket AND t.event_type = c.event_type
+            ORDER BY b.bucket, t.event_type"""))
+
+  def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill)
 }

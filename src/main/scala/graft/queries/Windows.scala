@@ -130,6 +130,31 @@ object Windows {
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
             ORDER BY o_orderpriority, o_totalprice, o_orderkey"""))
 
+  /** first_value / last_value / nth_value over the full partition frame —
+    * one summary row per customer. */
+  val winFirstLast = Q(
+    "win_first_last",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .distinct()
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT DISTINCT o_custkey,
+            first_value(o_orderkey) OVER w AS first_ok,
+            last_value(o_orderkey) OVER w AS last_ok,
+            nth_value(o_orderkey, 2) OVER w AS second_ok
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey"""))
+
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
-    winLeadLag, winNtilePct)
+    winLeadLag, winNtilePct, winFirstLast)
 }

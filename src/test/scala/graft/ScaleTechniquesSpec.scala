@@ -48,6 +48,37 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"expected AQE-coalesced read in:\n$finalPlan")
   }
 
+  test("salted join defeats a hot key and matches the plain join exactly") {
+    import spark.implicits._
+    val S = 8 // salt fan-out
+    // heavily skewed fact: 90% of rows share key 1
+    val fact = (0 until 20000).map(i => (i.toLong, if (i % 10 == 0) (i % 7).toLong + 2 else 1L))
+      .toDF("row_id", "k")
+    val dim = (1L to 10L).map(k => (k, s"dim_$k")).toDF("dk", "label")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    // salt: fact rows spread over S sub-keys; dim replicated S times
+    val saltedFact = fact.withColumn("salt", pmod(col("row_id"), lit(S)))
+    val saltedDim = dim.withColumn("dsalt", explode(sequence(lit(0L), lit(S - 1L))))
+    val salted = saltedFact
+      .join(saltedDim, col("k") === col("dk") && col("salt") === col("dsalt"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    assert(salted.except(plain).count() == 0)
+    assert(plain.except(salted).count() == 0)
+    assert(salted.filter(col("label") === "dim_2").head().getLong(1) > 0)
+  }
+
+  test("SQL-text entry point: registered views answer a star-join query") {
+    val df = Graft.sql(spark, sf0001,
+      """SELECT c_mktsegment, count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    assert(df.count() == 5)
+    val ev = Graft.sql(spark, sf0001,
+      "SELECT count(*) FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'")
+    assert(ev.head().getLong(0) == 1000L)
+  }
+
   test("broadcast hints survive into the physical plan for dimension joins") {
     val q = graft.queries.Registry.byName("join_bcast_chain").build(spark, sf0001)
     val plan = q.queryExecution.executedPlan.toString
