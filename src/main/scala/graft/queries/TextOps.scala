@@ -280,6 +280,32 @@ object TextOps {
                    CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_re_unique
             FROM documents ORDER BY doc_id"""))
 
+  /** Rolling-window document fingerprint (winnowing shape): hash every
+    * 8-char window of the text, keep the minimum and the count of distinct
+    * window hashes. (A streaming implementation would roll the hash in
+    * O(1) per step; the set of window hashes — and therefore the
+    * fingerprint — is identical computed windowwise.) */
+  val textWinnowFingerprint = Q(
+    "text_winnow_fingerprint",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 7)).as("p"))
+        .select(col("doc_id"),
+          md5(expr("substring(text, p, 8)")).as("h"))
+        .groupBy("doc_id")
+        .agg(min(col("h")).as("fingerprint"),
+          countDistinct(col("h")).as("n_windows"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, min(h) AS fingerprint,
+                   count(DISTINCT h) AS n_windows
+            FROM (SELECT doc_id, md5(substring(text, p, 8)) AS h
+                  FROM (SELECT doc_id, text,
+                               unnest(generate_series(1, length(text) - 7)) AS p
+                        FROM documents))
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
-    textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount)
+    textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
+    textWinnowFingerprint)
 }
