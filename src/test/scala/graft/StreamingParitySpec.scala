@@ -136,6 +136,47 @@ class StreamingParitySpec extends SparkSpec {
     assert(h0 == Seq(1L), s"hour-0 window rows: $h0")
   }
 
+  test("flatMapGroupsWithState custom per-user state == batch counts (foreachBatch sink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = stagedEventsDir()
+    val outDir = Files.createTempDirectory("graft_state_out_").toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    // custom state: running event count + value sum per user, carried
+    // across micro-batches in a GroupState — the arbitrary-state surface
+    val updated = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[(Long, Double)], st: GroupState[(Long, Double)]) =>
+          val (n0, s0) = st.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          evs.foreach { e => n += 1; s += e._2 }
+          st.update((n, s))
+          Iterator((uid, n, s))
+      }.toDF("user_id", "n", "sum_value")
+    val q = updated.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the LAST update per user (highest batch_id) must equal the batch agg
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("batch_id").desc)
+    val finalState = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n"))
+    val batchCounts = spark.read.parquet(dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalState.except(batchCounts).count() == 0)
+    assert(batchCounts.except(finalState).count() == 0)
+  }
+
   test("stateful streaming dedup == batch row_number dedup on full replay") {
     val dir = stagedEventsDir()
     val schema = spark.read.parquet(dir).schema
