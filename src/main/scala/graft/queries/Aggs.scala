@@ -147,6 +147,68 @@ object Aggs {
             GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
             ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
 
+  /** Pivot: order counts and decimal revenue per priority, one column set
+    * per order status (explicit value list → deterministic schema). */
+  val aggPivot = Q(
+    "agg_pivot",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), D.sumDec(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+            count(*) FILTER (o_orderstatus = 'F') AS F_n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(18,2)) AS F_rev,
+            count(*) FILTER (o_orderstatus = 'O') AS O_n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(18,2)) AS O_rev,
+            count(*) FILTER (o_orderstatus = 'P') AS P_n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(18,2)) AS P_rev
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Unpivot (melt): wide per-part numeric columns → long (metric, value). */
+  val aggUnpivot = Q(
+    "agg_unpivot",
+    (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "metric", "value")
+        .orderBy("p_partkey", "metric"),
+    Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice', p_retailprice FROM part
+            ORDER BY p_partkey, metric"""))
+
+  /** Scalar subquery: orders below half the global average price
+    * (uncorrelated ScalarSubquery surface, via the SQL facade). */
+  val subScalar = Q(
+    "sub_scalar",
+    (spark, sfDir) => graft.Graft.sql(spark, sfDir,
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice < (SELECT avg(o_totalprice) FROM orders) / 2
+         ORDER BY o_orderkey"""),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice < (SELECT avg(o_totalprice) FROM orders) / 2
+            ORDER BY o_orderkey"""))
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * each customer's orders above 1.5x their own average. */
+  val subCorrelated = Q(
+    "sub_correlated",
+    (spark, sfDir) => graft.Graft.sql(spark, sfDir,
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+         WHERE o.o_totalprice >
+               (SELECT avg(i.o_totalprice) * 1.5 FROM orders i
+                WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o.o_orderkey"""),
+    Some("""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+            WHERE o.o_totalprice >
+                  (SELECT avg(i.o_totalprice) * 1.5 FROM orders i
+                   WHERE i.o_custkey = o.o_custkey)
+            ORDER BY o.o_orderkey"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
-    aggCube, aggGroupingSets)
+    aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated)
 }
