@@ -209,6 +209,30 @@ object Aggs {
                    WHERE i.o_custkey = o.o_custkey)
             ORDER BY o.o_orderkey"""))
 
+  /** Ordered-set + covariance aggregates: interpolated percentiles
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, same linear
+    * interpolation) and corr/covar_samp, rounded per policy #3. */
+  val aggPercentileCorr = Q(
+    "agg_percentile_corr",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+          round(corr(col("c_acctbal"), col("c_custkey").cast("double")), 6)
+            .as("corr_bal_key"),
+          round(covar_samp(col("c_acctbal"), col("c_custkey").cast("double")), 2)
+            .as("covar_bal_key"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+            round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+            round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+            round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+            round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 2) AS covar_bal_key
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
-    aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated)
+    aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
+    aggPercentileCorr)
 }
