@@ -84,5 +84,49 @@ object Approx {
     },
     None)
 
-  def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard, vecAnnLsh)
+  /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the
+    * normalized vectors into 8 cells; the query probes its 3 nearest
+    * centroids and scores exact cosine only against those cells'
+    * members — the inverted-file pattern that bounds comparisons to
+    * nProbe/nCells of the corpus at any scale. Complements vec_ann_lsh
+    * (the brief's "IVF or LSH-bucketed variant"). Oracle-less (cluster
+    * assignments are model-specific); recall pinned in AnnRecallSpec. */
+  val vecAnnIvf = Q(
+    "vec_ann_ivf",
+    (spark, sfDir) => {
+      import org.apache.spark.ml.linalg.Vector
+      val raw = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          org.apache.spark.ml.functions.array_to_vector(
+            transform(col("embedding"), x => x.cast("double"))).as("raw"))
+      val vecs = new org.apache.spark.ml.feature.Normalizer()
+        .setInputCol("raw").setOutputCol("v").setP(2.0)
+        .transform(raw).select("vec_id", "v")
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(8).setSeed(42L).setFeaturesCol("v").setPredictionCol("cell")
+      val model = km.fit(vecs)
+      val assigned = model.transform(vecs).select("vec_id", "v", "cell")
+      val q = assigned.filter(col("vec_id") === 0).head()
+      val qv = q.getAs[Vector]("v")
+      val probes = model.clusterCenters.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < c.size) { val t = c(j) - qv(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2).take(3).map(_._1)
+      val dotQ = udf((v: Vector) => {
+        var acc = 0.0; var i = 0
+        while (i < v.size) { acc += v(i) * qv(i); i += 1 }
+        acc
+      })
+      assigned
+        .filter(col("vec_id") =!= 0 && col("cell").isin(probes.map(Integer.valueOf): _*))
+        .select(col("vec_id"), round(dotQ(col("v")), 4).as("approx_cos"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard, vecAnnLsh, vecAnnIvf)
 }

@@ -152,6 +152,38 @@ object MlPrep {
             FROM feats JOIN labels ON event_type = lbl_type
             ORDER BY event_id"""))
 
+  /** Deterministic shuffled mini-batch assembly — the sensory-batch core:
+    * rows are shuffled by md5 (engine-portable, reproducible), numbered,
+    * and chunked into 64-row batches; output is per-batch stats. The
+    * global row_number is a presentation-scale sort here; at cluster
+    * scale the same md5 key range-partitions the shuffle so batches are
+    * assembled per partition without a global window. */
+  val mlShuffleBatch = Q(
+    "ml_shuffle_batch",
+    (spark, sfDir) => {
+      val h = md5(concat(lit("b"), col("event_id").cast("string")))
+      val w = Window.orderBy(col("h"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("value"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr("(rn - 1) div 64").cast("bigint"))
+        .groupBy("batch_id")
+        // exact decimal sum, not avg: value/64 terminates exactly at the
+        // 4dp rounding boundary (64 = 2^6), where engine midpoint rules
+        // differ — the round-1 lesson applied
+        .agg(count(lit(1)).as("n"),
+          min(col("h")).as("first_key"),
+          D.sumDec(col("value")).as("sum_value"))
+        .orderBy("batch_id")
+    },
+    Some("""SELECT batch_id, count(*) AS n, min(h) AS first_key,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+            FROM (SELECT value, h, (row_number() OVER (ORDER BY h, event_id) - 1) // 64 AS batch_id
+                  FROM (SELECT event_id, value,
+                               md5('b' || CAST(event_id AS VARCHAR)) AS h
+                        FROM events))
+            GROUP BY batch_id ORDER BY batch_id"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
-    mlSplitHash, mlPipelineBatch)
+    mlSplitHash, mlPipelineBatch, mlShuffleBatch)
 }

@@ -14,6 +14,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall (exact=$exact approx=$approx)")
   }
 
+  test("vec_ann_ivf probes 3 of 8 cells and still recalls some exact neighbors") {
+    val exact = Registry.byName("vec_cosine_topk").build(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Registry.byName("vec_ann_ivf").build(spark, sf001).collect()
+    assert(ivf.length == 10)
+    val approx = ivf.map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+    // cosine values must be valid similarities
+    assert(ivf.forall { r => val c = r.getDouble(1); c >= -1.0 && c <= 1.0 })
+  }
+
   test("vec_ann_lsh approx cosine tracks the exact similarity within 0.05") {
     val exact = Registry.byName("vec_cosine_topk").build(spark, sf001)
       .withColumnRenamed("cos_sim", "exact_cos")
