@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * vec_cosine_topk_native; semantics identical to the composed built-ins
   * (pinned by parity and NativeDotSpec).
   *
-  * Assumes non-null elements (fixture arrays are dense); a null array
-  * input yields null via BinaryExpression's default null handling.
+  * A null ARRAY input yields null via BinaryExpression's default null
+  * handling; a null ELEMENT also yields null overall — the same result
+  * `aggregate(zip_with(a, b, _*_))` produces, since null propagates
+  * through the lambda product and sum.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,6 +43,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Always nullable: a null element nulls the whole product, even when the
+  // array columns themselves are non-nullable — and this guarantees codegen
+  // materializes ev.isNull as a variable (never the FalseLiteral constant,
+  // which the element-null branch below could not assign).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_native"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -50,6 +58,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getDouble(i) * ys.getDouble(i)
       i += 1
     }
@@ -65,6 +74,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -34,8 +34,8 @@ object Aggs {
     Some(s"""SELECT l_returnflag, l_linestatus,
             ${D.oSumDec("l_quantity")} AS sum_qty,
             ${D.oSumDec("l_extendedprice")} AS sum_base_price,
-            CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4)) AS sum_disc_price,
-            CAST(sum(${D.oCharge("l_extendedprice", "l_discount", "l_tax")}) AS DECIMAL(18,6)) AS sum_charge,
+            ${D.oDbl(s"CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4))")} AS sum_disc_price,
+            ${D.oDbl(s"CAST(sum(${D.oCharge("l_extendedprice", "l_discount", "l_tax")}) AS DECIMAL(18,6))")} AS sum_charge,
             round(avg(l_quantity), 4) AS avg_qty,
             round(avg(l_extendedprice), 2) AS avg_price,
             round(avg(l_discount), 4) AS avg_disc,
@@ -53,12 +53,12 @@ object Aggs {
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
-          sum_distinct(D.dec(col("l_quantity"))).cast(D.Money).as("sum_distinct_qty"),
+          D.dbl(sum_distinct(D.dec(col("l_quantity"))).cast(D.Money)).as("sum_distinct_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
             count(DISTINCT l_partkey) AS n_parts,
-            CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_distinct_qty,
+            CAST(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_distinct_qty,
             count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
@@ -104,7 +104,7 @@ object Aggs {
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     },
     Some("""SELECT n_name, c_mktsegment, count(*) AS n_customers,
-            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, c_mktsegment)
             ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
@@ -117,7 +117,7 @@ object Aggs {
         .agg(count(lit(1)).as("n_rows"), D.sumDec(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
@@ -159,11 +159,11 @@ object Aggs {
         .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
             count(*) FILTER (o_orderstatus = 'F') AS F_n,
-            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(18,2)) AS F_rev,
+            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(18,2)) AS DOUBLE) AS F_rev,
             count(*) FILTER (o_orderstatus = 'O') AS O_n,
-            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(18,2)) AS O_rev,
+            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(18,2)) AS DOUBLE) AS O_rev,
             count(*) FILTER (o_orderstatus = 'P') AS P_n,
-            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(18,2)) AS P_rev
+            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(18,2)) AS DOUBLE) AS P_rev
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** Unpivot (melt): wide per-part numeric columns → long (metric, value). */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.util.Tables
+import graft.util.{D, Tables}
 
 /** Scalar function families (SURVEY §2.7). One query per family; every
   * expression is a codegen'd built-in (no UDFs anywhere).
@@ -71,8 +71,11 @@ object Fns {
           date_trunc("month", col("o_orderdate")).as("month_start"),
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
             .cast("bigint").as("days_since_95"),
-          add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
-          last_day(col("o_orderdate").cast("date")).as("month_end"))
+          // DATE-typed outputs read back as datetime.date via pandas but
+          // as midnight Timestamps from DuckDB's .df() — normalize every
+          // calendar output to timestamp_ntz on both sides instead.
+          D.ntz(add_months(col("o_orderdate").cast("date"), 1)).as("next_month"),
+          D.ntz(last_day(col("o_orderdate").cast("date"))).as("month_end"))
         .orderBy("o_orderkey"),
     Some("""SELECT o_orderkey, o_orderdate,
             year(o_orderdate) AS yr, month(o_orderdate) AS mo,
@@ -80,8 +83,8 @@ object Fns {
             dayofweek(o_orderdate) + 1 AS dow,
             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
             datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_95,
-            CAST(o_orderdate::DATE + INTERVAL 1 MONTH AS DATE) AS next_month,
-            last_day(o_orderdate::DATE) AS month_end
+            CAST(CAST(o_orderdate::DATE + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP) AS next_month,
+            CAST(last_day(o_orderdate::DATE) AS TIMESTAMP) AS month_end
             FROM orders ORDER BY o_orderkey"""))
 
   val fnMath = Q(

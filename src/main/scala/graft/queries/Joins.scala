@@ -51,11 +51,11 @@ object Joins {
         .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          sum(col("rev_o")).cast(D.Money4).as("revenue"),
+          D.dbl(sum(col("rev_o")).cast(D.Money4)).as("revenue"),
           sum(col("n_items_o")).as("n_items"))
         .orderBy("r_name", "n_name"),
     Some(s"""SELECT r_name, n_name,
-            CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4)) AS revenue,
+            ${D.oDbl(s"CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4))")} AS revenue,
             count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -164,11 +164,11 @@ object Joins {
       val b = s.select(col("s_suppkey").as("k2"), col("s_acctbal").as("bal2"))
       a.join(b, col("bal1") < col("bal2"))
         .select(col("k1"), col("k2"),
-          (D.dec(col("bal2")) - D.dec(col("bal1"))).cast(D.Money).as("bal_gap"))
+          D.dbl((D.dec(col("bal2")) - D.dec(col("bal1"))).cast(D.Money)).as("bal_gap"))
         .orderBy("k1", "k2")
     },
     Some("""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
-            CAST(CAST(b.s_acctbal AS DECIMAL(18,2)) - CAST(a.s_acctbal AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS bal_gap
+            CAST(CAST(CAST(b.s_acctbal AS DECIMAL(18,2)) - CAST(a.s_acctbal AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DOUBLE) AS bal_gap
             FROM supplier a JOIN supplier b ON a.s_acctbal < b.s_acctbal
             ORDER BY k1, k2"""))
 

@@ -48,11 +48,11 @@ object MlPrep {
           stddev_samp(col("o_totalprice")).as("sigma"))
       j.join(broadcast(stats), col("c_mktsegment") === col("seg"))
         .select(col("o_orderkey"), col("c_mktsegment"),
-          round((col("o_totalprice") - col("mu")) / col("sigma"), 4).as("z"))
+          (round((col("o_totalprice") - col("mu")) / col("sigma"), 4) + lit(0.0)).as("z"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, c_mktsegment,
-            round((o_totalprice - mu) / sigma, 4) AS z
+            round((o_totalprice - mu) / sigma, 4) + 0.0 AS z
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN (SELECT c_mktsegment AS seg, avg(o_totalprice) AS mu,
@@ -177,7 +177,7 @@ object MlPrep {
         .orderBy("batch_id")
     },
     Some("""SELECT batch_id, count(*) AS n, min(h) AS first_key,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
             FROM (SELECT value, h, (row_number() OVER (ORDER BY h, event_id) - 1) // 64 AS batch_id
                   FROM (SELECT event_id, value,
                                md5('b' || CAST(event_id AS VARCHAR)) AS h

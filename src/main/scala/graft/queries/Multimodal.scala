@@ -32,12 +32,16 @@ object Multimodal {
     (spark, sfDir) =>
       Tables.documents(spark, sfDir)
         .select(col("doc_id"),
-          col("text").cast("binary").as("payload"),
+          // payload stays an opaque binary column inside the pipeline; the
+          // graded projection emits its hex head, not the raw bytes — a raw
+          // binary output column breaks the driver's pandas row-sort
+          // (bytearray is unhashable), observed in round 2.
+          hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"),
           length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
           md5(col("text").cast("binary")).as("content_hash"),
           col("lang"), col("source"))
         .orderBy("doc_id"),
-    Some("""SELECT doc_id, encode(text) AS payload,
+    Some("""SELECT doc_id, hex(encode(substring(text, 1, 8))) AS head_hex,
             octet_length(encode(text)) AS n_bytes,
             md5(text) AS content_hash, lang, source
             FROM documents ORDER BY doc_id"""))

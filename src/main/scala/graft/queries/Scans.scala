@@ -49,11 +49,11 @@ object Scans {
       Tables.lineitem(spark, sfDir)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          D.net(col("l_extendedprice"), col("l_discount")).as("net_price"),
+          D.dbl(D.net(col("l_extendedprice"), col("l_discount"))).as("net_price"),
           when(col("l_discount") > 0.05, "HIGH").otherwise("LOW").as("disc_band"))
         .orderBy("l_orderkey", "l_linenumber"),
     Some(s"""SELECT l_orderkey, l_linenumber,
-            ${D.oNet("l_extendedprice", "l_discount")} AS net_price,
+            ${D.oDbl(D.oNet("l_extendedprice", "l_discount"))} AS net_price,
             CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band
             FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 

@@ -289,8 +289,15 @@ object TextOps {
     "text_winnow_fingerprint",
     (spark, sfDir) =>
       Tables.documents(spark, sfDir)
+        // greatest(...,0) guards docs shorter than the 8-char window:
+        // sequence(1, 0) with the default step would infer step -1 and
+        // explode bogus descending positions, where the oracle's
+        // generate_series(1, n<1) is empty. filter(p >= 1) then drops the
+        // single p=0 row so both sides emit nothing for short docs.
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 7)).as("p"))
+          explode(sequence(lit(1),
+            greatest(length(col("text")) - 7, lit(0)))).as("p"))
+        .filter(col("p") >= 1)
         .select(col("doc_id"),
           md5(expr("substring(text, p, 8)")).as("h"))
         .groupBy("doc_id")

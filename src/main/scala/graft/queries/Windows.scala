@@ -58,14 +58,14 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(spark, sfDir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(D.dec(col("o_totalprice"))).over(w).cast(D.Money).as("running_rev"))
+          D.dbl(sum(D.dec(col("o_totalprice"))).over(w).cast(D.Money)).as("running_rev"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DECIMAL(18,2)) AS running_rev
+                 AS DECIMAL(18,2)) AS DOUBLE) AS running_rev
             FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
   /** 30-day trailing revenue per customer: a value-RANGE frame over integer
@@ -80,15 +80,15 @@ object Windows {
         .withColumn("d_days",
           datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(D.dec(col("o_totalprice"))).over(w).cast(D.Money).as("trail30"))
+          D.dbl(sum(D.dec(col("o_totalprice"))).over(w).cast(D.Money)).as("trail30"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                  OVER (PARTITION BY o_custkey
                        ORDER BY datediff('day', DATE '1970-01-01', o_orderdate::DATE)
                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-                 AS DECIMAL(18,2)) AS trail30
+                 AS DECIMAL(18,2)) AS DOUBLE) AS trail30
             FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
   /** lag/lead per user over event time — null edges at partition bounds. */

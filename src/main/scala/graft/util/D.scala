@@ -38,14 +38,24 @@ object D {
   def charge(price: Column, disc: Column, tax: Column): Column =
     (net(price, disc) * (one + dec(tax))).cast(Money6)
 
-  /** Exact, partition-order-independent decimal sum with pinned type. */
-  def sumDec(c: Column): Column = sum(dec(c)).cast(Money)
+  /** Final-output cast: exact decimal → double. The SUM itself stays
+    * decimal (order-independent); only the finished value is converted,
+    * and both engines round the same exact decimal to the same nearest
+    * double — bit-identical. Outputs must never stay DECIMAL: the
+    * driver's hash reads Spark parquet as `Decimal('1222.7400')` (scale
+    * preserved, trailing zeros) but the DuckDB oracle as float64, so a
+    * numerically-equal decimal still hash-mismatches (root cause of all
+    * 15 round-2 `hash_match: false` rows). */
+  def dbl(c: Column): Column = c.cast("double")
 
-  /** Sum of an already-decimal scale-4 expression, pinned type. */
-  def sumDec4(c: Column): Column = sum(c).cast(Money4)
+  /** Exact, partition-order-independent decimal sum, emitted as double. */
+  def sumDec(c: Column): Column = dbl(sum(dec(c)).cast(Money))
 
-  /** Sum of an already-decimal scale-6 expression, pinned type. */
-  def sumDec6(c: Column): Column = sum(c).cast(Money6)
+  /** Sum of an already-decimal scale-4 expression, emitted as double. */
+  def sumDec4(c: Column): Column = dbl(sum(c).cast(Money4))
+
+  /** Sum of an already-decimal scale-6 expression, emitted as double. */
+  def sumDec6(c: Column): Column = dbl(sum(c).cast(Money6))
 
   /** Timestamp output normalization — all query outputs are timestamp_ntz. */
   def ntz(c: Column): Column = c.cast("timestamp_ntz")
@@ -57,5 +67,7 @@ object D {
     s"CAST(${oDec(price)} * (1 - ${oDec(disc)}) AS DECIMAL(18,4))"
   def oCharge(price: String, disc: String, tax: String): String =
     s"CAST(${oNet(price, disc)} * (1 + ${oDec(tax)}) AS DECIMAL(18,6))"
-  def oSumDec(col: String): String = s"CAST(sum(${oDec(col)}) AS DECIMAL(18,2))"
+  def oDbl(expr: String): String = s"CAST($expr AS DOUBLE)"
+  def oSumDec(col: String): String =
+    oDbl(s"CAST(sum(${oDec(col)}) AS DECIMAL(18,2))")
 }

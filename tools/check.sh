@@ -1,10 +1,11 @@
 #!/bin/bash
 # Run Verify (already-compiled classes; compile with sbt first) + parity
 # at the given sf. Usage: tools/check.sh [sf0.01] [only_query,only_query2]
-set -e
+set -eo pipefail
 SF=${1:-sf0.01}
 ONLY=${2:-}
 OUT=/tmp/verify_$SF
+rm -rf "$OUT"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -14,5 +15,5 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "/root/testdata/$SF" "$OUT" 2>&1 | grep -v '^\(2[0-9]\|WARN\|INFO\)' || true
+  graft.Verify "/root/testdata/$SF" "$OUT" 2>&1 | { grep -v '^\(2[0-9]\|WARN\|INFO\)' || true; }
 python3 /root/repo/tools/parity.py "/root/testdata/$SF" "$OUT" $ONLY
