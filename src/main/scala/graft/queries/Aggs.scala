@@ -232,7 +232,37 @@ object Aggs {
             round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 2) AS covar_bal_key
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** min_by/max_by (arg-min aggregation). Ties on c_acctbal are broken by
+    * a composite sortable-string ordering key — zero-padded offset balance
+    * then zero-padded custkey — because neither engine's arg-min accepts a
+    * struct ordering, and an ambiguous ordering would make the picked name
+    * partition-order-dependent (non-deterministic at any scale). */
+  val aggMinbyMaxby = Q(
+    "agg_minby_maxby",
+    (spark, sfDir) => {
+      // +1000 offsets the fixture's negative balances so lexicographic
+      // order of the fixed-width decimal string equals numeric order.
+      val key = concat(
+        format_string("%012.2f", col("c_acctbal") + lit(1000.0)),
+        lpad(col("c_custkey").cast("string"), 10, "0"))
+      Tables.customer(spark, sfDir)
+        .groupBy("c_mktsegment")
+        .agg(
+          min_by(col("c_name"), key).as("poorest"),
+          max_by(col("c_name"), key).as("richest"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+            arg_min(c_name, printf('%012.2f', c_acctbal + 1000.0) || lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS poorest,
+            arg_max(c_name, printf('%012.2f', c_acctbal + 1000.0) || lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS richest,
+            min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+            count(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
-    aggPercentileCorr)
+    aggPercentileCorr, aggMinbyMaxby)
 }

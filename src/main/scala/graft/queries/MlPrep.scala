@@ -184,6 +184,55 @@ object MlPrep {
                         FROM events))
             GROUP BY batch_id ORDER BY batch_id"""))
 
+  /** Hashing-trick feature bucketing: term → md5 → first 8 hex digits →
+    * bigint → mod 1024. Engine-portable (md5 is identical everywhere;
+    * values < 2^32 so no sign issues) and collision behavior is part of
+    * the output (n_terms per bucket). The classic fixed-width alternative
+    * to ml_label_index when the vocabulary is unbounded at 100 TB. */
+  val mlFeatureHash = Q(
+    "ml_feature_hash",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col("token"),
+          (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("bigint")
+            % 1024).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_terms"))
+        .orderBy("bucket"),
+    Some("""SELECT bucket, count(*) AS n_tokens,
+                   count(DISTINCT token) AS n_terms
+            FROM (SELECT token,
+                         ('0x' || substring(md5(token), 1, 8))::BIGINT % 1024 AS bucket
+                  FROM (SELECT unnest(string_split(text, ' ')) AS token
+                        FROM documents)
+                  WHERE length(token) > 0)
+            GROUP BY bucket ORDER BY bucket"""))
+
+  /** Stratified 80/20 split: the md5 threshold assignment of ml_split_hash
+    * applied WITHIN each segment, with per-(segment, split) counts and
+    * exact balance sums — verifies each stratum keeps its own ~80/20. */
+  val mlStratifiedSplit = Q(
+    "ml_stratified_split",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .select(col("c_mktsegment"),
+          when(substring(md5(concat(lit("c"), col("c_custkey").cast("string"))), 1, 2) < "cc",
+            "train").otherwise("test").as("split"),
+          col("c_acctbal"))
+        .groupBy("c_mktsegment", "split")
+        .agg(count(lit(1)).as("n"), D.sumDec(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment", "split"),
+    Some(s"""SELECT c_mktsegment,
+            CASE WHEN substring(md5('c' || CAST(c_custkey AS VARCHAR)), 1, 2) < 'cc'
+                 THEN 'train' ELSE 'test' END AS split,
+            count(*) AS n, ${D.oSumDec("c_acctbal")} AS sum_bal
+            FROM customer GROUP BY c_mktsegment, split
+            ORDER BY c_mktsegment, split"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
-    mlSplitHash, mlPipelineBatch, mlShuffleBatch)
+    mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
+    mlStratifiedSplit)
 }

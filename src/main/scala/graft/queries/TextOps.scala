@@ -312,7 +312,100 @@ object TextOps {
                         FROM documents))
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TF-IDF-style term weighting: tf per (doc, term), df over the FULL
+    * corpus, score = tf * (N+1)/(df+1). The idf is the rational variant —
+    * no ln/log, because transcendental functions are the one place two
+    * engines' doubles can legally differ by an ulp; +,-,*,/ are IEEE-exact
+    * for identical operands, so the scores are bit-identical. Output is
+    * capped to doc_id < 100 (the df statistics still scan everything). */
+  val textTfidf = Q(
+    "text_tfidf",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ", -1)).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      tf.filter(col("doc_id") < 100)
+        .join(dfreq, "term")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") * (col("n_docs").cast("double") + 1.0)
+            / (col("df").cast("double") + 1.0)).as("score"))
+        .orderBy("doc_id", "term")
+    },
+    Some("""WITH toks AS (SELECT doc_id, term
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(lower(text), ' ')) AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 t AS (SELECT doc_id, term, count(*) AS tf
+                       FROM toks GROUP BY doc_id, term),
+                 d AS (SELECT term, count(DISTINCT doc_id) AS df
+                       FROM toks GROUP BY term),
+                 n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, term, tf, df,
+                   CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1.0)
+                     / (CAST(df AS DOUBLE) + 1.0) AS score
+            FROM t JOIN d USING (term) CROSS JOIN n
+            WHERE doc_id < 100
+            ORDER BY doc_id, term"""))
+
+  /** Oracle-exact MinHash+LSH banding — the uncapped-scale dedup shape,
+    * here with a deterministic md5 hash family so DuckDB can replay it
+    * value-for-value (unlike the MLlib sketch in minhash_lsh_jaccard):
+    * 8 min-hashes per doc (seeded by prefix), 2 bands of 4 rows each,
+    * candidate pairs = docs sharing EITHER band key. Both band joins are
+    * EQUI-joins (shuffle-hash on the band key) — the whole point of LSH:
+    * no all-pairs comparison anywhere, so the plan survives 100 TB. */
+  val textMinhashBandPairs = Q(
+    "text_minhash_band_pairs",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      def h(s: Int) = min(md5(concat(lit(s + ":"), col("tok")))).as(s"h$s")
+      val sig = toks.groupBy("doc_id")
+        .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+      val bands = sig.select(col("doc_id"),
+        md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))).as("b1"),
+        md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))).as("b2"))
+      val l = bands.select(col("doc_id").as("d1"), col("b1"), col("b2"))
+      val r = bands.select(col("doc_id").as("d2"), col("b1").as("c1"), col("b2").as("c2"))
+      val p1 = l.join(r, col("b1") === col("c1")).select("d1", "d2")
+      val p2 = l.join(r, col("b2") === col("c2")).select("d1", "d2")
+      p1.union(p2).filter(col("d1") < col("d2")).distinct()
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 200)
+                          WHERE length(tok) > 0),
+                 sig AS (SELECT doc_id,
+                           min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+                           min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+                           min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+                           min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (SELECT doc_id,
+                             md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS b1,
+                             md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS b2
+                           FROM sig)
+            SELECT d1, d2 FROM (
+              SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b ON a.b1 = b.b1 WHERE a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b ON a.b2 = b.b2 WHERE a.doc_id < b.doc_id)
+            ORDER BY d1, d2"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
-    textWinnowFingerprint)
+    textWinnowFingerprint, textTfidf, textMinhashBandPairs)
 }

@@ -141,5 +141,48 @@ object TimeSeries {
             LEFT JOIN c ON b.bucket = c.bucket AND t.event_type = c.event_type
             ORDER BY b.bucket, t.event_type"""))
 
-  def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill)
+  /** Hourly OHLC candles per event type — open/close picked by
+    * row_number over the unique (ts, event_id) order (not first()/last(),
+    * whose result depends on partition order), high/low as plain min/max.
+    * One window pass + one hash agg, both partitioned on (bucket, type):
+    * at 100 TB the window state is bounded per bucket-hour, never global. */
+  val tsOhlc = Q(
+    "ts_ohlc",
+    (spark, sfDir) => {
+      val wa = Window.partitionBy("bucket", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("bucket", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, sfDir)
+        .select(date_trunc("hour", col("ts")).as("bucket"), col("event_type"),
+          col("ts"), col("event_id"), col("value"))
+        .withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy("bucket", "event_type")
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+                              ts, event_id, value FROM events),
+                 r AS (SELECT *,
+                   row_number() OVER (PARTITION BY bucket, event_type
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY bucket, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+                   FROM b)
+            SELECT bucket, event_type,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   count(*) AS n
+            FROM r GROUP BY bucket, event_type
+            ORDER BY bucket, event_type"""))
+
+  def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
+    tsOhlc)
 }

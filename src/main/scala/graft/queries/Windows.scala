@@ -155,6 +155,27 @@ object Windows {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_custkey"""))
 
+  /** percent_rank / cume_dist over a unique composite order — the ranks
+    * are ratios of exact integers, so the doubles are bit-identical in
+    * any engine (no peers exist under the unique (price, key) order). */
+  val winCumeDist = Q(
+    "win_cume_dist",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+            percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderpriority, o_totalprice, o_orderkey"""))
+
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
-    winLeadLag, winNtilePct, winFirstLast)
+    winLeadLag, winNtilePct, winFirstLast, winCumeDist)
 }
