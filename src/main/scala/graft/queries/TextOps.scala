@@ -325,9 +325,10 @@ object TextOps {
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ", -1)).as("term"))
         .filter(length(col("term")) > 0)
+      // df derives from the tf aggregate (#docs with tf>0 == #docs containing
+      // the term) — one tokenize+explode pass over the corpus, not two.
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
       tf.filter(col("doc_id") < 100)
         .join(dfreq, "term")
@@ -344,8 +345,7 @@ object TextOps {
                           WHERE length(term) > 0),
                  t AS (SELECT doc_id, term, count(*) AS tf
                        FROM toks GROUP BY doc_id, term),
-                 d AS (SELECT term, count(DISTINCT doc_id) AS df
-                       FROM toks GROUP BY term),
+                 d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
                  n AS (SELECT count(*) AS n_docs FROM documents)
             SELECT doc_id, term, tf, df,
                    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1.0)
@@ -369,17 +369,27 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
         .filter(length(col("tok")) > 0)
         .distinct()
-      def h(s: Int) = min(md5(concat(lit(s + ":"), col("tok")))).as(s"h$s")
+      // Numeric min-hashes (first 15 hex digits of md5 → bigint, < 2^60):
+      // a bigint min runs in HashAggregate's mutable buffer; a string min
+      // would fall back to SortAggregate and sort every (doc, token) group.
+      def h(s: Int) = min(
+        conv(substring(md5(concat(lit(s + ":"), col("tok"))), 1, 15), 16, 10)
+          .cast("bigint")).as(s"h$s")
       val sig = toks.groupBy("doc_id")
         .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
-      val bands = sig.select(col("doc_id"),
-        md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))).as("b1"),
-        md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))).as("b2"))
-      val l = bands.select(col("doc_id").as("d1"), col("b1"), col("b2"))
-      val r = bands.select(col("doc_id").as("d2"), col("b1").as("c1"), col("b2").as("c2"))
-      val p1 = l.join(r, col("b1") === col("c1")).select("d1", "d2")
-      val p2 = l.join(r, col("b2") === col("c2")).select("d1", "d2")
-      p1.union(p2).filter(col("d1") < col("d2")).distinct()
+      // One long (band_no, band_key) layout + ONE self-equi-join on both
+      // keys: two corpus scans total (vs two joins × two sides = four) and
+      // a single shuffle on the band key, for any number of bands.
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
+        md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7")))))
+        .as(Seq("band_no", "bkey")))
+      val l = bands.select(col("doc_id").as("d1"), col("band_no"), col("bkey"))
+      val r = bands.select(col("doc_id").as("d2"),
+        col("band_no").as("bn2"), col("bkey").as("bk2"))
+      l.join(r, col("band_no") === col("bn2") && col("bkey") === col("bk2"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
         .orderBy("d1", "d2")
     },
     Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
@@ -388,21 +398,29 @@ object TextOps {
                                 FROM documents WHERE doc_id < 200)
                           WHERE length(tok) > 0),
                  sig AS (SELECT doc_id,
-                           min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
-                           min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
-                           min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
-                           min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
                          FROM toks GROUP BY doc_id),
-                 bands AS (SELECT doc_id,
-                             md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS b1,
-                             md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS b2
-                           FROM sig)
-            SELECT d1, d2 FROM (
-              SELECT a.doc_id AS d1, b.doc_id AS d2
-              FROM bands a JOIN bands b ON a.b1 = b.b1 WHERE a.doc_id < b.doc_id
-              UNION
-              SELECT a.doc_id AS d1, b.doc_id AS d2
-              FROM bands a JOIN bands b ON a.b2 = b.b2 WHERE a.doc_id < b.doc_id)
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig)
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band_no = b.band_no AND a.bkey = b.bkey
+            WHERE a.doc_id < b.doc_id
             ORDER BY d1, d2"""))
 
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
