@@ -149,5 +149,24 @@ object Fns {
             count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional, fnJson)
+  /** Cryptographic-hash family: md5 + sha256 hex digests (the two digests
+    * both engines implement identically) over part names, plus a hash-
+    * derived shard id — content-addressing and sharding primitives. */
+  val fnHash = Q(
+    "fn_hash",
+    (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"),
+          md5(col("p_name")).as("name_md5"),
+          sha2(col("p_name"), 256).as("name_sha256"),
+          (conv(substring(md5(col("p_name")), 1, 8), 16, 10).cast("bigint")
+            % 16).as("shard"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, md5(p_name) AS name_md5,
+            sha256(p_name) AS name_sha256,
+            ('0x' || substring(md5(p_name), 1, 8))::BIGINT % 16 AS shard
+            FROM part ORDER BY p_partkey"""))
+
+  def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
+    fnJson, fnHash)
 }

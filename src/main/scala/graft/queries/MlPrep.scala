@@ -232,7 +232,25 @@ object MlPrep {
             FROM customer GROUP BY c_mktsegment, split
             ORDER BY c_mktsegment, split"""))
 
+  /** Deterministic k-fold assignment (k=5) by salted md5 — the cross-
+    * validation analog of ml_split_hash; per-(fold, event_type) counts
+    * verify the folds are balanced and type-stratification-free. */
+  val mlKfoldAssign = Q(
+    "ml_kfold_assign",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          (conv(substring(md5(concat(lit("f"), col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint") % 5).as("fold"))
+        .groupBy("fold", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("fold", "event_type"),
+    Some("""SELECT ('0x' || substring(md5('f' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
+            event_type, count(*) AS n
+            FROM events GROUP BY fold, event_type
+            ORDER BY fold, event_type"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
-    mlStratifiedSplit)
+    mlStratifiedSplit, mlKfoldAssign)
 }

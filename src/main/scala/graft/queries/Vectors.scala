@@ -122,18 +122,18 @@ object Vectors {
   val vecCosineTopkNative = Q(
     "vec_cosine_topk_native",
     (spark, sfDir) => {
-      graft.functions.DotProduct.register(spark)
+      // Fused single-pass cosine (functions/CosineSim.scala): each array
+      // element is read once; bit-identical to the dot/sqrt composition
+      // (NativeDotSpec) so the shared oracle still value-matches.
+      graft.functions.CosineSim.register(spark)
       val emb = Tables.embeddings(spark, sfDir)
       val q = emb.filter(col("vec_id") === 0)
         .select(dbl(col("embedding")).as("qe"))
-        .select(col("qe"), sqrt(expr("dot_native(qe, qe)")).as("qn"))
       emb.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .select(col("vec_id"), col("e"), sqrt(expr("dot_native(e, e)")).as("en"))
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(expr("dot_native(e, qe)") / (col("en") * col("qn")), 4)
-            .as("cos_sim"))
+          round(expr("cosine_native(e, qe)"), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },

@@ -39,6 +39,28 @@ class NativeDotSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cosine_native == dot/sqrt composition bit-for-bit, and nulls propagate") {
+    DotProduct.register(spark)
+    graft.functions.CosineSim.register(spark)
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val emb = graft.util.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), dbl.as("e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val both = emb.filter(col("vec_id") =!= 0).crossJoin(q)
+      .select(
+        expr("cosine_native(e, qe)").as("fused"),
+        (expr("dot_native(e, qe)") /
+          (sqrt(expr("dot_native(e, e)")) * sqrt(expr("dot_native(qe, qe)"))))
+          .as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+
+    import spark.implicits._
+    val nulls = Seq((1L, Option.empty[Seq[Double]], Some(Seq(1.0))))
+      .toDF("id", "a", "b")
+      .select(expr("cosine_native(a, b)").as("c")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("the generated plan keeps dot_native inside whole-stage codegen") {
     DotProduct.register(spark)
     val dbl = transform(col("embedding"), x => x.cast("double"))
