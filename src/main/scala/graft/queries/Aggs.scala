@@ -262,7 +262,34 @@ object Aggs {
             count(*) AS n_customers
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Deterministic mode (most frequent value): neither engine's built-in
+    * mode() pins tie order, so both sides spell out the same count →
+    * row_number(count DESC, value ASC) → rn=1 formulation. */
+  val aggMode = Q(
+    "agg_mode",
+    (spark, sfDir) => {
+      val counted = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, o_orderpriority AS mode_priority, n FROM (
+              SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY count(*) DESC, o_orderpriority) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment, o_orderpriority)
+            WHERE rn = 1 ORDER BY c_mktsegment"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
-    aggPercentileCorr, aggMinbyMaxby)
+    aggPercentileCorr, aggMinbyMaxby, aggMode)
 }

@@ -229,7 +229,35 @@ object Joins {
               ON a.user_id = b.user_id AND a.ts >= b.ts
             ORDER BY a.event_id"""))
 
+  /** Forward as-of: the NEXT signup at or after each event — the mirror of
+    * asofLastSignup with a descending window, so the same union trick gives
+    * the inclusive boundary (an event at exactly a signup's ts matches it:
+    * tag sorts the signup row first at equal ts in the descending order). */
+  def asofNextSignup(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+      lit(1).as("tag"), lit(null).cast("timestamp_ntz").as("sts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts")).distinct()
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("tag"), col("ts").as("sts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.unionByName(signup)
+      .withColumn("next_signup_ts", last(col("sts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select("event_id", "user_id", "ts", "next_signup_ts")
+  }
+
+  val joinAsofForward = Q(
+    "join_asof_forward",
+    (spark, sfDir) => asofNextSignup(Tables.events(spark, sfDir)).orderBy("event_id"),
+    Some("""SELECT a.event_id, a.user_id, a.ts, b.ts AS next_signup_ts
+            FROM events a ASOF LEFT JOIN
+              (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') b
+              ON a.user_id = b.user_id AND a.ts <= b.ts
+            ORDER BY a.event_id"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
-    joinRange, joinAsof)
+    joinRange, joinAsof, joinAsofForward)
 }

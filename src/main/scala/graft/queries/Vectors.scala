@@ -92,16 +92,20 @@ object Vectors {
   val vecKnnThreshold = Q(
     "vec_knn_threshold",
     (spark, sfDir) => {
+      graft.functions.DotProduct.register(spark)
       val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
       // norms precomputed per row (200 each) instead of per pair (~20k):
-      // cuts two thirds of the fold work out of the quadratic join
+      // cuts two thirds of the fold work out of the quadratic join. The
+      // per-pair dot runs through the codegen'd dot_native (bit-identical
+      // to the HOF fold, NativeDotSpec) — the ~20k-pair inner loop is the
+      // hot path, and interpreted zip_with lambdas were its cost.
       val a = emb.select(col("vec_id").as("v1"), dbl(col("embedding")).as("e1"),
         norm(dbl(col("embedding"))).as("nrm1"))
       val b = emb.select(col("vec_id").as("v2"), dbl(col("embedding")).as("e2"),
         norm(dbl(col("embedding"))).as("nrm2"))
       a.join(b, col("v1") < col("v2"))
         .select(col("v1"), col("v2"),
-          round(dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")), 4)
+          round(expr("dot_native(e1, e2)") / (col("nrm1") * col("nrm2")), 4)
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("v1", "v2")

@@ -76,6 +76,22 @@ class SemanticsSpec extends SparkSpec {
     assert(sig(4).isEmpty)
   }
 
+  test("forward as-of join: an event AT the signup timestamp matches it; later events get null") {
+    val ev = eventsDf(Seq(
+      (1L, "2024-01-01 09:59:00", 1L, "click", 1.0),   // before → next signup 10:00
+      (2L, "2024-01-01 10:00:00", 1L, "signup", 1.0),  // the signup event itself
+      (3L, "2024-01-01 10:00:00", 1L, "click", 1.0),   // same instant → matches (inclusive)
+      (4L, "2024-01-01 11:00:00", 1L, "click", 1.0),   // after the last signup → null
+      (5L, "2024-01-01 09:00:00", 2L, "click", 1.0)))  // other user, no signup → null
+    val out = Joins.asofNextSignup(ev).orderBy("event_id").collect()
+    def sig(i: Int) = Option(out(i).getAs[java.time.LocalDateTime]("next_signup_ts"))
+    assert(sig(0).map(_.toString).contains("2024-01-01T10:00"))
+    assert(sig(1).map(_.toString).contains("2024-01-01T10:00"))
+    assert(sig(2).map(_.toString).contains("2024-01-01T10:00"))
+    assert(sig(3).isEmpty)
+    assert(sig(4).isEmpty)
+  }
+
   test("md5 split: boundary byte 'cc' goes to test, 'cb' to train; ratio ~80/20") {
     // engine-independent reference: JVM MD5 over the same salted key
     val md = java.security.MessageDigest.getInstance("MD5")
