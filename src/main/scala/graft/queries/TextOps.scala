@@ -423,7 +423,96 @@ object TextOps {
             WHERE a.doc_id < b.doc_id
             ORDER BY d1, d2"""))
 
+  /** The full production dedup pipeline: LSH banding GENERATES candidates
+    * (text_minhash_band_pairs' shape), exact Jaccard VERIFIES only those —
+    * never all pairs. At 100 TB the verify stage touches |candidates| ≪ n²
+    * pairs; this operator grades both stages composed, with the verified
+    * near-dup decision (jaccard ≥ 0.5) in the output. */
+  val textLshDedupVerified = Q(
+    "text_lsh_dedup_verified",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      def h(s: Int) = min(
+        conv(substring(md5(concat(lit(s + ":"), col("tok"))), 1, 15), 16, 10)
+          .cast("bigint")).as(s"h$s")
+      val sig = toks.groupBy("doc_id")
+        .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
+        md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7")))))
+        .as(Seq("band_no", "bkey")))
+      val cand = bands.select(col("doc_id").as("d1"), col("band_no"), col("bkey"))
+        .join(bands.select(col("doc_id").as("d2"),
+          col("band_no").as("bn2"), col("bkey").as("bk2")),
+          col("band_no") === col("bn2") && col("bkey") === col("bk2"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      // verify stage: exact Jaccard over sorted token sets, candidates only
+      val sets = toks.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      val scored = cand
+        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
+          col("d1") === col("sd1"))
+        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
+          col("d2") === col("sd2"))
+        .select(col("d1"), col("d2"),
+          size(filter(col("t1"), x => array_contains(col("t2"), x))).as("inter"),
+          size(col("t1")).as("n1"), size(col("t2")).as("n2"))
+      scored.select(col("d1"), col("d2"),
+        round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+        .withColumn("is_dup", col("jaccard") >= 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 200)
+                          WHERE length(tok) > 0),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                          FROM bands a JOIN bands b
+                            ON a.band_no = b.band_no AND a.bkey = b.bkey
+                          WHERE a.doc_id < b.doc_id),
+                 sets AS (SELECT doc_id, list_sort(list(tok)) AS ts
+                          FROM toks GROUP BY doc_id)
+            SELECT d1, d2,
+                   round(CAST(len(list_filter(s1.ts, x -> list_contains(s2.ts, x))) AS DOUBLE)
+                         / (len(s1.ts) + len(s2.ts)
+                            - len(list_filter(s1.ts, x -> list_contains(s2.ts, x)))), 4) AS jaccard,
+                   round(CAST(len(list_filter(s1.ts, x -> list_contains(s2.ts, x))) AS DOUBLE)
+                         / (len(s1.ts) + len(s2.ts)
+                            - len(list_filter(s1.ts, x -> list_contains(s2.ts, x)))), 4) >= 0.5 AS is_dup
+            FROM cand
+            JOIN sets s1 ON d1 = s1.doc_id
+            JOIN sets s2 ON d2 = s2.doc_id
+            ORDER BY d1, d2"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
-    textWinnowFingerprint, textTfidf, textMinhashBandPairs)
+    textWinnowFingerprint, textTfidf, textMinhashBandPairs,
+    textLshDedupVerified)
 }

@@ -48,6 +48,49 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"expected AQE-coalesced read in:\n$finalPlan")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // force a shuffled join and make the skew detector fire on tiny data
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import spark.implicits._
+      // 95% of left rows share key 1 → one shuffle partition dwarfs the rest
+      val left = (0 until 100000)
+        .map(i => (if (i % 20 == 0) (i % 50).toLong else 1L, s"padpadpadpad_$i"))
+        .toDF("k", "pl")
+      // one row per key on the right so the skewed key fans out 1:1
+      val right = (0 until 50).map(i => (i.toLong, s"r_$i")).toDF("bk", "pr")
+      // no groupBy on the join key afterwards: a downstream requirement of
+      // hashpartitioning(k) would veto the skew split (splitting a skewed
+      // partition breaks the distribution the parent relies on). collect()
+      // THIS dataframe — count() would execute a separate pruned plan.
+      // keep the wide pl column in the output: column pruning would shrink
+      // the skewed partition below the detection threshold
+      val j = left.join(right, col("k") === col("bk")).select("k", "pl", "pr")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split join in final plan, got:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join defeats a hot key and matches the plain join exactly") {
     import spark.implicits._
     val S = 8 // salt fan-out
