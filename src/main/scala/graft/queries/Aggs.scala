@@ -289,7 +289,24 @@ object Aggs {
               GROUP BY c_mktsegment, o_orderpriority)
             WHERE rn = 1 ORDER BY c_mktsegment"""))
 
+  /** collect_list / collect_set into deterministic (sorted) arrays — the
+    * aggregation-to-nested surface. Unsorted collect order is partition-
+    * dependent, so both sides sort inside the aggregate. */
+  val aggCollectSetList = Q(
+    "agg_collect_set_list",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupBy("o_orderpriority")
+        .agg(
+          sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+            list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+            count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
-    aggPercentileCorr, aggMinbyMaxby, aggMode)
+    aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList)
 }

