@@ -306,7 +306,29 @@ object Aggs {
             count(*) AS n
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT inside — per-nation
+    * top-2 customers by balance (unique (balance, custkey) tiebreak).
+    * Catalyst decorrelates this into a ranked window under the hood; the
+    * surface matters because LATERAL is how SQL users express dependent
+    * top-k without knowing window functions. */
+  val subLateral = Q(
+    "sub_lateral",
+    (spark, sfDir) => graft.Graft.sql(spark, sfDir,
+      """SELECT n.n_name, l.c_name, l.c_acctbal
+         FROM nation n
+         JOIN LATERAL (
+           SELECT c_name, c_acctbal FROM customer
+           WHERE c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+         ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""),
+    Some("""SELECT n.n_name, l.c_name, l.c_acctbal
+            FROM nation n, LATERAL (
+              SELECT c_name, c_acctbal FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+            ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
-    aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList)
+    aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral)
 }
