@@ -167,6 +167,28 @@ object Fns {
             ('0x' || substring(md5(p_name), 1, 8))::BIGINT % 16 AS shard
             FROM part ORDER BY p_partkey"""))
 
+  /** Bitwise family: and/or/xor/shifts over integer keys — flag packing
+    * and partition-mask arithmetic. Spark's `shiftleft/shiftright` are
+    * DuckDB's `<<`/`>>`; xor is `^` vs `xor(...)`. */
+  val fnBitwise = Q(
+    "fn_bitwise",
+    (spark, sfDir) =>
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"),
+          (col("p_partkey").bitwiseAND(lit(255L))).as("low_byte"),
+          (col("p_partkey").bitwiseOR(lit(4096L))).as("with_flag"),
+          (col("p_partkey").bitwiseXOR(col("p_size").cast("bigint"))).as("mixed"),
+          shiftleft(col("p_partkey"), 2).as("shl2"),
+          shiftright(col("p_partkey"), 3).as("shr3"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+            p_partkey & 255 AS low_byte,
+            p_partkey | 4096 AS with_flag,
+            xor(p_partkey, CAST(p_size AS BIGINT)) AS mixed,
+            p_partkey << 2 AS shl2,
+            p_partkey >> 3 AS shr3
+            FROM part ORDER BY p_partkey"""))
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
-    fnJson, fnHash)
+    fnJson, fnHash, fnBitwise)
 }

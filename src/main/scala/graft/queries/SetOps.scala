@@ -94,6 +94,33 @@ object SetOps {
             SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
             ORDER BY nationkey"""))
 
+  /** Multiset INTERSECT ALL — duplicates survive up to the min multiplicity
+    * on each side (the bag semantics `intersect` erases). */
+  val setIntersectAll = Q(
+    "set_intersect_all",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000.0)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(spark, sfDir).select(col("s_nationkey")))
+        .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  /** Multiset EXCEPT ALL — per-row subtraction of multiplicities. */
+  val setExceptAll = Q(
+    "set_except_all",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables.supplier(spark, sfDir).filter(col("s_acctbal") > 5000.0)
+          .select(col("s_nationkey")))
+        .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
+            ORDER BY nationkey"""))
+
   def qs: Seq[Q] = Seq(sortLimitTopk, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept)
+    setIntersect, setExcept, setIntersectAll, setExceptAll)
 }
