@@ -250,7 +250,38 @@ object MlPrep {
             FROM events GROUP BY fold, event_type
             ORDER BY fold, event_type"""))
 
+  /** Context-window chunking: each document split into 64-token chunks at
+    * stride 48 (16-token overlap) — the standard LLM training-data shape.
+    * Chunks are content-addressed (md5 of joined tokens) rather than
+    * emitting the text; chunk count per doc is ceil((n-16)/48) via the
+    * stride-48 start sequence. Pure expressions: explode over the start
+    * positions, slice, join — row-local, no shuffle until the final sort. */
+  val mlTokenChunks = Q(
+    "ml_token_chunks",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(48)))
+            .as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 48).cast("bigint").as("chunk_no"),
+          size(slice(col("toks"), col("start"), lit(64))).cast("bigint")
+            .as("n_chunk_tokens"),
+          md5(array_join(slice(col("toks"), col("start"), lit(64)), " "))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_no"),
+    Some("""SELECT doc_id,
+                   CAST((start - 1) // 48 AS BIGINT) AS chunk_no,
+                   CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS chunk_hash
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents))
+            ORDER BY doc_id, chunk_no"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
-    mlStratifiedSplit, mlKfoldAssign)
+    mlStratifiedSplit, mlKfoldAssign, mlTokenChunks)
 }

@@ -143,6 +143,69 @@ object Vectors {
     },
     vecCosineTopk.oracle)
 
+  /** Embedding near-dup CLUSTERS: two rounds of min-label propagation over
+    * the cos ≥ 0.95 graph (vec_id < 200 cap, symmetric edges). Each round
+    * is one groupBy over the edge list — the bounded-iteration connected-
+    * components shape that runs as K shuffles at any scale (full CC would
+    * iterate to fixpoint; two rounds label every component of diameter ≤ 2,
+    * which near-dup clusters overwhelmingly are). Singletons keep their own
+    * id. The min-of-self-and-neighbors is spelled as an explicit CASE so
+    * both engines treat the no-neighbor NULL identically. */
+  val vecDupClusters = Q(
+    "vec_dup_clusters",
+    (spark, sfDir) => {
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+      val a = emb.select(col("vec_id").as("v1"), dbl(col("embedding")).as("e1"),
+        norm(dbl(col("embedding"))).as("nrm1"))
+      val b = emb.select(col("vec_id").as("v2"), dbl(col("embedding")).as("e2"),
+        norm(dbl(col("embedding"))).as("nrm2"))
+      val pairs = a.join(b, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          round(expr("dot_native(e1, e2)") / (col("nrm1") * col("nrm2")), 4)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.95)
+        .select("v1", "v2")
+      val edges = pairs.unionByName(
+        pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+      def propagate(labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        labels.join(
+          edges.join(labels.select(col("vec_id").as("v2x"), col("lbl").as("nlbl")),
+            col("v2") === col("v2x"))
+            .groupBy("v1").agg(min(col("nlbl")).as("mn")),
+          col("vec_id") === col("v1"), "left")
+          .select(col("vec_id"),
+            when(col("mn").isNull || col("lbl") < col("mn"), col("lbl"))
+              .otherwise(col("mn")).as("lbl"))
+      val l0 = emb.select(col("vec_id"), col("vec_id").as("lbl"))
+      val l2 = propagate(propagate(l0))
+      l2.select(col("vec_id"), col("lbl").as("cluster")).orderBy("vec_id")
+    },
+    Some(s"""WITH pairs AS (
+              SELECT v1, v2 FROM (
+                SELECT a.vec_id AS v1, b.vec_id AS v2,
+                       round(${oDot("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} /
+                             (${oNorm("a.embedding::DOUBLE[]")} * ${oNorm("b.embedding::DOUBLE[]")}), 4) AS cos_sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 200 AND b.vec_id < 200)
+              WHERE cos_sim >= 0.95),
+            edges AS (SELECT v1, v2 FROM pairs
+                      UNION ALL SELECT v2 AS v1, v1 AS v2 FROM pairs),
+            l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings WHERE vec_id < 200),
+            n1 AS (SELECT e.v1, min(l.lbl) AS mn FROM edges e
+                   JOIN l0 l ON e.v2 = l.vec_id GROUP BY e.v1),
+            l1 AS (SELECT l0.vec_id,
+                          CASE WHEN n1.mn IS NULL OR l0.lbl < n1.mn
+                               THEN l0.lbl ELSE n1.mn END AS lbl
+                   FROM l0 LEFT JOIN n1 ON l0.vec_id = n1.v1),
+            n2 AS (SELECT e.v1, min(l.lbl) AS mn FROM edges e
+                   JOIN l1 l ON e.v2 = l.vec_id GROUP BY e.v1),
+            l2 AS (SELECT l1.vec_id,
+                          CASE WHEN n2.mn IS NULL OR l1.lbl < n2.mn
+                               THEN l1.lbl ELSE n2.mn END AS lbl
+                   FROM l1 LEFT JOIN n2 ON l1.vec_id = n2.v1)
+            SELECT vec_id, lbl AS cluster FROM l2 ORDER BY vec_id"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
-    vecCosineTopkNative)
+    vecCosineTopkNative, vecDupClusters)
 }
