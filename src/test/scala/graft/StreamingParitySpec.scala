@@ -177,6 +177,36 @@ class StreamingParitySpec extends SparkSpec {
     assert(batchCounts.except(finalState).count() == 0)
   }
 
+  test("stream-static broadcast join: streaming events × static dim == batch join") {
+    // the enrich-a-stream-with-a-dimension shape: the static side is read
+    // fresh per micro-batch and (being tiny) broadcast — no stream-stream
+    // state, no watermark needed
+    val dir = stagedEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    // static dim: event_type → deterministic weight
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("t", "weight")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val joined = stream.join(broadcast(dim), col("event_type") === col("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), D.sumDec(col("value") * col("weight")).as("wsum"))
+    val q = joined.writeStream.format("memory").queryName("stream_static_join")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_static_join")
+      .select("event_type", "n", "wsum")
+    val batch = spark.read.parquet(dir)
+      .join(broadcast(dim), col("event_type") === col("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), D.sumDec(col("value") * col("weight")).as("wsum"))
+      .select("event_type", "n", "wsum")
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    assert(streamed.count() == 5)
+  }
+
   test("stateful streaming dedup == batch row_number dedup on full replay") {
     val dir = stagedEventsDir()
     val schema = spark.read.parquet(dir).schema
