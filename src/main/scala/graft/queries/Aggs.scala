@@ -328,7 +328,46 @@ object Aggs {
               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
             ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""))
 
+  /** Boolean aggregates + conditional count: every/some ↔ bool_and/bool_or,
+    * count_if — the predicate-summary family. */
+  val aggBoolCountIf = Q(
+    "agg_bool_count_if",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupBy("o_orderpriority")
+        .agg(
+          every(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          some(col("o_totalprice") > 400000.0).as("any_over_400k"),
+          count_if(col("o_orderstatus") === "F").as("n_finished"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+            bool_and(o_totalprice > 1000.0) AS all_over_1k,
+            bool_or(o_totalprice > 400000.0) AS any_over_400k,
+            CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+            count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Fixed-width histogram by explicit floor arithmetic (both engines lack
+    * a portable width_bucket): 20k-wide totalprice bins, dense via the
+    * bin-index integer — the groupBy stays a plain hash agg. */
+  val aggHistogram = Q(
+    "agg_histogram",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(floor(col("o_totalprice") / 20000.0).cast("bigint").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"), (col("bin") * 20000.0).as("bin_lo"), col("n"))
+        .orderBy("bin"),
+    Some("""SELECT bin, CAST(bin * 20000.0 AS DOUBLE) AS bin_lo, n FROM (
+              SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+                     count(*) AS n
+              FROM orders GROUP BY bin)
+            ORDER BY bin"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
-    aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral)
+    aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
+    aggBoolCountIf, aggHistogram)
 }

@@ -121,6 +121,21 @@ object SetOps {
             SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
             ORDER BY nationkey"""))
 
+  /** Pagination: ORDER BY + OFFSET + LIMIT over a unique key — page 3 of
+    * 50. (At cluster scale deep OFFSET still sorts everything before it;
+    * keyset pagination — WHERE key > last_seen — is the scale-friendly
+    * variant, which is just scan_filter + sort_limit composed.) */
+  val sortLimitOffset = Q(
+    "sort_limit_offset",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50),
+    Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 50 OFFSET 100"""))
+
   def qs: Seq[Q] = Seq(sortLimitTopk, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept, setIntersectAll, setExceptAll)
+    setIntersect, setExcept, setIntersectAll, setExceptAll, sortLimitOffset)
 }
