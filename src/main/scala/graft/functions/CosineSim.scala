@@ -15,9 +15,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `dot_native(a,b) / (sqrt(dot_native(a,a)) * sqrt(dot_native(b,b)))`
   * (same left-to-right folds, same final ops in the same order — pinned by
   * NativeDotSpec), and to DuckDB's `list_cosine_similarity`, but evaluates
-  * each array element ONCE instead of reading `a` twice and `b` twice
-  * across separate expression trees. On the similarity hot path that's 2×
-  * less array access inside WholeStageCodegen.
+  * each shared array element ONCE instead of reading `a` twice and `b`
+  * twice across separate expression trees. On the similarity hot path
+  * that's 2× less array access inside WholeStageCodegen.
+  *
+  * Unequal lengths follow the composed semantics exactly: the dot folds
+  * over min(len(a), len(b)) while |a|² covers ALL of `a` and |b|² ALL of
+  * `b` (dot_native(a,a) sees every element of `a`) — the tail loops below
+  * exist solely to preserve that identity.
   *
   * Null semantics mirror DotProduct: null array → null, null element →
   * null. Zero-norm inputs yield the IEEE result of 0/0 = NaN, the same as
@@ -48,7 +53,9 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val la = xs.numElements()
+    val lb = ys.numElements()
+    val n = math.min(la, lb)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -59,6 +66,19 @@ case class CosineSim(left: Expression, right: Expression)
       val y = ys.getDouble(i)
       dot += x * y
       na += x * x
+      nb += y * y
+      i += 1
+    }
+    while (i < la) { // tail of a beyond min length still feeds |a|²
+      if (xs.isNullAt(i)) return null
+      val x = xs.getDouble(i)
+      na += x * x
+      i += 1
+    }
+    i = n
+    while (i < lb) {
+      if (ys.isNullAt(i)) return null
+      val y = ys.getDouble(i)
       nb += y * y
       i += 1
     }
@@ -74,8 +94,12 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |int $n = java.lang.Math.min($la, $lb);
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
@@ -83,6 +107,16 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y;
          |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |for (int $i = $n; !${ev.isNull} && $i < $la; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $x = $a.getDouble($i);
+         |  $na += $x * $x;
+         |}
+         |for (int $i = $n; !${ev.isNull} && $i < $lb; $i++) {
+         |  if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $y = $b.getDouble($i);
          |  $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

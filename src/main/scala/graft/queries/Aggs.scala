@@ -240,10 +240,12 @@ object Aggs {
   val aggMinbyMaxby = Q(
     "agg_minby_maxby",
     (spark, sfDir) => {
-      // +1000 offsets the fixture's negative balances so lexicographic
-      // order of the fixed-width decimal string equals numeric order.
+      // +1e9 offsets negative balances so the fixed-width decimal string
+      // stays non-negative (a '-' sign would sort before digits and break
+      // lexicographic == numeric) for ANY plausible balance, not just the
+      // fixture's ≥ -1000 range; width 16 fits 1e9 + 7-digit balances.
       val key = concat(
-        format_string("%012.2f", col("c_acctbal") + lit(1000.0)),
+        format_string("%016.2f", col("c_acctbal") + lit(1.0e9)),
         lpad(col("c_custkey").cast("string"), 10, "0"))
       Tables.customer(spark, sfDir)
         .groupBy("c_mktsegment")
@@ -256,8 +258,8 @@ object Aggs {
         .orderBy("c_mktsegment")
     },
     Some("""SELECT c_mktsegment,
-            arg_min(c_name, printf('%012.2f', c_acctbal + 1000.0) || lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS poorest,
-            arg_max(c_name, printf('%012.2f', c_acctbal + 1000.0) || lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS richest,
+            arg_min(c_name, printf('%016.2f', c_acctbal + 1000000000.0) || lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS poorest,
+            arg_max(c_name, printf('%016.2f', c_acctbal + 1000000000.0) || lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS richest,
             min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
             count(*) AS n_customers
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
@@ -291,18 +293,23 @@ object Aggs {
 
   /** collect_list / collect_set into deterministic (sorted) arrays — the
     * aggregation-to-nested surface. Unsorted collect order is partition-
-    * dependent, so both sides sort inside the aggregate. */
+    * dependent, so both sides sort inside the aggregate. The graded output
+    * joins the sorted set into one scalar string: array columns crash the
+    * driver's pandas row-sort (round-3 red row), and the repo's output-type
+    * policy allows only double/bigint/string/timestamp/boolean. */
   val aggCollectSetList = Q(
     "agg_collect_set_list",
     (spark, sfDir) =>
       Tables.orders(spark, sfDir)
         .groupBy("o_orderpriority")
         .agg(
-          sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
-            list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+            array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+              AS statuses,
             count(*) AS n
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 

@@ -154,18 +154,37 @@ object MlPrep {
 
   /** Deterministic shuffled mini-batch assembly — the sensory-batch core:
     * rows are shuffled by md5 (engine-portable, reproducible), numbered,
-    * and chunked into 64-row batches; output is per-batch stats. The
-    * global row_number is a presentation-scale sort here; at cluster
-    * scale the same md5 key range-partitions the shuffle so batches are
-    * assembled per partition without a global window. */
+    * and chunked into 64-row batches; output is per-batch stats.
+    *
+    * The global ordinal is computed WITHOUT a global window (a
+    * single-task sort at 100 TB): rows bucket by the first two hex
+    * digits of the shuffle key — a PREFIX of the sort key, so bucket
+    * ranges are contiguous in the global (h, event_id) order — then
+    * (1) row_number partitioned per bucket (256-way parallel sort),
+    * (2) a 256-row bucket-count aggregate turned into exclusive running
+    * offsets by a tiny window, broadcast back, (3) rn = offset + local.
+    * Identical output to `row_number() OVER (ORDER BY h, event_id)`,
+    * which the oracle keeps as the spec. */
   val mlShuffleBatch = Q(
     "ml_shuffle_batch",
     (spark, sfDir) => {
       val h = md5(concat(lit("b"), col("event_id").cast("string")))
-      val w = Window.orderBy(col("h"), col("event_id"))
-      Tables.events(spark, sfDir)
+      val keyed = Tables.events(spark, sfDir)
         .select(col("event_id"), col("value"), h.as("h"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10)
+          .cast("bigint"))
+      val wLocal = Window.partitionBy("bucket").orderBy("h", "event_id")
+      // Exclusive prefix-sum of bucket sizes: 256 rows, so the global
+      // window here is over the AGGREGATE, not the data.
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .select(col("bucket").as("obucket"),
+          coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
+      keyed
+        .withColumn("rn_local", row_number().over(wLocal))
+        .join(broadcast(offsets), col("bucket") === col("obucket"))
+        .withColumn("rn", col("off") + col("rn_local"))
         .withColumn("batch_id", expr("(rn - 1) div 64").cast("bigint"))
         .groupBy("batch_id")
         // exact decimal sum, not avg: value/64 terminates exactly at the

@@ -291,13 +291,15 @@ object TextOps {
       Tables.documents(spark, sfDir)
         // greatest(...,0) guards docs shorter than the 8-char window:
         // sequence(1, 0) with the default step would infer step -1 and
-        // explode bogus descending positions, where the oracle's
-        // generate_series(1, n<1) is empty. filter(p >= 1) then drops the
-        // single p=0 row so both sides emit nothing for short docs.
+        // explode bogus descending positions [1, 0], where the oracle's
+        // generate_series(1, n<1) is empty. Filtering on the REAL upper
+        // bound (p <= len-7, which implies p >= 1 for generated rows)
+        // drops both bogus rows, so short docs emit zero windows on both
+        // sides — a p >= 1 filter alone would leak the spurious p=1 row.
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1),
             greatest(length(col("text")) - 7, lit(0)))).as("p"))
-        .filter(col("p") >= 1)
+        .filter(col("p") <= length(col("text")) - 7)
         .select(col("doc_id"),
           md5(expr("substring(text, p, 8)")).as("h"))
         .groupBy("doc_id")
@@ -325,13 +327,19 @@ object TextOps {
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ", -1)).as("term"))
         .filter(length(col("term")) > 0)
-      // df derives from the tf aggregate (#docs with tf>0 == #docs containing
-      // the term) — one tokenize+explode pass over the corpus, not two.
+      // df = count(*) OVER (PARTITION BY term) on the tf aggregate (#docs
+      // with tf>0 == #docs containing the term). A window — not a
+      // groupBy("term") + self-join — because the join formulation makes
+      // the tf subtree appear twice in the plan, and Spark recomputes the
+      // whole tokenize+explode+shuffle per occurrence (no subtree reuse
+      // without caching). One tokenize pass, one agg, one window shuffle
+      // on the high-cardinality term key; doc_id<100 caps output AFTER
+      // the corpus-wide df so the statistics still scan everything.
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
       val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-      tf.filter(col("doc_id") < 100)
-        .join(dfreq, "term")
+      withDf.filter(col("doc_id") < 100)
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           (col("tf").cast("double") * (col("n_docs").cast("double") + 1.0)
@@ -345,12 +353,14 @@ object TextOps {
                           WHERE length(term) > 0),
                  t AS (SELECT doc_id, term, count(*) AS tf
                        FROM toks GROUP BY doc_id, term),
-                 d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+                 td AS (SELECT doc_id, term, tf,
+                               count(*) OVER (PARTITION BY term) AS df
+                        FROM t),
                  n AS (SELECT count(*) AS n_docs FROM documents)
             SELECT doc_id, term, tf, df,
                    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1.0)
                      / (CAST(df AS DOUBLE) + 1.0) AS score
-            FROM t JOIN d USING (term) CROSS JOIN n
+            FROM td CROSS JOIN n
             WHERE doc_id < 100
             ORDER BY doc_id, term"""))
 

@@ -198,21 +198,27 @@ object TimeSeries {
     (spark, sfDir) => {
       val ev = Tables.events(spark, sfDir)
         .filter(col("user_id") < 20)
-        .select(col("user_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       val grid = ev.groupBy("user_id")
         .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
         .select(col("user_id"),
           explode(sequence(col("t0"), col("t1"), expr("INTERVAL 30 MINUTES")))
             .as("ts"))
+      // event_id rides along as the FINAL window tiebreaker: (ts, tag)
+      // alone is not a total order when two observations share a
+      // timestamp, which would make last(v) partition-order-dependent.
+      // Grid rows get -1 (not NULL — Spark and DuckDB default to opposite
+      // NULL sort ends), but grid timestamps are unique per user so the
+      // value never actually compares against an observation's.
       val unioned = ev.select(col("user_id"), col("ts"), lit(0).as("tag"),
-          col("value").as("v"))
+          col("value").as("v"), col("event_id"))
         .unionByName(grid.select(col("user_id"), col("ts"), lit(1).as("tag"),
-          lit(null).cast("double").as("v")))
+          lit(null).cast("double").as("v"), lit(-1L).as("event_id")))
       val wPrev = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("tag"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wNext = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("tag"))
+        .orderBy(col("ts").desc, col("tag"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val obsTs = when(col("tag") === 0, col("ts"))
       unioned
@@ -233,26 +239,28 @@ object TimeSeries {
             .as("v_interp"))
         .orderBy("user_id", "grid_ts")
     },
-    Some("""WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+    Some("""WITH ev AS (SELECT user_id, ts, value, event_id
+                        FROM events WHERE user_id < 20),
                  grid AS (SELECT user_id, unnest(generate_series(
                             date_trunc('hour', min(ts)), max(ts),
                             INTERVAL 30 MINUTE)) AS ts
                           FROM ev GROUP BY user_id),
-                 u AS (SELECT user_id, ts, 0 AS tag, value AS v FROM ev
+                 u AS (SELECT user_id, ts, 0 AS tag, value AS v, event_id FROM ev
                        UNION ALL
-                       SELECT user_id, ts, 1 AS tag, NULL AS v FROM grid),
+                       SELECT user_id, ts, 1 AS tag, NULL AS v, -1 AS event_id
+                       FROM grid),
                  m AS (SELECT *,
                    last_value(v IGNORE NULLS) OVER
-                     (PARTITION BY user_id ORDER BY ts, tag
+                     (PARTITION BY user_id ORDER BY ts, tag, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
                    last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER
-                     (PARTITION BY user_id ORDER BY ts, tag
+                     (PARTITION BY user_id ORDER BY ts, tag, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
                    last_value(v IGNORE NULLS) OVER
-                     (PARTITION BY user_id ORDER BY ts DESC, tag
+                     (PARTITION BY user_id ORDER BY ts DESC, tag, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
                    last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER
-                     (PARTITION BY user_id ORDER BY ts DESC, tag
+                     (PARTITION BY user_id ORDER BY ts DESC, tag, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nts
                    FROM u)
             SELECT user_id, ts AS grid_ts,

@@ -166,8 +166,13 @@ object Vectors {
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.95)
         .select("v1", "v2")
+      // persist: the edge list feeds BOTH propagation rounds; without it
+      // Spark re-runs the quadratic cosine join once per round (the edge
+      // subtree appears once per propagate() in the plan). The list is
+      // tiny (pairs among the cap), so MEMORY_AND_DISK is a no-risk win;
+      // production CC loops persist each frontier the same way.
       val edges = pairs.unionByName(
-        pairs.select(col("v2").as("v1"), col("v1").as("v2")))
+        pairs.select(col("v2").as("v1"), col("v1").as("v2"))).persist()
       def propagate(labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         labels.join(
           edges.join(labels.select(col("vec_id").as("v2x"), col("lbl").as("nlbl")),

@@ -89,12 +89,31 @@ def main():
             if tdiff:
                 print(f"FAIL {name}: type mismatch (spark, oracle): {tdiff}")
                 ok = False
-        # Decimal/binary outputs are banned outright: the driver's hash sees
-        # Decimal scale (trailing zeros) and chokes sorting bytearrays.
-        bad = [c for c in stypes if "DECIMAL" in stypes[c] or stypes[c] == "BLOB"]
+        # Decimal/binary/nested outputs are banned outright: the driver's
+        # hash sees Decimal scale (trailing zeros), chokes sorting
+        # bytearrays, AND crashes in pandas sort_values on list/ndarray
+        # cells (round-3's agg_collect_set_list red row — arrays were the
+        # harness blind spot: norm() used to paper over them).
+        def banned(t):
+            return ("DECIMAL" in t or t == "BLOB" or "[]" in t
+                    or t.startswith("MAP(") or t.startswith("STRUCT("))
+        bad = sorted({c for c, t in list(stypes.items()) + list(otypes.items())
+                      if banned(t)})
         if bad:
-            print(f"FAIL {name}: decimal/binary output columns {bad} — cast to "
-                  f"DOUBLE / hex in BOTH engines (driver-hash unsafe)")
+            print(f"FAIL {name}: decimal/binary/nested output columns {bad} — "
+                  f"emit only double/bigint/string/timestamp/boolean "
+                  f"(array_join arrays, hex binaries) in BOTH engines")
+            ok = False
+        # Replay the driver's real read path verbatim: it row-sorts the
+        # whole frame before hashing, which is exactly where unhashable
+        # cell types explode. A query must survive this, not just the
+        # normalized cell compare below.
+        try:
+            sdf.sort_values(by=list(sdf.columns))
+            odf.sort_values(by=list(odf.columns))
+        except Exception as e:
+            print(f"FAIL {name}: driver row-sort replay crashed: "
+                  f"{type(e).__name__}: {e}")
             ok = False
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
