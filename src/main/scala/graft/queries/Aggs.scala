@@ -373,8 +373,35 @@ object Aggs {
               FROM orders GROUP BY bin)
             ORDER BY bin"""))
 
+  /** Weighted aggregates: quantity-weighted price statistics per return
+    * flag. All sums run in exact decimal (order-independent — the repo's
+    * money policy): the (18,2)×(18,2) product is scale-4-exact, so no
+    * rounding exists anywhere; the final weighted mean divides the two
+    * finished doubles, and IEEE division of identical operands is
+    * bit-identical on both engines. */
+  val aggWeightedStats = Q(
+    "agg_weighted_stats",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(
+          D.sumDec(col("l_quantity")).as("w_total"),
+          D.sumDec4((D.dec(col("l_quantity")) * D.dec(col("l_extendedprice")))
+            .cast(graft.util.D.Money4)).as("wsum_price"),
+          count(lit(1)).as("n"))
+        .withColumn("wavg_price", col("wsum_price") / col("w_total"))
+        .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, w_total, wsum_price, n,
+                    wsum_price / w_total AS wavg_price
+            FROM (SELECT l_returnflag,
+                         ${D.oSumDec("l_quantity")} AS w_total,
+                         ${D.oDbl(s"CAST(sum(CAST(${D.oDec("l_quantity")} * ${D.oDec("l_extendedprice")} AS DECIMAL(18,4))) AS DECIMAL(18,4))")} AS wsum_price,
+                         count(*) AS n
+                  FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
-    aggBoolCountIf, aggHistogram)
+    aggBoolCountIf, aggHistogram, aggWeightedStats)
 }

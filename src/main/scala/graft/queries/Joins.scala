@@ -257,7 +257,72 @@ object Joins {
               ON a.user_id = b.user_id AND a.ts <= b.ts
             ORDER BY a.event_id"""))
 
+  /** Nearest as-of: the signup closest in time to each event, either
+    * direction, inclusive both ways, ties (equidistant) to the earlier one.
+    *
+    * ONE shuffle+sort serves both directions: each signup enters the union
+    * TWICE — tag 0 (before events at equal ts, feeding the backward
+    * `last(ignore nulls)` over unbounded-preceding) and tag 2 (after
+    * events at equal ts, feeding the forward `first(ignore nulls)` over
+    * unbounded-following). Both windows share partitioning (user_id) and
+    * sort key (ts, tag), so Catalyst evaluates them in a single WindowExec
+    * over a single sort — vs the naive join of joinAsof + joinAsofForward
+    * outputs, which costs two sorts plus an equi-join shuffle.
+    *
+    * 100-TB notes: identical scaling to any per-user window — one shuffle
+    * keyed on user_id; the signup duplication is ×2 on the (small) signup
+    * subset only. */
+  val joinAsofNearest = Q(
+    "join_asof_nearest",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+        lit(1).as("tag"), lit(null).cast("timestamp_ntz").as("sts"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts")).distinct()
+      def tagged(t: Int) = signup.select(
+        lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(t).as("tag"), col("ts").as("sts"))
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      base.unionByName(tagged(0)).unionByName(tagged(2))
+        .withColumn("back_ts", last(when(col("tag") === 0, col("sts")),
+          ignoreNulls = true).over(wBack))
+        .withColumn("fwd_ts", first(when(col("tag") === 2, col("sts")),
+          ignoreNulls = true).over(wFwd))
+        .filter(col("tag") === 1)
+        .withColumn("nearest_signup_ts",
+          when(col("back_ts").isNull, col("fwd_ts"))
+            .when(col("fwd_ts").isNull, col("back_ts"))
+            // microsecond-exact integer gaps (timestamps carry sub-second
+            // digits; a seconds-truncating cast would misjudge near-ties)
+            .when(unix_micros(col("ts").cast("timestamp"))
+              - unix_micros(col("back_ts").cast("timestamp"))
+              <= unix_micros(col("fwd_ts").cast("timestamp"))
+              - unix_micros(col("ts").cast("timestamp")),
+              col("back_ts"))
+            .otherwise(col("fwd_ts")))
+        .select("event_id", "user_id", "ts", "nearest_signup_ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts,
+                   CASE WHEN b.ts IS NULL THEN f.ts
+                        WHEN f.ts IS NULL THEN b.ts
+                        WHEN epoch_us(e.ts) - epoch_us(b.ts)
+                             <= epoch_us(f.ts) - epoch_us(e.ts)
+                          THEN b.ts
+                        ELSE f.ts END AS nearest_signup_ts
+            FROM events e
+            ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                            WHERE event_type = 'signup') b
+              ON e.user_id = b.user_id AND e.ts >= b.ts
+            ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                            WHERE event_type = 'signup') f
+              ON e.user_id = f.user_id AND e.ts <= f.ts
+            ORDER BY e.event_id"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
-    joinRange, joinAsof, joinAsofForward)
+    joinRange, joinAsof, joinAsofForward, joinAsofNearest)
 }

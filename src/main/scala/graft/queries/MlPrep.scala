@@ -300,7 +300,38 @@ object MlPrep {
                         FROM documents))
             ORDER BY doc_id, chunk_no"""))
 
+  /** Deterministic per-group reservoir sample: exactly k=5 docs per source
+    * (fewer if the group is smaller), chosen by md5 rank — the
+    * hash-as-uniform-random trick that makes "sample k per domain" (the
+    * standard corpus-balancing step) reproducible across engines and runs.
+    * Equivalent in distribution to reservoir sampling; unlike a real
+    * reservoir it needs no sequential state, so it parallelizes freely.
+    *
+    * 100-TB notes: one shuffle on the group key; the per-group sort is
+    * bounded by group size and the window emits only k rows per group.
+    * (For pathological single-source skew the two-phase trick from
+    * ml_shuffle_batch applies; sources are many and balanced here.) */
+  val mlReservoirGroup = Q(
+    "ml_reservoir_group",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("r"), col("doc_id").cast("string"))), col("doc_id"))
+      Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .orderBy("source", "rk")
+    },
+    Some("""SELECT source, doc_id, rk FROM (
+              SELECT source, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('r' || CAST(doc_id AS VARCHAR)), doc_id)
+                     AS BIGINT) AS rk
+              FROM documents)
+            WHERE rk <= 5 ORDER BY source, rk"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
-    mlStratifiedSplit, mlKfoldAssign, mlTokenChunks)
+    mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup)
 }

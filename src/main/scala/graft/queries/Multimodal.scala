@@ -115,5 +115,30 @@ object Multimodal {
                     'sum') / 16.0, 6) AS mean_intensity
             FROM documents ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmDecodeStats)
+  /** Exact payload dedup: group binary payloads by content hash — the
+    * first pass of any media-dedup pipeline (identical bytes collapse
+    * before any decode runs). One shuffle keyed on md5(payload): the
+    * 128-bit hash shuffles instead of the blobs' full bytes, which is the
+    * whole point at 100 TB — group-by-hash moves 16 bytes per row, group-
+    * by-payload would move the corpus. Canonical representative = lowest
+    * doc_id, the same keep-rule as text_exact_dedup. */
+  val mmPayloadDedup = Q(
+    "mm_payload_dedup",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash"),
+          length(col("text").cast("binary")).cast("bigint").as("n_bytes"))
+        .groupBy("content_hash")
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("canonical_doc"),
+          min(col("n_bytes")).as("n_bytes"))
+        .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                   min(doc_id) AS canonical_doc,
+                   min(octet_length(encode(text))) AS n_bytes
+            FROM documents GROUP BY content_hash ORDER BY content_hash"""))
+
+  def qs: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmDecodeStats,
+    mmPayloadDedup)
 }

@@ -521,8 +521,83 @@ object TextOps {
             JOIN sets s2 ON d2 = s2.doc_id
             ORDER BY d1, d2"""))
 
+  /** SimHash near-dup at scale: 32-bit simhash per doc, banded into 4×8-bit
+    * bands; candidate pairs meet only inside band-value buckets (EQUI-join,
+    * never all-pairs — the pigeonhole guarantee: any pair with hamming ≤ 3
+    * leaves at least one of the 4 bands intact, so banding has 100% recall
+    * at the ≤3 threshold), then the exact hamming distance bit_count(xor)
+    * verifies candidates only. Complements minhash banding: simhash buckets
+    * by bit-pattern similarity (cosine-of-token-sets-ish), minhash by
+    * Jaccard.
+    *
+    * 100-TB notes: the signature is one bigint per doc (tiny); the join is
+    * shuffle-hash on (band_no, band_val); verify cost ∝ candidates. The
+    * doc_id < 300 cap bounds the FIXTURE bucket skew (the synthetic corpus
+    * shares a ~40-word vocabulary, so uncapped band buckets degenerate);
+    * real corpora spread over 2^8 values per band. The signature frame is
+    * persisted: it feeds both sides of the self-join, and without it the
+    * tokenize→bit-vote subtree executes twice (the text_tfidf lesson). */
+  val textSimhashBandPairs = Q(
+    "text_simhash_band_pairs",
+    (spark, sfDir) => {
+      val sig = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+        .select(col("doc_id"), substring(md5(col("tok")), 1, 8).as("h8"))
+        .select(col("doc_id"), col("h8"),
+          explode(sequence(lit(0), lit(31))).as("p"))
+        .select(col("doc_id"), col("p"),
+          expr("((instr('0123456789abcdef', substring(h8, 1 + p div 4, 1)) - 1) >> (p % 4)) & 1")
+            .as("bit"))
+        .groupBy("doc_id", "p")
+        .agg(sum(col("bit") * 2 - 1).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(expr("shiftleft(CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT), p)"))
+          .cast("bigint").as("sh"))
+        .persist()
+      val bands = sig.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"(sh >> ${8 * b}) & 255")): _*)).as(Seq("band_no", "bval")))
+      val l = bands.select(col("doc_id").as("d1"), col("sh").as("s1"),
+        col("band_no"), col("bval"))
+      val r = bands.select(col("doc_id").as("d2"), col("sh").as("s2"),
+        col("band_no").as("bn2"), col("bval").as("bv2"))
+      l.join(r, col("band_no") === col("bn2") && col("bval") === col("bv2"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          expr("CAST(bit_count(s1 ^ s2) AS BIGINT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 300)
+                          WHERE length(tok) > 0),
+                 h AS (SELECT doc_id, substring(md5(tok), 1, 8) AS h8 FROM toks),
+                 bits AS (SELECT doc_id, p,
+                            ((strpos('0123456789abcdef', substring(h8, 1 + p // 4, 1)) - 1)
+                             >> (p % 4)) & 1 AS bit
+                          FROM h, (SELECT unnest(generate_series(0, 31)) AS p)),
+                 sums AS (SELECT doc_id, p, sum(2 * bit - 1) AS s
+                          FROM bits GROUP BY doc_id, p),
+                 sig AS (SELECT doc_id,
+                           CAST(sum(CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT) << p) AS BIGINT) AS sh
+                         FROM sums GROUP BY doc_id),
+                 bands AS (SELECT doc_id, sh, b AS band_no, (sh >> (8 * b)) & 255 AS bval
+                           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b))
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_no = b.band_no AND a.bval = b.bval
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY d1, d2"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
-    textLshDedupVerified)
+    textLshDedupVerified, textSimhashBandPairs)
 }

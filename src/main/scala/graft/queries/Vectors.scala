@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables
 
@@ -211,6 +212,48 @@ object Vectors {
                    FROM l1 LEFT JOIN n2 ON l1.vec_id = n2.v1)
             SELECT vec_id, lbl AS cluster FROM l2 ORDER BY vec_id"""))
 
+  /** Nearest-centroid assignment — the exact coarse-quantizer step of an
+    * IVF index (vec_ann_ivf's learned version, here with FIXED centroids =
+    * the first 8 vectors so DuckDB can replay it value-for-value): every
+    * other vector goes to its max-cosine centroid, rounded-4dp cosine with
+    * centroid_id tiebreak so the argmax is total.
+    *
+    * 100-TB notes: K centroids broadcast to every executor; one linear
+    * scan; the argmax is a per-vector window over K rows (partitioned by
+    * vec_id — high cardinality, no skew). This is the partition-assignment
+    * pass a billion-vector IVF build runs: no shuffle of the vectors at
+    * all until the (tiny) assignment output. */
+  val vecCentroidAssign = Q(
+    "vec_centroid_assign",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), dbl(col("embedding")).as("ce"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("centroid_id"))
+      emb.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          round(expr("cosine_native(e, ce)"), 4).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("vec_id", "centroid_id", "cos_sim")
+        .orderBy("vec_id")
+    },
+    Some(s"""SELECT vec_id, centroid_id, cos_sim FROM (
+              SELECT v.vec_id, c.vec_id AS centroid_id,
+                     round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
+                           (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) AS cos_sim,
+                     row_number() OVER (PARTITION BY v.vec_id
+                                        ORDER BY round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
+                                                       (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) DESC,
+                                                 c.vec_id) AS rk
+              FROM embeddings v CROSS JOIN embeddings c
+              WHERE v.vec_id >= 8 AND c.vec_id < 8)
+            WHERE rk = 1 ORDER BY vec_id"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
-    vecCosineTopkNative, vecDupClusters)
+    vecCosineTopkNative, vecDupClusters, vecCentroidAssign)
 }

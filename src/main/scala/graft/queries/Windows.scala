@@ -176,6 +176,32 @@ object Windows {
                          ORDER BY o_totalprice, o_orderkey)
             ORDER BY o_orderpriority, o_totalprice, o_orderkey"""))
 
+  /** Ratio-to-report: each customer's share of their segment's total
+    * balance. The partition total is an EXACT DECIMAL window sum
+    * (order-independent — a double window sum would depend on intra-
+    * partition evaluation order, which engines don't pin); the share then
+    * divides the two finished doubles, IEEE-identical on both engines.
+    * Unpartitioned in neither engine: the window is keyed on segment. */
+  val winRatioToReport = Q(
+    "win_ratio_to_report",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("c_mktsegment")
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          D.dbl(D.dec(col("c_acctbal"))).as("bal"),
+          D.dbl(sum(D.dec(col("c_acctbal"))).over(w).cast(D.Money))
+            .as("seg_total"))
+        .withColumn("share", col("bal") / col("seg_total"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""SELECT c_custkey, c_mktsegment, bal, seg_total,
+                    bal / seg_total AS share
+            FROM (SELECT c_custkey, c_mktsegment,
+                         ${D.oDbl(D.oDec("c_acctbal"))} AS bal,
+                         ${D.oDbl(s"CAST(sum(${D.oDec("c_acctbal")}) OVER (PARTITION BY c_mktsegment) AS DECIMAL(18,2))")} AS seg_total
+                  FROM customer)
+            ORDER BY c_custkey"""))
+
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
-    winLeadLag, winNtilePct, winFirstLast, winCumeDist)
+    winLeadLag, winNtilePct, winFirstLast, winCumeDist, winRatioToReport)
 }
