@@ -189,6 +189,31 @@ object Fns {
             p_partkey >> 3 AS shr3
             FROM part ORDER BY p_partkey"""))
 
+  /** Binary codec round-trips: base64 and hex encode/decode over payload
+    * bytes — the transport-encoding surface a blob pipeline needs. Both
+    * engines emit RFC-4648 base64 without line breaks; the round-trip
+    * booleans prove decode∘encode = id on both sides (fixtures are ASCII,
+    * so byte equality == string equality). */
+  val fnBinaryCodec = Q(
+    "fn_binary_codec",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          base64(substring(col("text"), 1, 30).cast("binary")).as("b64_head"),
+          (decode(unbase64(base64(col("text").cast("binary"))), "UTF-8")
+            === col("text")).as("b64_rt_ok"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("hex_head"),
+          (decode(unhex(hex(col("text").cast("binary"))), "UTF-8")
+            === col("text")).as("hex_rt_ok"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   base64(encode(substring(text, 1, 30))) AS b64_head,
+                   decode(from_base64(base64(encode(text)))) = text AS b64_rt_ok,
+                   hex(encode(substring(text, 1, 8))) AS hex_head,
+                   decode(unhex(hex(encode(text)))) = text AS hex_rt_ok
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
-    fnJson, fnHash, fnBitwise)
+    fnJson, fnHash, fnBitwise, fnBinaryCodec)
 }

@@ -331,7 +331,33 @@ object MlPrep {
               FROM documents)
             WHERE rk <= 5 ORDER BY source, rk"""))
 
+  /** Inverse-frequency class weights — the standard imbalanced-training
+    * reweighting (weight = N / (K · n_class)): pure integer counts until
+    * one final double division of identical operands, so bit-identical
+    * across engines. The per-class aggregate is tiny; the totals cross
+    * join is a broadcast of one row. */
+  val mlClassWeights = Q(
+    "ml_class_weights",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val counts = emb.groupBy(col("label").cast("bigint").as("label"))
+        .agg(count(lit(1)).as("n"))
+      val tot = emb.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("label")).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("label"), col("n"),
+          (col("n_total").cast("double")
+            / (col("k") * col("n")).cast("double")).as("weight"))
+        .orderBy("label")
+    },
+    Some("""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)
+                     / CAST((SELECT count(DISTINCT label) FROM embeddings)
+                            * count(*) AS DOUBLE) AS weight
+            FROM embeddings GROUP BY label ORDER BY label"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
-    mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup)
+    mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
+    mlClassWeights)
 }

@@ -596,8 +596,72 @@ object TextOps {
             WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
             ORDER BY d1, d2"""))
 
+  /** Edit-distance near-dup verify: exact Levenshtein over a capped pair
+    * set (doc_id < 40 — the DP is O(len²) per pair, inherently the VERIFY
+    * stage of a dedup pipeline, never the candidate generator; banding
+    * generates, this confirms). Both engines implement the classic integer
+    * DP, so distances match exactly; the normalized similarity
+    * 1 − dist/max(len) divides identical integers-as-doubles —
+    * bit-identical. */
+  val textEditDistancePairs = Q(
+    "text_edit_distance_pairs",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+      val a = d.select(col("doc_id").as("d1"), col("text").as("t1"))
+      val b = d.select(col("doc_id").as("d2"), col("text").as("t2"))
+      a.join(b, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).cast("bigint").as("dist"),
+          (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
+            / greatest(length(col("t1")), length(col("t2"))).cast("double"))
+            .as("sim"))
+        .orderBy("d1", "d2")
+    },
+    Some("""SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+                   1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                       / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE a.doc_id < 40 AND b.doc_id < 40
+            ORDER BY d1, d2"""))
+
+  /** Character-trigram frequency profile per language — the statistical
+    * core of n-gram language ID (the profile a classifier compares
+    * against): top-3 trigrams per lang, count desc with trigram-asc
+    * tiebreak. One explode pass, one (lang, tri) hash agg, a per-lang
+    * top-k window over the (tiny) aggregate — nothing here grows faster
+    * than the distinct-trigram count at 100 TB. */
+  val textTrigramProfile = Q(
+    "text_trigram_profile",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("tri"))
+      Tables.documents(spark, sfDir)
+        .select(col("lang"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(0))))
+            .as("p"))
+        .filter(col("p") <= length(col("text")) - 2)
+        .select(col("lang"), expr("substring(text, p, 3)").as("tri"))
+        .groupBy("lang", "tri")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .orderBy("lang", "rk")
+    },
+    Some("""SELECT lang, tri, n, rk FROM (
+              SELECT lang, tri, n,
+                     CAST(row_number() OVER (PARTITION BY lang
+                                             ORDER BY n DESC, tri) AS BIGINT) AS rk
+              FROM (SELECT lang, substring(text, p, 3) AS tri, count(*) AS n
+                    FROM (SELECT lang, text,
+                                 unnest(generate_series(1, length(text) - 2)) AS p
+                          FROM documents)
+                    GROUP BY lang, tri))
+            WHERE rk <= 3 ORDER BY lang, rk"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
-    textLshDedupVerified, textSimhashBandPairs)
+    textLshDedupVerified, textSimhashBandPairs, textEditDistancePairs,
+    textTrigramProfile)
 }
