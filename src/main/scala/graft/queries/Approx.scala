@@ -34,6 +34,39 @@ object Approx {
         .orderBy("l_returnflag"),
     None)
 
+  /** HLL sketch ALGEBRA — the property that makes distinct counts roll up
+    * at 100 TB: you cannot sum distinct counts across groups, but you CAN
+    * union their sketches. Per-(returnflag, linestatus) DataSketches HLL
+    * sketches of l_partkey are hll_union_agg'd to per-returnflag estimates,
+    * next to a directly-built per-returnflag sketch and the exact count —
+    * so the output itself witnesses the sketch error of both paths. (The
+    * union is NOT register-identical to the direct build: merging promotes
+    * sparse/set-mode partials to dense HLL, so the two estimates drift by
+    * a few counts — both stay inside the lgK=12 ε band, which is the
+    * property that matters for rollups.)
+    * This is the cube/rollup pattern for distinct users/documents: persist
+    * tiny partial sketches per cell, merge at query time, never rescan. */
+  val aggHllSketchMerge = Q(
+    "agg_hll_sketch_merge",
+    (spark, sfDir) => {
+      val partials = Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      partials
+        .groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("merged_estimate"))
+        .join(
+          Tables.lineitem(spark, sfDir)
+            .groupBy("l_returnflag")
+            .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12)))
+              .as("direct_estimate"),
+              countDistinct(col("l_partkey")).as("exact_parts")),
+          Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   // ---- memoized index builds ------------------------------------------
 
   private def key(spark: SparkSession, sfDir: String, what: String): String =
@@ -184,5 +217,6 @@ object Approx {
     },
     None)
 
-  def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard, vecAnnLsh, vecAnnIvf)
+  def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard, vecAnnLsh,
+    vecAnnIvf, aggHllSketchMerge)
 }
