@@ -335,6 +335,37 @@ object Aggs {
               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
             ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""))
 
+  /** NOT IN with a nullable subquery — the three-valued-logic trap both
+    * engines implement per the SQL standard: one NULL in the IN-list makes
+    * `x NOT IN (...)` UNKNOWN for every non-matching x, so the poisoned
+    * count collapses to 0 while the null-free count is genuine. Graded as
+    * one row holding both counts, so the output witnesses the semantics
+    * (and a future engine change that "fixes" NOT IN into NOT EXISTS
+    * would fail the compare). */
+  val subNotInNull = Q(
+    "sub_not_in_null",
+    (spark, sfDir) => graft.Graft.sql(spark, sfDir,
+      """SELECT
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 200000))
+             AS n_clean,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_totalprice > 200000 THEN o_custkey END
+               FROM orders))
+             AS n_null_poisoned"""),
+    Some("""SELECT
+              (SELECT count(*) FROM customer
+               WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM orders WHERE o_totalprice > 200000))
+                AS n_clean,
+              (SELECT count(*) FROM customer
+               WHERE c_custkey NOT IN
+                 (SELECT CASE WHEN o_totalprice > 200000 THEN o_custkey END
+                  FROM orders))
+                AS n_null_poisoned"""))
+
   /** Boolean aggregates + conditional count: every/some ↔ bool_and/bool_or,
     * count_if — the predicate-summary family. */
   val aggBoolCountIf = Q(
@@ -403,5 +434,32 @@ object Aggs {
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
-    aggBoolCountIf, aggHistogram, aggWeightedStats)
+    aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
+    aggTwophaseSalted)
+
+  /** Two-phase salted aggregation — the skew-defeating shape for hot
+    * group keys (l_returnflag has THREE values over the whole table: the
+    * textbook hot-key aggregation): phase 1 pre-aggregates on
+    * (key, salt=hash(row) % 16) so every task works on a slice of each
+    * hot key, phase 2 re-aggregates the 48 partials on the key alone.
+    * Decimal sums are associative, so the result is provably identical to
+    * the direct groupBy — which is exactly what the oracle runs. (Spark's
+    * own partial/final HashAggregate does this when the map side combines
+    * well; explicit salting is the pattern for when it can't — e.g.
+    * high-cardinality distinct states under each hot key.) */
+  val aggTwophaseSalted = Q(
+    "agg_twophase_salted",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(D.dec(col("l_quantity"))).as("pq"),
+          count(lit(1)).as("pn"))
+        .groupBy("l_returnflag")
+        .agg(D.dbl(sum(col("pq")).cast(D.Money)).as("sum_qty"),
+          sum(col("pn")).as("n"))
+        .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, ${D.oSumDec("l_quantity")} AS sum_qty,
+            count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 }

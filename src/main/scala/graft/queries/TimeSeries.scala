@@ -274,6 +274,62 @@ object TimeSeries {
             FROM m WHERE tag = 1
             ORDER BY user_id, grid_ts"""))
 
+  /** Rolling z-score anomaly detection: each event's value against the
+    * mean/stddev of its trailing 5-row window per user (total order:
+    * ts, event_id). The frame sums run in EXACT DECIMAL — a double frame
+    * sum would depend on the engine's add/evict evaluation order inside
+    * sliding frames — then mean/variance/z are derived by double
+    * arithmetic over identical finished operands (IEEE-identical; sqrt is
+    * correctly rounded). Sample variance, n−1; z is NULL for n < 2 or a
+    * zero-variance window. Capped to user_id < 50 to bound graded output;
+    * per-user sliding frames are linear at any scale. */
+  val tsMovingZscore = Q(
+    "ts_moving_zscore",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      val s = D.dbl(sum(D.dec(col("value"))).over(w).cast(D.Money))
+      val sq = D.dbl(sum((D.dec(col("value")) * D.dec(col("value")))
+        .cast(D.Money4)).over(w).cast(D.Money4))
+      val n = count(lit(1)).over(w).cast("double")
+      Tables.events(spark, sfDir)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          s.as("win_sum"), sq.as("win_sumsq"), n.as("win_n"))
+        // the n > 1 guard sits INSIDE the expression: ANSI mode evaluates
+        // the division for every row, so an unguarded (n-1) denominator
+        // raises DIVIDE_BY_ZERO on single-row windows even when the z
+        // projection would never read it
+        .withColumn("win_var",
+          when(col("win_n") > 1.0,
+            (col("win_sumsq") - col("win_sum") * col("win_sum") / col("win_n"))
+              / (col("win_n") - 1.0)))
+        .withColumn("z",
+          when(col("win_n") > 1.0 && col("win_var") > 0.0,
+            (col("value") - col("win_sum") / col("win_n"))
+              / sqrt(col("win_var"))))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("win_n").cast("bigint").as("n"), col("z"))
+        .orderBy("event_id")
+    },
+    Some(s"""SELECT event_id, user_id, value, CAST(win_n AS BIGINT) AS n,
+                   CASE WHEN win_n > 1.0 AND win_var > 0.0
+                        THEN (value - win_sum / win_n) / sqrt(win_var)
+                   END AS z
+            FROM (SELECT event_id, user_id, value, win_sum, win_sumsq, win_n,
+                         CASE WHEN win_n > 1.0 THEN
+                           (win_sumsq - win_sum * win_sum / win_n)
+                             / (win_n - 1.0) END AS win_var
+                  FROM (SELECT event_id, user_id, value,
+                               ${D.oDbl(s"CAST(sum(${D.oDec("value")}) OVER w AS DECIMAL(18,2))")} AS win_sum,
+                               ${D.oDbl(s"CAST(sum(CAST(${D.oDec("value")} * ${D.oDec("value")} AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4))")} AS win_sumsq,
+                               CAST(count(*) OVER w AS DOUBLE) AS win_n
+                        FROM events WHERE user_id < 50
+                        WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+            ORDER BY event_id"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
-    tsOhlc, tsResampleInterp)
+    tsOhlc, tsResampleInterp, tsMovingZscore)
 }
