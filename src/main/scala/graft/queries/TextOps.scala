@@ -610,9 +610,14 @@ object TextOps {
       val a = d.select(col("doc_id").as("d1"), col("text").as("t1"))
       val b = d.select(col("doc_id").as("d2"), col("text").as("t2"))
       a.join(b, col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          levenshtein(col("t1"), col("t2")).cast("bigint").as("dist"),
-          (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
+        // the broadcast self-join emits all pairs in the LEFT side's single
+        // input partition — repartition spreads the O(len²) DP work across
+        // the cluster, and the distance is computed once per pair (not once
+        // per referencing column)
+        .repartition(col("d1"), col("d2"))
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("bigint"))
+        .select(col("d1"), col("d2"), col("dist"),
+          (lit(1.0) - col("dist").cast("double")
             / greatest(length(col("t1")), length(col("t2"))).cast("double"))
             .as("sim"))
         .orderBy("d1", "d2")
@@ -637,11 +642,23 @@ object TextOps {
       val w = Window.partitionBy("lang")
         .orderBy(col("n").desc, col("tri"))
       Tables.documents(spark, sfDir)
-        .select(col("lang"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(0))))
-            .as("p"))
-        .filter(col("p") <= length(col("text")) - 2)
-        .select(col("lang"), expr("substring(text, p, 3)").as("tri"))
+        // the fixture corpus is one parquet split, so without a spread the
+        // 1.5M-trigram explode+partial-agg runs in a single task; the
+        // EXPLICIT partition count matters — a bare repartition(col) is a
+        // tiny shuffle by bytes, so AQE would coalesce it straight back to
+        // one partition (the explode blow-up happens after the exchange,
+        // where AQE can't see it). At production scale the many input
+        // splits make this a no-op cost-wise.
+        .repartition(32, col("doc_id"))
+        // build the trigram ARRAY first and explode that: exploding raw
+        // positions would emit one row per position CARRYING THE FULL TEXT
+        // (len × ~300 B per doc through the shuffle); the array form emits
+        // 3-char strings only
+        .select(col("lang"),
+          explode(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1))," +
+              " p -> substring(text, p, 3))")).as("tri"))
+        .filter(length(col("tri")) === 3)
         .groupBy("lang", "tri")
         .agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(w).cast("bigint"))
