@@ -276,34 +276,10 @@ object Joins {
     "join_asof_nearest",
     (spark, sfDir) => {
       val ev = Tables.events(spark, sfDir)
-      val base = ev.select(col("event_id"), col("user_id"), col("ts"),
-        lit(1).as("tag"), lit(null).cast("timestamp_ntz").as("sts"))
-      val signup = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts")).distinct()
-      def tagged(t: Int) = signup.select(
-        lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
-        lit(t).as("tag"), col("ts").as("sts"))
-      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
-      val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      base.unionByName(tagged(0)).unionByName(tagged(2))
-        .withColumn("back_ts", last(when(col("tag") === 0, col("sts")),
-          ignoreNulls = true).over(wBack))
-        .withColumn("fwd_ts", first(when(col("tag") === 2, col("sts")),
-          ignoreNulls = true).over(wFwd))
-        .filter(col("tag") === 1)
-        .withColumn("nearest_signup_ts",
-          when(col("back_ts").isNull, col("fwd_ts"))
-            .when(col("fwd_ts").isNull, col("back_ts"))
-            // microsecond-exact integer gaps (timestamps carry sub-second
-            // digits; a seconds-truncating cast would misjudge near-ties)
-            .when(unix_micros(col("ts").cast("timestamp"))
-              - unix_micros(col("back_ts").cast("timestamp"))
-              <= unix_micros(col("fwd_ts").cast("timestamp"))
-              - unix_micros(col("ts").cast("timestamp")),
-              col("back_ts"))
-            .otherwise(col("fwd_ts")))
-        .select("event_id", "user_id", "ts", "nearest_signup_ts")
+      graft.ops.Ops.asofNearest(
+          ev.select("event_id", "user_id", "ts"), col("user_id"), col("ts"),
+          ev.filter(col("event_type") === "signup"), col("user_id"), col("ts"))
+        .withColumnRenamed("nearest_ts", "nearest_signup_ts")
         .orderBy("event_id")
     },
     Some("""SELECT e.event_id, e.user_id, e.ts,

@@ -278,17 +278,8 @@ object MlPrep {
   val mlTokenChunks = Q(
     "ml_token_chunks",
     (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(48)))
-            .as("start"))
-        .select(col("doc_id"),
-          ((col("start") - 1) / 48).cast("bigint").as("chunk_no"),
-          size(slice(col("toks"), col("start"), lit(64))).cast("bigint")
-            .as("n_chunk_tokens"),
-          md5(array_join(slice(col("toks"), col("start"), lit(64)), " "))
-            .as("chunk_hash"))
+      graft.ops.Ops.tokenChunks(Tables.documents(spark, sfDir),
+          col("doc_id"), col("text"), chunkSize = 64, stride = 48)
         .orderBy("doc_id", "chunk_no"),
     Some("""SELECT doc_id,
                    CAST((start - 1) // 48 AS BIGINT) AS chunk_no,
@@ -313,15 +304,11 @@ object MlPrep {
     * ml_shuffle_batch applies; sources are many and balanced here.) */
   val mlReservoirGroup = Q(
     "ml_reservoir_group",
-    (spark, sfDir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(md5(concat(lit("r"), col("doc_id").cast("string"))), col("doc_id"))
-      Tables.documents(spark, sfDir)
-        .select(col("source"), col("doc_id"))
-        .withColumn("rk", row_number().over(w).cast("bigint"))
-        .filter(col("rk") <= 5)
-        .orderBy("source", "rk")
-    },
+    (spark, sfDir) =>
+      graft.ops.Ops.reservoirPerGroup(
+          Tables.documents(spark, sfDir).select(col("source"), col("doc_id")),
+          col("source"), col("doc_id"), 5)
+        .orderBy("source", "rk"),
     Some("""SELECT source, doc_id, rk FROM (
               SELECT source, doc_id,
                      CAST(row_number() OVER (

@@ -19,15 +19,11 @@ object TextOps {
     * graded identity that exercises the full dedup plan. */
   val textExactDedup = Q(
     "text_exact_dedup",
-    (spark, sfDir) => {
-      val w = Window.partitionBy("h").orderBy("doc_id")
-      Tables.documents(spark, sfDir)
-        .withColumn("h", md5(col("text")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    (spark, sfDir) =>
+      graft.ops.Ops.exactDedup(Tables.documents(spark, sfDir),
+          md5(col("text")), col("doc_id"))
         .select("doc_id", "h")
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""SELECT doc_id, h FROM (
               SELECT doc_id, md5(text) AS h,
                      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

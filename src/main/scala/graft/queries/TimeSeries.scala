@@ -285,33 +285,14 @@ object TimeSeries {
     * per-user sliding frames are linear at any scale. */
   val tsMovingZscore = Q(
     "ts_moving_zscore",
-    (spark, sfDir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
-      val s = D.dbl(sum(D.dec(col("value"))).over(w).cast(D.Money))
-      val sq = D.dbl(sum((D.dec(col("value")) * D.dec(col("value")))
-        .cast(D.Money4)).over(w).cast(D.Money4))
-      val n = count(lit(1)).over(w).cast("double")
-      Tables.events(spark, sfDir)
-        .filter(col("user_id") < 50)
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-          s.as("win_sum"), sq.as("win_sumsq"), n.as("win_n"))
-        // the n > 1 guard sits INSIDE the expression: ANSI mode evaluates
-        // the division for every row, so an unguarded (n-1) denominator
-        // raises DIVIDE_BY_ZERO on single-row windows even when the z
-        // projection would never read it
-        .withColumn("win_var",
-          when(col("win_n") > 1.0,
-            (col("win_sumsq") - col("win_sum") * col("win_sum") / col("win_n"))
-              / (col("win_n") - 1.0)))
-        .withColumn("z",
-          when(col("win_n") > 1.0 && col("win_var") > 0.0,
-            (col("value") - col("win_sum") / col("win_n"))
-              / sqrt(col("win_var"))))
-        .select(col("event_id"), col("user_id"), col("value"),
-          col("win_n").cast("bigint").as("n"), col("z"))
-        .orderBy("event_id")
-    },
+    (spark, sfDir) =>
+      graft.ops.Ops.movingZscore(
+          Tables.events(spark, sfDir).filter(col("user_id") < 50)
+            .select("event_id", "user_id", "ts", "value"),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
+          frameRows = 5)
+        .select("event_id", "user_id", "value", "n", "z")
+        .orderBy("event_id"),
     Some(s"""SELECT event_id, user_id, value, CAST(win_n AS BIGINT) AS n,
                    CASE WHEN win_n > 1.0 AND win_var > 0.0
                         THEN (value - win_sum / win_n) / sqrt(win_var)

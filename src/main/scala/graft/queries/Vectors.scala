@@ -66,21 +66,9 @@ object Vectors {
     * (ulp-noise-proof) with vec_id tiebreak. */
   val vecCosineTopk = Q(
     "vec_cosine_topk",
-    (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-      // norms are projected BEFORE the join: one norm per row, not per pair
-      val q = emb.filter(col("vec_id") === 0)
-        .select(dbl(col("embedding")).as("qe"), norm(dbl(col("embedding"))).as("qn"))
-      emb.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"),
-          norm(dbl(col("embedding"))).as("en"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(dot(col("e"), col("qe")) / (col("en") * col("qn")), 4)
-            .as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
-    },
+    (spark, sfDir) =>
+      graft.ops.Ops.cosineTopK(Tables.embeddings(spark, sfDir),
+        col("vec_id"), col("embedding"), queryId = 0, k = 10),
     Some(s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
                    round(${oDot("embedding::DOUBLE[]", "(SELECT qe FROM qv)")} /
