@@ -143,6 +143,54 @@ object Ops {
       .select(leftCols.map(col) :+ col("nearest_ts"): _*)
   }
 
+  /** MinHash signatures + LSH band keys for near-dup candidate generation:
+    * `numHashes` md5-family min-hashes per id over its distinct tokens,
+    * grouped into `bands` band keys. Two ids are CANDIDATES iff they share
+    * a band key — downstream joins on (band_no, bkey) are EQUI-joins, so
+    * no all-pairs comparison exists anywhere and the plan survives any
+    * corpus size. numHashes must divide evenly into bands.
+    * Output: `id`, `band_no`, `bkey` (long layout, one self-join covers
+    * all bands). Min-hashes are BIGINTs (first 15 hex digits of md5) so
+    * the min aggregate runs in HashAggregate's mutable buffer, not a
+    * string SortAggregate. */
+  def minhashBands(df: DataFrame, id: Column, textCol: Column,
+      numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val toks = df.select(id.as("graft_id"),
+        explode(split(textCol, " ", -1)).as("graft_tok"))
+      .filter(length(col("graft_tok")) > 0)
+      .distinct()
+    def h(s: Int) = min(
+      conv(substring(md5(concat(lit(s + ":"), col("graft_tok"))), 1, 15), 16, 10)
+        .cast("bigint")).as(s"graft_h$s")
+    val sig = toks.groupBy("graft_id")
+      .agg(h(0), (1 until numHashes).map(h): _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"graft_h$i")): _*))
+    }
+    sig.select(col("graft_id").as("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_no", "bkey")))
+  }
+
+  /** Candidate near-dup pairs from shared minhash bands: the banded
+    * EQUI-join over `minhashBands` output. Returns distinct (id1, id2)
+    * with id1 < id2; verify with an exact measure (Jaccard, edit
+    * distance) on THESE pairs only — never all pairs. */
+  def minhashCandidatePairs(df: DataFrame, id: Column, textCol: Column,
+      numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    val b = minhashBands(df, id, textCol, numHashes, bands)
+    val l = b.select(col("id").as("id1"), col("band_no"), col("bkey"))
+    val r = b.select(col("id").as("id2"),
+      col("band_no").as("graft_bn2"), col("bkey").as("graft_bk2"))
+    l.join(r, col("band_no") === col("graft_bn2")
+        && col("bkey") === col("graft_bk2"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** Rolling z-score anomaly detection: each row's `value` against the
     * mean/stddev of its trailing `frameRows`-row window per `part`
     * (ordered by `order` — pass a TOTAL order). Frame sums run in exact

@@ -369,35 +369,12 @@ object TextOps {
     * no all-pairs comparison anywhere, so the plan survives 100 TB. */
   val textMinhashBandPairs = Q(
     "text_minhash_band_pairs",
-    (spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .distinct()
-      // Numeric min-hashes (first 15 hex digits of md5 → bigint, < 2^60):
-      // a bigint min runs in HashAggregate's mutable buffer; a string min
-      // would fall back to SortAggregate and sort every (doc, token) group.
-      def h(s: Int) = min(
-        conv(substring(md5(concat(lit(s + ":"), col("tok"))), 1, 15), 16, 10)
-          .cast("bigint")).as(s"h$s")
-      val sig = toks.groupBy("doc_id")
-        .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
-      // One long (band_no, band_key) layout + ONE self-equi-join on both
-      // keys: two corpus scans total (vs two joins × two sides = four) and
-      // a single shuffle on the band key, for any number of bands.
-      val bands = sig.select(col("doc_id"), posexplode(array(
-        md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
-        md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7")))))
-        .as(Seq("band_no", "bkey")))
-      val l = bands.select(col("doc_id").as("d1"), col("band_no"), col("bkey"))
-      val r = bands.select(col("doc_id").as("d2"),
-        col("band_no").as("bn2"), col("bkey").as("bk2"))
-      l.join(r, col("band_no") === col("bn2") && col("bkey") === col("bk2"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-        .orderBy("d1", "d2")
-    },
+    (spark, sfDir) =>
+      graft.ops.Ops.minhashCandidatePairs(
+          Tables.documents(spark, sfDir).filter(col("doc_id") < 200),
+          col("doc_id"), col("text"), numHashes = 8, bands = 2)
+        .withColumnRenamed("id1", "d1").withColumnRenamed("id2", "d2")
+        .orderBy("d1", "d2"),
     Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
                           FROM (SELECT doc_id,
                                        unnest(string_split(text, ' ')) AS tok
