@@ -298,7 +298,39 @@ object Joins {
               ON e.user_id = f.user_id AND e.ts <= f.ts
             ORDER BY e.event_id"""))
 
+  /** Skew-salted equi-join: the standard defense when one join key owns a
+    * disproportionate share of the probe side (AQE's skew-join split only
+    * fires on partition-size thresholds; salting works unconditionally).
+    * Build side (orders) replicates ×8 with salt 0..7; probe side
+    * (lineitem) gets a deterministic salt from xxhash64(orderkey, linenum),
+    * so each probe row meets exactly ONE replica and a hot key's rows
+    * spread over 8 shuffle partitions instead of one straggler task. The
+    * result is provably identical to the plain join (the oracle runs the
+    * unsalted SQL) — only the partitioning changes. */
+  val joinSkewSalted = Q(
+    "join_skew_salted",
+    (spark, sfDir) => {
+      val salted = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(expr("sequence(0, 7)")).as("salt"))
+      val line = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8))
+            .cast("int").as("lsalt"))
+      line.join(salted,
+          col("l_orderkey") === col("o_orderkey") && col("lsalt") === col("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          graft.util.D.sumDec(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   ${graft.util.D.oSumDec("l.l_extendedprice")} AS revenue
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
-    joinRange, joinAsof, joinAsofForward, joinAsofNearest)
+    joinRange, joinAsof, joinAsofForward, joinAsofNearest, joinSkewSalted)
 }

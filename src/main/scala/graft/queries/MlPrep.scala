@@ -343,8 +343,95 @@ object MlPrep {
                             * count(*) AS DOUBLE) AS weight
             FROM embeddings GROUP BY label ORDER BY label"""))
 
+  /** Sequence packing for LLM pretraining: assign docs to fixed 512-token
+    * context bins by sequential fill (cumulative token count, exclusive,
+    * integer-divided by the bin size; a doc straddling a boundary belongs
+    * to the bin its first token lands in — real packers then split or pad
+    * at the boundary). The running sum is windowed PER SOURCE, so packing
+    * parallelizes across sources/shards at 100 TB instead of forcing the
+    * single global sort a corpus-wide cumsum would. */
+  val mlPackSequences = Q(
+    "ml_pack_sequences",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("bigint").as("n_tokens"))
+        .withColumn("cum_before",
+          sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor(col("cum_before").cast("double") / 512).cast("bigint").as("bin"),
+          (col("cum_before") -
+            lit(512) * floor(col("cum_before").cast("double") / 512))
+            .cast("bigint").as("bin_offset"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS cum_before
+              FROM d)
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor(CAST(cum_before AS DOUBLE) / 512) AS BIGINT) AS bin,
+                   CAST(cum_before - 512 * floor(CAST(cum_before AS DOUBLE) / 512)
+                        AS BIGINT) AS bin_offset
+            FROM c ORDER BY source, doc_id"""))
+
+  /** Temperature-balanced dataset mix (T = 2): per-source sampling rates
+    * ∝ sqrt(count) scaled to a 50% target volume, applied as a stateless
+    * md5-threshold per doc — the standard multi-source rebalance before
+    * pretraining. The rate table is a tiny per-source aggregate
+    * (broadcast); selection itself is one embarrassingly-parallel scan —
+    * no per-row shuffle, which is what makes hash sampling (vs reservoir
+    * or sort-based) the only shape that works at 100 TB. */
+  val mlDatasetMix = Q(
+    "ml_dataset_mix",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        sum(sqrt(col("n").cast("double"))).as("sw"),
+        sum("n").as("total"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1.0),
+            (sqrt(col("n").cast("double")) / col("sw"))
+              * (col("total").cast("double") * 0.5)
+              / col("n").cast("double")).as("rate"))
+        .withColumn("h_thr",
+          lower(lpad(hex(floor(col("rate") * 16777216.0).cast("bigint")),
+            6, "0")))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))),
+          1, 6) < col("h_thr"))
+        .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM counts),
+            tot AS (SELECT sum(wt) AS sw, sum(n) AS total FROM w),
+            rates AS (
+              SELECT source,
+                     least(1.0, (wt / sw) * (CAST(total AS DOUBLE) * 0.5) / n) AS rate
+              FROM w CROSS JOIN tot),
+            thr AS (
+              SELECT source, rate,
+                     lower(lpad(to_hex(CAST(floor(rate * 16777216.0) AS BIGINT)),
+                                6, '0')) AS h_thr
+              FROM rates)
+            SELECT d.doc_id, d.source, round(t.rate, 6) AS rate
+            FROM documents d JOIN thr t ON d.source = t.source
+            WHERE substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 6) < t.h_thr
+            ORDER BY d.doc_id"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
-    mlClassWeights)
+    mlClassWeights, mlPackSequences, mlDatasetMix)
 }

@@ -649,9 +649,229 @@ object TextOps {
                     GROUP BY lang, tri))
             WHERE rk <= 3 ORDER BY lang, rk"""))
 
+  /** Blocklist filtering — the "bad-word" safety pass of an LLM data
+    * pipeline: per doc, count blocklisted tokens, flag docs whose hit
+    * ratio exceeds 10%, and emit the redacted text. Pure per-row
+    * expressions (a token-set membership via `filter` + one anchored
+    * regexp_replace) — embarrassingly parallel, no shuffle before the
+    * final presentation sort, so the pass costs one scan at any scale. */
+  val textBlocklistFilter = Q(
+    "text_blocklist_filter",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("n_tokens",
+          size(split(col("text"), " ", -1)).cast("bigint"))
+        .withColumn("n_hits",
+          size(expr(
+            "filter(split(text, ' ', -1), t -> t IN ('slow','error','big'))"))
+            .cast("bigint"))
+        .withColumn("hit_ratio",
+          col("n_hits").cast("double") / col("n_tokens").cast("double"))
+        .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+          round(col("hit_ratio"), 4).as("hit_ratio"),
+          (col("hit_ratio") > 0.1).as("flagged"),
+          regexp_replace(col("text"), "\\b(slow|error|big)\\b", "[X]")
+            .as("redacted"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('slow','error','big'))) AS BIGINT) AS n_hits,
+              round(CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('slow','error','big'))) AS DOUBLE)
+                    / len(string_split(text, ' ')), 4) AS hit_ratio,
+              CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('slow','error','big'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) > 0.1 AS flagged,
+              regexp_replace(text, '\b(slow|error|big)\b', '[X]', 'g') AS redacted
+            FROM documents ORDER BY doc_id"""))
+
+  /** Gopher-style repetition signals per doc: the fraction of bigram mass
+    * held by the single most frequent bigram (`top_frac`) and the distinct
+    * fraction (`uniq_frac`) — high top_frac / low uniq_frac marks looping,
+    * boilerplate-heavy documents worth dropping from training data. One
+    * explode, two doc-local aggs; all shuffles key on doc_id. */
+  val textRepetitionStats = Q(
+    "text_repetition_stats",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+        .withColumnRenamed("col", "tok")
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("bigram"),
+          lead("tok", 1).over(w).isNotNull.as("ok"))
+        .filter(col("ok"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_bigrams"), max("n").as("max_bigram_n"),
+          count(lit(1)).as("n_uniq"))
+        .select(col("doc_id"), col("n_bigrams"), col("max_bigram_n"),
+          round(col("max_bigram_n").cast("double") / col("n_bigrams"), 4)
+            .as("top_frac"),
+          round(col("n_uniq").cast("double") / col("n_bigrams"), 4)
+            .as("uniq_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
+                     unnest(string_split(text,' ')) AS tok
+              FROM documents),
+            bi AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+              FROM toks),
+            cnt AS (
+              SELECT doc_id, bigram, count(*) AS n FROM bi WHERE bigram IS NOT NULL
+              GROUP BY doc_id, bigram)
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   CAST(max(n) AS BIGINT) AS max_bigram_n,
+                   round(CAST(max(n) AS DOUBLE)/sum(n), 4) AS top_frac,
+                   round(CAST(count(*) AS DOUBLE)/sum(n), 4) AS uniq_frac
+            FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Keyword extraction: top-3 tf-idf terms per document (doc_id < 100,
+    * same cap/scoring as text_tfidf), score-desc with term-asc tiebreak.
+    * Adds only a per-doc top-k window on the tf aggregate — the corpus-wide
+    * df statistics still come from the single tokenize pass. */
+  val textKeywordTopk = Q(
+    "text_keyword_topk",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ", -1)).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      val wk = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      withDf.filter(col("doc_id") < 100)
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") * (col("n_docs").cast("double") + 1.0)
+            / (col("df").cast("double") + 1.0)).as("score"))
+        .withColumn("rk", row_number().over(wk).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH toks AS (SELECT doc_id, term
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(lower(text), ' ')) AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 t AS (SELECT doc_id, term, count(*) AS tf
+                       FROM toks GROUP BY doc_id, term),
+                 td AS (SELECT doc_id, term, tf,
+                               count(*) OVER (PARTITION BY term) AS df FROM t),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 scored AS (
+                   SELECT doc_id, term,
+                          CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1.0)
+                            / (CAST(df AS DOUBLE) + 1.0) AS score
+                   FROM td CROSS JOIN n WHERE doc_id < 100)
+            SELECT doc_id, rk, term, round(score, 4) AS score FROM (
+              SELECT doc_id, term, score,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, term) AS BIGINT) AS rk
+              FROM scored)
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** Corpus-level top-20 token trigrams — the vocabulary/phrase census a
+    * data audit starts from. The top-k is `ORDER BY ... LIMIT`, which Spark
+    * plans as TakeOrderedAndProject (per-partition heaps + a 20-row driver
+    * merge) — no global sort, no single-partition window, so the reduction
+    * is safe however many distinct trigrams 100 TB yields. */
+  val textNgramTopk = Q(
+    "text_ngram_topk",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(spark, sfDir)
+        .repartition(32, col("doc_id"))
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+        .withColumnRenamed("col", "tok")
+        .select(
+          concat_ws(" ", col("tok"), lead("tok", 1).over(w),
+            lead("tok", 2).over(w)).as("trigram"),
+          lead("tok", 2).over(w).isNotNull.as("ok"))
+        .filter(col("ok"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
+                     unnest(string_split(text,' ')) AS tok
+              FROM documents),
+            tri AS (
+              SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS trigram
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            SELECT trigram, CAST(count(*) AS BIGINT) AS n
+            FROM tri WHERE trigram IS NOT NULL
+            GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20"""))
+
+  /** Benchmark decontamination: count each candidate doc's distinct 8-token
+    * shingles that also appear in the benchmark slice (source = 'src0').
+    * The overlap is a hash EQUI-join on md5(shingle) — candidates meet the
+    * benchmark set only inside matching hash buckets, never all-pairs, and
+    * the benchmark side of a real decontamination run (a few eval suites)
+    * is broadcast-sized however big the training corpus is. */
+  val textContamination = Q(
+    "text_contamination",
+    (spark, sfDir) => {
+      val sh = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ", -1).as("tk"))
+        // sequence(1, greatest(n-7, 1)) + a p <= n-7 filter: the bare
+        // greatest(n-7, 0) form would make sequence(1, 0) STEP BACKWARD
+        // ([1,0]) and emit a bogus position for docs under 8 tokens
+        .select(col("doc_id"), col("source"), col("tk"),
+          explode(expr("sequence(1, greatest(size(tk) - 7, 1))")).as("p"))
+        .filter(col("p") <= size(col("tk")) - 7)
+        .select(col("doc_id"), col("source"),
+          md5(expr("array_join(slice(tk, p, 8), ' ')")).as("shingle"))
+      val bench = sh.filter(col("source") === "src0")
+        .select("shingle").distinct()
+      val cand = sh.filter(col("source") =!= "src0")
+        .select("doc_id", "shingle").distinct()
+      val hits = cand.join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      cand.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_shingles"), 4).as("contaminated_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+                            p -> md5(array_to_string(tk[p:p+7], ' ')))) AS shingle
+              FROM toks),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+            cand AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE source <> 'src0'),
+            hits AS (
+              SELECT c.doc_id, count(*) AS n_hits
+              FROM cand c JOIN bench b ON c.shingle = b.shingle
+              GROUP BY c.doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id)
+            SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)/t.n_shingles, 4)
+                     AS contaminated_frac
+            FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
     textLshDedupVerified, textSimhashBandPairs, textEditDistancePairs,
-    textTrigramProfile)
+    textTrigramProfile, textBlocklistFilter, textRepetitionStats,
+    textKeywordTopk, textNgramTopk, textContamination)
 }

@@ -311,6 +311,152 @@ object TimeSeries {
                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
             ORDER BY event_id"""))
 
+  /** Truncated EWMA (α = 0.3, last 8 observations) per user: a lag-chain
+    * with fixed (1−α)^j weights, renormalized over the lags that exist —
+    * identical expression trees on both engines, so bit-exact. The un-
+    * truncated recursive EWMA needs a running product that neither engine's
+    * window frames express; 8 taps carry (1−α)^8 ≈ 5.8% residual weight.
+    * One partitioned window per user — same scale shape as win_lead_lag. */
+  val tsEwma = Q(
+    "ts_ewma",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wts = Seq(0.7, 0.49, 0.343, 0.2401, 0.16807, 0.117649, 0.0823543)
+      val lags = wts.zipWithIndex.map { case (wt, i) =>
+        (lag("value", i + 1).over(w), wt)
+      }
+      val num = lags.foldLeft(col("value") * 1.0) { case (acc, (l, wt)) =>
+        acc + coalesce(l, lit(0.0)) * wt
+      }
+      val den = lags.foldLeft(lit(1.0)) { case (acc, (l, wt)) =>
+        acc + when(l.isNull, 0.0).otherwise(wt)
+      }
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          round(num / den, 4).as("ewma"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, ts, event_id, value,
+                     lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+                     lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+                     lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+                     lag(value, 7) OVER w AS l7
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, ts, event_id, value,
+                   round((value * 1.0 + coalesce(l1,0)*0.7 + coalesce(l2,0)*0.49
+                          + coalesce(l3,0)*0.343 + coalesce(l4,0)*0.2401
+                          + coalesce(l5,0)*0.16807 + coalesce(l6,0)*0.117649
+                          + coalesce(l7,0)*0.0823543)
+                         / (1.0 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.7 END
+                            + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.49 END
+                            + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.343 END
+                            + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.2401 END
+                            + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.16807 END
+                            + CASE WHEN l6 IS NULL THEN 0.0 ELSE 0.117649 END
+                            + CASE WHEN l7 IS NULL THEN 0.0 ELSE 0.0823543 END), 4)
+                     AS ewma
+            FROM e ORDER BY user_id, ts, event_id"""))
+
+  /** Robust anomaly detection: flag events more than 3 scaled-MADs from
+    * their user's median (MAD·1.4826 ≈ σ under normality). Median and MAD
+    * are EXACT interpolated percentiles — two grouped aggregations joined
+    * back, both keyed on user_id, so the whole detector is three shuffles
+    * on the same high-cardinality key. The 3σ comparison uses the 4-dp
+    * ROUNDED med/mad on both sides so the flag can't flip on a last-ulp
+    * percentile-interpolation difference between engines. */
+  val tsAnomalyMad = Q(
+    "ts_anomaly_mad",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val med = ev.groupBy("user_id")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val mad = ev.join(med, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      ev.join(med, Seq("user_id")).join(mad, Seq("user_id"))
+        .filter(abs(col("value") - col("med")) > lit(3.0) * 1.4826 * col("mad"))
+        .select("event_id", "user_id", "value", "med", "mad")
+        .orderBy("event_id")
+    },
+    Some("""WITH med AS (
+              SELECT user_id, round(quantile_cont(value, 0.5), 4) AS med
+              FROM events GROUP BY user_id),
+            mad AS (
+              SELECT e.user_id, round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+              FROM events e JOIN med m USING (user_id) GROUP BY e.user_id)
+            SELECT e.event_id, e.user_id, e.value, m.med, d.mad
+            FROM events e JOIN med m USING (user_id) JOIN mad d ON e.user_id = d.user_id
+            WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+            ORDER BY e.event_id"""))
+
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that — then the stage-survivor counts. Each stage is
+    * a grouped min joined to the next filter; all three shuffles key on
+    * user_id, and the stage tables only shrink, so the funnel costs three
+    * self-joins of decreasing size at any scale. */
+  val tsFunnel = Q(
+    "ts_funnel",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.join(s1, Seq("user_id"))
+        .filter(col("event_type") === "click" && col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.join(s2, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val one = (df: org.apache.spark.sql.DataFrame, name: String) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      one(s1, "1_view").unionAll(one(s2, "2_click")).unionAll(one(s3, "3_purchase"))
+        .orderBy("stage")
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+            SELECT stage, n_users FROM (
+              SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3)
+            ORDER BY stage"""))
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * first event; for each (cohort, week-offset) the count of users active
+    * that week. Two user-keyed aggregates and one join — the cohort table
+    * is one row per user, the activity table one row per (user, week);
+    * both truncations are exact Monday boundaries in both engines. */
+  val tsRetentionCohort = Q(
+    "ts_retention_cohort",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).cast("timestamp_ntz").as("cohort"))
+      val act = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk")).distinct()
+      first.join(act, Seq("user_id"))
+        .groupBy(col("cohort").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("bigint").as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                       FROM events GROUP BY user_id),
+            act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+            SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+                   CAST(datediff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+            FROM f JOIN act a USING (user_id)
+            GROUP BY f.cohort, week_offset
+            ORDER BY cohort_week, week_offset"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
-    tsOhlc, tsResampleInterp, tsMovingZscore)
+    tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
+    tsFunnel, tsRetentionCohort)
 }

@@ -242,6 +242,105 @@ object Vectors {
               WHERE v.vec_id >= 8 AND c.vec_id < 8)
             WHERE rk = 1 ORDER BY vec_id"""))
 
+  /** Scalar (int8) quantization with per-vector min/max calibration —
+    * the storage-compression step before ANN indexing at scale: code =
+    * floor((x−mn)/(mx−mn)·255), reported as the round-trip MSE in ppm.
+    * (floor, not round: Spark rounds HALF_UP on the decimal repr while
+    * DuckDB rounds the double bits, so round() at exact midpoints is the
+    * one arithmetic op the two engines disagree on.) Pure per-row lambda
+    * math — one scan, no shuffle, embarrassingly parallel. */
+  val vecScalarQuantize = Q(
+    "vec_scalar_quantize",
+    (spark, sfDir) =>
+      Tables.embeddings(spark, sfDir)
+        .withColumn("e", dbl(col("embedding")))
+        .withColumn("mn", array_min(col("e")))
+        .withColumn("mx", array_max(col("e")))
+        // mse computed while mn/mx are still RAW: a lambda's outer column
+        // reference in the same select as a `round(mn).as("mn")` alias
+        // resolves against the aliased (rounded) output, not the child —
+        // verified on the physical plan, and an 8% mse shift at sf0.01
+        .withColumn("mse_ppm",
+          round(
+            aggregate(
+              transform(col("e"), x =>
+                pow(x - (col("mn")
+                  + floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0)
+                    * (col("mx") - col("mn")) / 255.0), lit(2.0))),
+              lit(0.0), (acc, x) => acc + x)
+              / size(col("e")).cast("double") * 1e6, 4))
+        .select(col("vec_id"), round(col("mn"), 4).as("mn"),
+          round(col("mx"), 4).as("mx"), col("mse_ppm"))
+        .orderBy("vec_id"),
+    Some("""WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            mm AS (
+              SELECT vec_id, e, list_aggregate(e, 'min') AS mn,
+                     list_aggregate(e, 'max') AS mx
+              FROM v)
+            SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx,
+                   round(list_aggregate(list_transform(e, x ->
+                     pow(x - (mn + floor((x - mn) / (mx - mn) * 255.0)
+                       * (mx - mn) / 255.0), 2)), 'sum')
+                     / len(e) * 1e6, 4) AS mse_ppm
+            FROM mm ORDER BY vec_id"""))
+
+  /** One distributed Lloyd (k-means) refinement step, k = 8 seeded from
+    * vec_id < 8: assign every vector to its nearest centroid by squared
+    * L2 (broadcast centroid table, per-vector arg-min window), then emit
+    * the updated centroids as (cluster, dim, mean) rows. The mean update
+    * is a posexplode → (cluster, dim) hash agg — the classic map-side-
+    * combinable shape, one shuffle of (k·d) partial sums per partition
+    * regardless of corpus size. Long (cluster, dim) output rather than an
+    * array column: the driver's compare hashes scalars only. */
+  val vecKmeansStep = Q(
+    "vec_kmeans_step",
+    (spark, sfDir) => {
+      val v = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val cent = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("c"))
+      val d2 = sumArr(zip_with(col("e"), col("c"), (x, y) => (x - y) * (x - y)))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assigned = v.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cid")
+      assigned.join(v, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid").as("cluster"), (col("pos") + 1).cast("bigint").as("dim"))
+        // + 0.0 canonicalizes IEEE -0.0 (round(-1e-9, 4) differs in SIGN
+        // between engines' string reprs; adding +0.0 is the identity on
+        // every other value) — mirrored in the oracle
+        .agg(count(lit(1)).as("n_members"),
+          (round(avg(col("col")), 4) + 0.0).as("centroid_val"))
+        .orderBy("cluster", "dim")
+    },
+    Some("""WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8),
+            dists AS (
+              SELECT v.vec_id, cent.cid,
+                     list_aggregate(list_transform(list_zip(v.e, cent.c),
+                       p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d2
+              FROM v CROSS JOIN cent),
+            assign AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM dists),
+            a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+            el AS (
+              SELECT a.cid, generate_subscripts(v.e, 1) AS dim, unnest(v.e) AS x
+              FROM a JOIN v USING (vec_id))
+            SELECT cid AS cluster, CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   round(avg(x), 4) + 0.0 AS centroid_val
+            FROM el GROUP BY cid, dim ORDER BY cluster, dim"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
-    vecCosineTopkNative, vecDupClusters, vecCentroidAssign)
+    vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
+    vecScalarQuantize, vecKmeansStep)
 }

@@ -202,6 +202,39 @@ object Windows {
                   FROM customer)
             ORDER BY c_custkey"""))
 
+  /** Running COUNT(DISTINCT) per user — a frame neither engine's window
+    * aggregates support directly. Decomposition: mark each (user, type)'s
+    * first occurrence with a row_number()=1 flag, then running-sum the
+    * flags. Two partitioned windows on user-keyed data, no collect_set
+    * state — the marker trick keeps memory O(1) per row where a naive
+    * set-per-frame would hold every distinct value seen. */
+  val winRunningDistinct = Q(
+    "win_running_distinct",
+    (spark, sfDir) => {
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, sfDir)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          sum("first_seen").over(wRun).cast("bigint").as("n_distinct_types"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""WITH m AS (
+              SELECT event_id, user_id, ts, event_type,
+                     CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                                  ORDER BY ts, event_id) = 1
+                          THEN 1 ELSE 0 END AS first_seen
+              FROM events)
+            SELECT event_id, user_id, ts, event_type,
+                   CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS n_distinct_types
+            FROM m ORDER BY user_id, ts, event_id"""))
+
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
-    winLeadLag, winNtilePct, winFirstLast, winCumeDist, winRatioToReport)
+    winLeadLag, winNtilePct, winFirstLast, winCumeDist, winRatioToReport,
+    winRunningDistinct)
 }
