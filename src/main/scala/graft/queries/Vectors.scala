@@ -297,11 +297,14 @@ object Vectors {
   val vecKmeansStep = Q(
     "vec_kmeans_step",
     (spark, sfDir) => {
+      graft.functions.L2Sq.register(spark)
       val v = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
       val cent = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("e").as("c"))
-      val d2 = sumArr(zip_with(col("e"), col("c"), (x, y) => (x - y) * (x - y)))
+      // codegen'd fused loop, bit-identical to the zip_with/aggregate fold
+      // (NativeDotSpec) — the lambda formulation runs interpreted
+      val d2 = expr("l2sq_native(e, c)")
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       val assigned = v.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"), d2.as("d2"))

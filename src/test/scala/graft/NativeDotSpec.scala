@@ -74,4 +74,27 @@ class NativeDotSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[dot_native.*"), plan)
   }
+
+  test("l2sq_native == aggregate(zip_with(...)) bit-for-bit, nulls and mismatches included") {
+    graft.functions.L2Sq.register(spark)
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val emb = graft.util.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), dbl.as("e"))
+    val q = emb.filter(col("vec_id") === 3).select(col("e").as("qe"))
+    val both = emb.crossJoin(q)
+      .select(
+        expr("l2sq_native(e, qe)").as("native"),
+        aggregate(zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Some(Seq(1.0, 5.0)), Some(Seq(3.0))), // min-length fold → (1-3)^2
+      (2L, None, Some(Seq(1.0)))                 // null → null
+    ).toDF("id", "a", "b")
+      .select(col("id"), expr("l2sq_native(a, b)").as("d")).orderBy("id").collect()
+    assert(edge(0).getDouble(1) == 4.0)
+    assert(edge(1).isNullAt(1))
+  }
 }
