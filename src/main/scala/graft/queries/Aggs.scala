@@ -431,11 +431,44 @@ object Aggs {
                   FROM lineitem GROUP BY l_returnflag)
             ORDER BY l_returnflag"""))
 
+  /** Ordered top-k LISTAGG: per market segment, the top-3 customer names
+    * by balance as one comma-joined string in rank order. Spark has no
+    * ordered string_agg; the deterministic equivalent is collect_list of
+    * (rk, name) structs + array_sort (rk is unique, so the sort is total)
+    * + transform/array_join — all after a rk ≤ 3 window filter, so the
+    * collected lists are bounded at k elements however large the group. */
+  val aggTopkListagg = Q(
+    "agg_topk_listagg",
+    (spark, sfDir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_name"))
+      Tables.customer(spark, sfDir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy("c_mktsegment")
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("rk"), col("c_name")))),
+              p => p.getField("c_name")), ",").as("top_names"),
+          count(lit(1)).as("k"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH rk AS (
+              SELECT c_mktsegment, c_name, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_name) AS rk
+              FROM customer)
+            SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY rk) AS top_names,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM rk WHERE rk <= 3
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
-    aggTwophaseSalted)
+    aggTwophaseSalted, aggTopkListagg)
 
   /** Two-phase salted aggregation — the skew-defeating shape for hot
     * group keys (l_returnflag has THREE values over the whole table: the

@@ -217,6 +217,26 @@ object Approx {
     },
     None)
 
+  /** Approximate quantiles (Greenwald-Khanna sketch, the mergeable shape
+    * that replaces exact sort-based percentiles at 100 TB): p50/p90 of
+    * `value` per event type at accuracy 10⁴, next to the EXACT interpolated
+    * percentiles so the sketch error is visible in the output itself —
+    * same presentation as agg_approx_distinct. Oracle-less by design (GK
+    * internals are engine-specific); the ε-bound vs exact is pinned in
+    * RandomizedSemanticsSpec-style assertions in Round6OpsSpec. */
+  val aggApproxQuantile = Q(
+    "agg_approx_quantile",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50_approx"),
+          round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90_approx"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90_exact"))
+        .orderBy("event_type"),
+    None)
+
   def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard, vecAnnLsh,
-    vecAnnIvf, aggHllSketchMerge)
+    vecAnnIvf, aggHllSketchMerge, aggApproxQuantile)
 }

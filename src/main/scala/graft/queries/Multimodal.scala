@@ -139,6 +139,40 @@ object Multimodal {
                    min(octet_length(encode(text))) AS n_bytes
             FROM documents GROUP BY content_hash ORDER BY content_hash"""))
 
+  /** Chunk manifest for large-blob distributed processing: the plan of
+    * 100-byte content-addressed ranges a downstream fleet would fetch and
+    * decode independently — (chunk_no, offset, len, md5) rows per payload.
+    * Row-local explode, no shuffle; at 100 TB this is how a blob column
+    * gets processed without any single task holding a whole object. */
+  val mmChunkManifest = Q(
+    "mm_chunk_manifest",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).as("n"),
+          // guarded ascending sequence (sequence(1,0) would step BACKWARD)
+          explode(expr(
+            "sequence(1, greatest(cast(ceil(length(text) / 100.0) as int), 1))"))
+            .as("c"))
+        .filter((col("c") - 1) * 100 < col("n"))
+        .select(col("doc_id"),
+          (col("c") - 1).cast("bigint").as("chunk_no"),
+          ((col("c") - 1) * 100).cast("bigint").as("byte_offset"),
+          least(lit(100), col("n") - (col("c") - 1) * 100).cast("bigint")
+            .as("chunk_len"),
+          md5(col("text").substr(((col("c") - 1) * 100 + 1).cast("int"),
+            lit(100))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_no"),
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+            SELECT doc_id,
+                   CAST(c - 1 AS BIGINT) AS chunk_no,
+                   CAST((c - 1) * 100 AS BIGINT) AS byte_offset,
+                   CAST(least(100, n - (c - 1) * 100) AS BIGINT) AS chunk_len,
+                   md5(substring(text, (c - 1) * 100 + 1, 100)) AS chunk_hash
+            FROM d, (SELECT unnest(generate_series(1, 100)) AS c) g
+            WHERE (c - 1) * 100 < n
+            ORDER BY doc_id, chunk_no"""))
+
   def qs: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmDecodeStats,
-    mmPayloadDedup)
+    mmPayloadDedup, mmChunkManifest)
 }

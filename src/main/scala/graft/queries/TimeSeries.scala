@@ -456,7 +456,120 @@ object TimeSeries {
             GROUP BY f.cohort, week_offset
             ORDER BY cohort_week, week_offset"""))
 
+  /** Naive changepoint detection: rows where the mean of the next 4
+    * observations shifts from the mean of the previous 4 by more than 60 —
+    * both frame sums in EXACT DECIMAL (ts_moving_zscore precedent: a double
+    * sliding-frame sum depends on the engine's add/evict order), divisions
+    * in IEEE doubles over identical operands. Only full 4+4 windows are
+    * eligible, so the boundary rows can't produce spurious shifts. */
+  val tsChangepoint = Q(
+    "ts_changepoint",
+    (spark, sfDir) => {
+      val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wb = base.rowsBetween(-4, -1)
+      val wa = base.rowsBetween(0, 3)
+      val dec = graft.util.D.dec(col("value"))
+      Tables.events(spark, sfDir)
+        .withColumn("sb", sum(dec).over(wb))
+        .withColumn("nb", count(lit(1)).over(wb))
+        .withColumn("sa", sum(dec).over(wa))
+        .withColumn("na", count(lit(1)).over(wa))
+        .filter(col("nb") === 4 && col("na") === 4)
+        .withColumn("mean_before", col("sb").cast("double") / 4)
+        .withColumn("mean_after", col("sa").cast("double") / 4)
+        .filter(abs(col("mean_after") - col("mean_before")) > 60.0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("mean_before"), 4).as("mean_before"),
+          round(col("mean_after"), 4).as("mean_after"),
+          round(col("mean_after") - col("mean_before"), 4).as("shift"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""WITH w AS (
+              SELECT user_id, ts, event_id,
+                     sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS sb,
+                     count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS nb,
+                     sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sa,
+                     count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS na
+              FROM events)
+            SELECT user_id, ts, event_id,
+                   round(CAST(sb AS DOUBLE) / 4, 4) AS mean_before,
+                   round(CAST(sa AS DOUBLE) / 4, 4) AS mean_after,
+                   round(CAST(sa AS DOUBLE) / 4 - CAST(sb AS DOUBLE) / 4, 4) AS shift
+            FROM w
+            WHERE nb = 4 AND na = 4
+              AND abs(CAST(sa AS DOUBLE) / 4 - CAST(sb AS DOUBLE) / 4) > 60.0
+            ORDER BY user_id, ts, event_id"""))
+
+  /** Lag-1 autocorrelation of `value` per user — the stationarity probe a
+    * forecasting pipeline runs first. One lag window + one grouped corr,
+    * both keyed on user_id. corr is the one sample statistic here computed
+    * by the engines' own co-moment updates; round(4) absorbs the partial-
+    * aggregation order difference (precedent: agg_percentile_corr at 6dp
+    * over larger magnitudes). */
+  val tsAutocorr = Q(
+    "ts_autocorr",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, sfDir)
+        .withColumn("pv", lag("value", 1).over(w))
+        .filter(col("pv").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr(col("value"), col("pv")), 4).as("lag1_corr"))
+        .orderBy("user_id")
+    },
+    Some("""WITH l AS (
+              SELECT user_id, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(corr(value, pv), 4) AS lag1_corr
+            FROM l WHERE pv IS NOT NULL
+            GROUP BY user_id ORDER BY user_id"""))
+
+  /** Attribution/conversion window: for every `view`, the number of
+    * `click`s by the same user in the following 5 minutes — a VALUE-range
+    * window frame (microseconds), not a row frame, so co-timed events are
+    * handled by value and the result is partition-order independent. The
+    * conditional count rides the same user-keyed sort as any lag/lead. */
+  val tsConversionWindow = Q(
+    "ts_conversion_window",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(1L, 300000000L)
+      Tables.events(spark, sfDir)
+        .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("n_clicks_5m",
+          coalesce(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w),
+            lit(0L)).cast("bigint"))
+        .filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "n_clicks_5m")
+        .orderBy("event_id")
+    },
+    // oracle is the equivalent RANGE JOIN, not the window: DuckDB 1.0's
+    // RANGE … FOLLOWING frame drops in-range peers on a handful of rows
+    // over the full 10k-row partition-by (verified: the same window over a
+    // single user returns the correct count; an explicit >/<= join agrees
+    // with Spark on all 1,982 views)
+    Some("""WITH e AS (
+              SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us
+              FROM events)
+            SELECT v.event_id, v.user_id, v.ts,
+                   CAST(count(c.event_id) AS BIGINT) AS n_clicks_5m
+            FROM e v LEFT JOIN e c
+              ON v.user_id = c.user_id AND c.event_type = 'click'
+              AND c.us > v.us AND c.us <= v.us + 300000000
+            WHERE v.event_type = 'view'
+            GROUP BY v.event_id, v.user_id, v.ts
+            ORDER BY v.event_id"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
-    tsFunnel, tsRetentionCohort)
+    tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
+    tsConversionWindow)
 }
