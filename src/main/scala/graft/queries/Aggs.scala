@@ -464,11 +464,79 @@ object Aggs {
             FROM rk WHERE rk <= 3
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Higher moments (skewness, excess kurtosis) from EXACT decimal power
+    * sums — the engine-portable formulation: built-in skewness/kurtosis
+    * differ across engines in bias correction AND in partial-aggregation
+    * order, but Σv, Σv², Σv³, Σv⁴ in decimal are exact and associative, and
+    * the moment algebra on top is identical IEEE doubles. Decimal widths
+    * are chosen so no product exceeds precision 38 on either engine
+    * (v at (9,2); v² at (18,4) so v²·v² is (37,8) in Spark — at (19,4)
+    * Spark's multiply would hit its 38-cap and ROUND the 8th decimal).
+    * The 4 power sums ride ONE hash aggregate — same shuffle as any agg. */
+  val aggMoments = Q(
+    "agg_moments",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val v = col("value").cast(DecimalType(9, 2))
+      val v2 = (v * v).cast(DecimalType(18, 4))
+      val s1 = sum(v).cast("double")
+      val s2 = sum(v2).cast("double")
+      val s3 = sum(v2 * v).cast("double")
+      val s4 = sum(v2 * v2).cast("double")
+      val n = count(lit(1)).cast("double")
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), s1.as("s1"), s2.as("s2"),
+          s3.as("s3"), s4.as("s4"))
+        .select(col("event_type"), col("n"),
+          round(col("s1") / col("n"), 4).as("mean"),
+          round(col("s2") / col("n")
+            - (col("s1") / col("n")) * (col("s1") / col("n")), 4).as("m2"),
+          round((col("s3") / col("n")
+            - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n"))
+            + lit(2) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s1") / col("n")))
+            / pow(col("s2") / col("n")
+              - (col("s1") / col("n")) * (col("s1") / col("n")), 1.5), 4)
+            .as("skew"),
+          round((col("s4") / col("n")
+            - lit(4) * (col("s1") / col("n")) * (col("s3") / col("n"))
+            + lit(6) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s2") / col("n"))
+            - lit(3) * (col("s1") / col("n")) * (col("s1") / col("n"))
+              * (col("s1") / col("n")) * (col("s1") / col("n")))
+            / pow(col("s2") / col("n")
+              - (col("s1") / col("n")) * (col("s1") / col("n")), 2.0)
+            - 3.0, 4).as("excess_kurt"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+              SELECT event_type, CAST(value AS DECIMAL(9,2)) AS v,
+                     CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))
+                          AS DECIMAL(19,4)) AS v2
+              FROM events),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(v) AS DOUBLE) AS s1,
+                     CAST(sum(v2) AS DOUBLE) AS s2,
+                     CAST(sum(v2 * v) AS DOUBLE) AS s3,
+                     CAST(sum(v2 * v2) AS DOUBLE) AS s4
+              FROM b GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(s1/n, 4) AS mean,
+                   round(s2/n - (s1/n)*(s1/n), 4) AS m2,
+                   round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                         / pow(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skew,
+                   round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                          - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                         / pow(s2/n - (s1/n)*(s1/n), 2) - 3.0, 4) AS excess_kurt
+            FROM s ORDER BY event_type"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
-    aggTwophaseSalted, aggTopkListagg)
+    aggTwophaseSalted, aggTopkListagg, aggMoments)
 
   /** Two-phase salted aggregation — the skew-defeating shape for hot
     * group keys (l_returnflag has THREE values over the whole table: the

@@ -868,10 +868,78 @@ object TextOps {
             FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id"""))
 
+  /** Chunk-level (sub-document) dedup census: 8-token chunks at stride 4,
+    * content-addressed by md5; chunks occurring more than once — the
+    * passage/boilerplate-level near-dup signal document-level hashing
+    * misses. One explode + one hash agg keyed on content hash; at 100 TB
+    * the dedup decision stays a shuffle on the chunk hash, never a pair
+    * comparison. */
+  val textChunkDedup = Q(
+    "text_chunk_dedup",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("tk"))
+        .filter(size(col("tk")) >= 8)
+        // size >= 8 guarantees the sequence bound >= 1 (ascending)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, (size(tk) - 8) div 4 + 1)")).as("i"))
+        .select(col("doc_id"),
+          md5(expr("array_join(slice(tk, (i - 1) * 4 + 1, 8), ' ')")).as("h"))
+        .groupBy(col("h").as("chunk_hash"))
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_total") > 1)
+        .orderBy("chunk_hash"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest((len(tk)-8)//4 + 1, 0)),
+                            i -> md5(array_to_string(tk[(i-1)*4+1:(i-1)*4+8], ' ')))) AS h
+              FROM toks WHERE len(tk) >= 8)
+            SELECT h AS chunk_hash, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM ch GROUP BY h HAVING count(*) > 1
+            ORDER BY chunk_hash"""))
+
+  /** Corpus-driven stopword discovery: terms present in more than 60% of
+    * documents (document frequency, not raw counts — one distinct
+    * (doc, term) explode + a df agg + a one-row broadcast total). The
+    * output feeds text_quality-style stopword-ratio scoring without a
+    * hand-maintained list. */
+  val textStopwordDiscovery = Q(
+    "text_stopword_discovery",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ", -1)).as("term"))
+        .filter(length(col("term")) > 0)
+        .distinct()
+      val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      toks.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .filter(col("df").cast("double") / col("n_docs") > 0.6)
+        .select(col("term"), col("df"),
+          round(col("df").cast("double") / col("n_docs"), 4).as("doc_frac"))
+        .orderBy("term")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id,
+                                 unnest(string_split(lower(text),' ')) AS term
+                          FROM documents),
+            dfq AS (SELECT term, count(*) AS df FROM toks
+                    WHERE length(term) > 0 GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT term, CAST(df AS BIGINT) AS df,
+                   round(CAST(df AS DOUBLE)/n_docs, 4) AS doc_frac
+            FROM dfq CROSS JOIN n WHERE CAST(df AS DOUBLE)/n_docs > 0.6
+            ORDER BY term"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
     textLshDedupVerified, textSimhashBandPairs, textEditDistancePairs,
     textTrigramProfile, textBlocklistFilter, textRepetitionStats,
-    textKeywordTopk, textNgramTopk, textContamination)
+    textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
+    textStopwordDiscovery)
 }

@@ -343,7 +343,40 @@ object Vectors {
                    round(avg(x), 4) + 0.0 AS centroid_val
             FROM el GROUP BY cid, dim ORDER BY cluster, dim"""))
 
+  /** Pairwise-cosine distribution histogram over the capped pair set
+    * (vec_id < 100) — the similarity-threshold calibration step before
+    * picking a dedup cutoff: 0.1-wide bins over [-1, 1]. The cosine runs
+    * through the codegen'd fused expression; floor-binning is bit-safe
+    * because both engines compute the identical double first. All-pairs
+    * is the exact (capped) baseline — the uncapped path samples pairs. */
+  val vecCosineHistogram = Q(
+    "vec_cosine_histogram",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val v = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      v.select(col("vec_id").as("v1"), col("e").as("e1"))
+        .join(v.select(col("vec_id").as("v2"), col("e").as("e2")),
+          col("v1") < col("v2"))
+        .select(floor((expr("cosine_native(e1, e2)") + 1.0) / 0.1)
+          .cast("bigint").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings WHERE vec_id < 100),
+            p AS (
+              SELECT a.vec_id AS v1, b.vec_id AS v2,
+                     list_aggregate(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(a.e, x -> x*x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(b.e, x -> x*x), 'sum'))) AS cos
+              FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            SELECT CAST(floor((cos + 1.0) / 0.1) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY bin ORDER BY bin"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
-    vecScalarQuantize, vecKmeansStep)
+    vecScalarQuantize, vecKmeansStep, vecCosineHistogram)
 }

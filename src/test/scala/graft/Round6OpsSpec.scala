@@ -73,6 +73,61 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_moments: matches direct double-precision moment computation to 3dp") {
+    // the decimal power sums must agree with a plain per-group computation
+    // (tolerance: the reference here is double arithmetic, so allow the
+    // accumulated-error gap, not bit equality — bit equality vs DuckDB is
+    // the parity gate's job)
+    val out = Aggs.aggMoments.build(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val raw = graft.util.Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    raw.foreach { case (tpe, vs) =>
+      val n = vs.length.toDouble
+      val mean = vs.sum / n
+      val m2 = vs.map(v => (v - mean) * (v - mean)).sum / n
+      val m3 = vs.map(v => math.pow(v - mean, 3)).sum / n
+      val m4 = vs.map(v => math.pow(v - mean, 4)).sum / n
+      val (gmean, gm2, gskew, gkurt) = out(tpe)
+      assert(math.abs(gmean - mean) < 1e-3)
+      assert(math.abs(gm2 - m2) < 1e-2 * math.max(1.0, m2.abs))
+      assert(math.abs(gskew - m3 / math.pow(m2, 1.5)) < 1e-3)
+      assert(math.abs(gkurt - (m4 / (m2 * m2) - 3.0)) < 1e-3)
+    }
+  }
+
+  test("text_chunk_dedup: every reported chunk hash really occurs more than once") {
+    val out = graft.queries.TextOps.textChunkDedup.build(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 1 && r.getLong(2) <= r.getLong(1))
+    }
+    // recount one chunk hash by brute force
+    val probe = out.head
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+    val n = docs.iterator.map { d =>
+      val tk = d.getString(1).split(" ", -1)
+      (0 to (tk.length - 8) / 4).count { j =>
+        val slice = tk.slice(j * 4, j * 4 + 8).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        md == probe.getString(0)
+      }
+    }.sum
+    assert(n.toLong == probe.getLong(1))
+  }
+
+  test("vec_cosine_histogram: bins cover exactly n*(n-1)/2 pairs") {
+    val out = graft.queries.Vectors.vecCosineHistogram.build(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 100).count()
+    assert(out.map(_.getLong(1)).sum == n * (n - 1) / 2)
+    out.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 20))
+  }
+
   test("mm_chunk_manifest: chunks tile each payload exactly and hashes match content") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
