@@ -219,4 +219,128 @@ object Ops {
       .withColumn("n", col("graft_n").cast("bigint"))
       .drop("graft_sum", "graft_sumsq", "graft_n", "graft_var")
   }
+
+  /** Sequence packing by sequential fill: assign each row to a fixed
+    * `binSize`-token context bin via the exclusive running token sum
+    * within its `group` (ordered by `order` — pass a TOTAL order). A row
+    * straddling a boundary belongs to the bin its first token lands in.
+    * Packing is windowed PER GROUP so it parallelizes across groups/shards
+    * instead of forcing one global sort. Output: input columns plus
+    * `n_tokens`, `bin`, `bin_offset`. */
+  def packSequences(df: DataFrame, group: Column, order: Column,
+      nTokens: Column, binSize: Int = 512): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", nTokens.cast("bigint"))
+      .withColumn("graft_cum", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin",
+        floor(col("graft_cum").cast("double") / binSize).cast("bigint"))
+      .withColumn("bin_offset",
+        (col("graft_cum") - lit(binSize.toLong)
+          * floor(col("graft_cum").cast("double") / binSize)).cast("bigint"))
+      .drop("graft_cum")
+  }
+
+  /** Running COUNT(DISTINCT `value`) per `part` under `order` — no engine
+    * supports DISTINCT in a running frame; the O(1)-state decomposition is
+    * a first-occurrence marker (row_number()=1 per (part, value)) plus a
+    * running sum of markers. Output: input columns plus `n_distinct`. */
+  def runningDistinct(df: DataFrame, part: Column, value: Column,
+      order: Column*): DataFrame = {
+    val wFirst = Window.partitionBy(part, value).orderBy(order: _*)
+    val wRun = Window.partitionBy(part).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("graft_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct", sum("graft_first").over(wRun).cast("bigint"))
+      .drop("graft_first")
+  }
+
+  /** Forward attribution/conversion count: for every row, the number of
+    * rows satisfying `isTarget` with the same `key` whose `eventUs`
+    * (microseconds, any monotone long clock) lies in
+    * (us + fromUs, us + toUs] — a VALUE-range window frame, so co-timed
+    * events are handled by value and the result is partition-order
+    * independent. Output: input columns plus `n_in_window`. */
+  def conversionWindow(df: DataFrame, key: Column, eventUs: Column,
+      isTarget: Column, fromUs: Long = 1L, toUs: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("graft_us"))
+      .rangeBetween(fromUs, toUs)
+    df.withColumn("graft_us", eventUs)
+      .withColumn("n_in_window",
+        coalesce(sum(when(isTarget, 1L).otherwise(0L)).over(w), lit(0L))
+          .cast("bigint"))
+      .drop("graft_us")
+  }
+
+  /** Periodic retention cohorts: users grouped by the truncated period of
+    * their first event; for each (cohort, period-offset) the count of
+    * users active in that period. Two user-keyed aggregates and one join.
+    * Output: `cohort_week`, `week_offset`, `n_users`. */
+  def retentionCohort(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val first = df.groupBy(user.as("graft_u"))
+      .agg(date_trunc("week", min(ts)).cast("timestamp_ntz").as("cohort"))
+    val act = df.select(user.as("graft_u"),
+      date_trunc("week", ts).cast("timestamp_ntz").as("graft_wk")).distinct()
+    first.join(act, Seq("graft_u"))
+      .groupBy(col("cohort").as("cohort_week"),
+        (datediff(col("graft_wk"), col("cohort")) / 7).cast("bigint")
+          .as("week_offset"))
+      .agg(countDistinct("graft_u").as("n_users"))
+  }
+
+  /** Temperature-balanced multi-source sampling: per-`group` rates
+    * ∝ count^(1/temperature), scaled so the expected selected volume is
+    * `targetFrac` of the corpus, applied as a stateless md5 threshold on
+    * `id`. The rate table is a tiny broadcast; selection is one
+    * embarrassingly-parallel scan — the only sampling shape that works at
+    * 100 TB. Output: selected rows plus `rate`. */
+  def datasetMix(df: DataFrame, group: Column, id: Column,
+      targetFrac: Double = 0.5, temperature: Double = 2.0,
+      saltPrefix: String = "mix"): DataFrame = {
+    // sqrt(), not pow(x, 0.5), at the default T=2: they differ in the last
+    // ulp on some inputs, and the engine-portability contract pins sqrt
+    def w(c: Column) =
+      if (temperature == 2.0) sqrt(c.cast("double"))
+      else pow(c.cast("double"), 1.0 / temperature)
+    val counts = df.groupBy(group.as("graft_g")).agg(count(lit(1)).as("graft_n"))
+    val tot = counts.agg(
+      sum(w(col("graft_n"))).as("graft_sw"),
+      sum("graft_n").as("graft_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("graft_g"),
+        least(lit(1.0),
+          (w(col("graft_n")) / col("graft_sw"))
+            * (col("graft_total").cast("double") * targetFrac)
+            / col("graft_n").cast("double")).as("rate"))
+      .withColumn("graft_thr",
+        lower(lpad(hex(floor(col("rate") * 16777216.0).cast("bigint")), 6, "0")))
+    df.withColumn("graft_g", group)
+      .join(broadcast(rates), Seq("graft_g"))
+      .filter(substring(md5(concat(lit(saltPrefix), id.cast("string"))), 1, 6)
+        < col("graft_thr"))
+      .drop("graft_g", "graft_thr")
+  }
+
+  /** Content-addressed chunk manifest for large payloads: `chunkBytes`
+    * ranges with (chunk_no, byte_offset, chunk_len, chunk_hash) per row —
+    * row-local explode, no shuffle; how a blob column gets processed
+    * without one task holding a whole object. Output: `id` (as `doc_id`),
+    * chunk columns. */
+  def chunkManifest(df: DataFrame, id: Column, payload: Column,
+      chunkBytes: Int = 100): DataFrame =
+    df.select(id.as("doc_id"), payload.as("graft_p"),
+        length(payload).as("graft_n"),
+        // guarded ascending sequence (sequence(1, 0) would step BACKWARD)
+        explode(sequence(lit(1),
+          greatest(ceil(length(payload).cast("double") / chunkBytes).cast("int"),
+            lit(1)))).as("graft_c"))
+      .filter((col("graft_c") - 1) * chunkBytes < col("graft_n"))
+      .select(col("doc_id"),
+        (col("graft_c") - 1).cast("bigint").as("chunk_no"),
+        ((col("graft_c") - 1) * chunkBytes).cast("bigint").as("byte_offset"),
+        least(lit(chunkBytes), col("graft_n") - (col("graft_c") - 1) * chunkBytes)
+          .cast("bigint").as("chunk_len"),
+        md5(col("graft_p").substr(((col("graft_c") - 1) * chunkBytes + 1).cast("int"),
+          lit(chunkBytes))).as("chunk_hash"))
 }

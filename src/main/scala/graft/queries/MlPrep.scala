@@ -352,21 +352,14 @@ object MlPrep {
     * single global sort a corpus-wide cumsum would. */
   val mlPackSequences = Q(
     "ml_pack_sequences",
-    (spark, sfDir) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ", -1)).cast("bigint").as("n_tokens"))
-        .withColumn("cum_before",
-          sum("n_tokens").over(w) - col("n_tokens"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          floor(col("cum_before").cast("double") / 512).cast("bigint").as("bin"),
-          (col("cum_before") -
-            lit(512) * floor(col("cum_before").cast("double") / 512))
-            .cast("bigint").as("bin_offset"))
-        .orderBy("source", "doc_id")
-    },
+    (spark, sfDir) =>
+      graft.ops.Ops.packSequences(
+          Tables.documents(spark, sfDir)
+            .select(col("doc_id"), col("source"), col("text")),
+          col("source"), col("doc_id"),
+          size(split(col("text"), " ", -1)), binSize = 512)
+        .select("doc_id", "source", "n_tokens", "bin", "bin_offset")
+        .orderBy("source", "doc_id"),
     Some("""WITH d AS (
               SELECT doc_id, source,
                      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
@@ -392,27 +385,12 @@ object MlPrep {
     * or sort-based) the only shape that works at 100 TB. */
   val mlDatasetMix = Q(
     "ml_dataset_mix",
-    (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
-      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      val tot = counts.agg(
-        sum(sqrt(col("n").cast("double"))).as("sw"),
-        sum("n").as("total"))
-      val rates = counts.crossJoin(broadcast(tot))
-        .select(col("source"),
-          least(lit(1.0),
-            (sqrt(col("n").cast("double")) / col("sw"))
-              * (col("total").cast("double") * 0.5)
-              / col("n").cast("double")).as("rate"))
-        .withColumn("h_thr",
-          lower(lpad(hex(floor(col("rate") * 16777216.0).cast("bigint")),
-            6, "0")))
-      docs.join(broadcast(rates), Seq("source"))
-        .filter(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))),
-          1, 6) < col("h_thr"))
+    (spark, sfDir) =>
+      graft.ops.Ops.datasetMix(Tables.documents(spark, sfDir),
+          col("source"), col("doc_id"),
+          targetFrac = 0.5, temperature = 2.0, saltPrefix = "mix")
         .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
             w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM counts),
             tot AS (SELECT sum(wt) AS sw, sum(n) AS total FROM w),

@@ -147,21 +147,8 @@ object Multimodal {
   val mmChunkManifest = Q(
     "mm_chunk_manifest",
     (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"),
-          length(col("text")).as("n"),
-          // guarded ascending sequence (sequence(1,0) would step BACKWARD)
-          explode(expr(
-            "sequence(1, greatest(cast(ceil(length(text) / 100.0) as int), 1))"))
-            .as("c"))
-        .filter((col("c") - 1) * 100 < col("n"))
-        .select(col("doc_id"),
-          (col("c") - 1).cast("bigint").as("chunk_no"),
-          ((col("c") - 1) * 100).cast("bigint").as("byte_offset"),
-          least(lit(100), col("n") - (col("c") - 1) * 100).cast("bigint")
-            .as("chunk_len"),
-          md5(col("text").substr(((col("c") - 1) * 100 + 1).cast("int"),
-            lit(100))).as("chunk_hash"))
+      graft.ops.Ops.chunkManifest(Tables.documents(spark, sfDir),
+          col("doc_id"), col("text"), chunkBytes = 100)
         .orderBy("doc_id", "chunk_no"),
     Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
             SELECT doc_id,

@@ -434,18 +434,10 @@ object TimeSeries {
     * both truncations are exact Monday boundaries in both engines. */
   val tsRetentionCohort = Q(
     "ts_retention_cohort",
-    (spark, sfDir) => {
-      val ev = Tables.events(spark, sfDir)
-      val first = ev.groupBy("user_id")
-        .agg(date_trunc("week", min("ts")).cast("timestamp_ntz").as("cohort"))
-      val act = ev.select(col("user_id"),
-        date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk")).distinct()
-      first.join(act, Seq("user_id"))
-        .groupBy(col("cohort").as("cohort_week"),
-          (datediff(col("wk"), col("cohort")) / 7).cast("bigint").as("week_offset"))
-        .agg(countDistinct("user_id").as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    },
+    (spark, sfDir) =>
+      graft.ops.Ops.retentionCohort(Tables.events(spark, sfDir),
+          col("user_id"), col("ts"))
+        .orderBy("cohort_week", "week_offset"),
     Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
                        FROM events GROUP BY user_id),
             act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
@@ -538,19 +530,14 @@ object TimeSeries {
     * conditional count rides the same user-keyed sort as any lag/lead. */
   val tsConversionWindow = Q(
     "ts_conversion_window",
-    (spark, sfDir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("us"))
-        .rangeBetween(1L, 300000000L)
-      Tables.events(spark, sfDir)
-        .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
-        .withColumn("n_clicks_5m",
-          coalesce(
-            sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w),
-            lit(0L)).cast("bigint"))
+    (spark, sfDir) =>
+      graft.ops.Ops.conversionWindow(Tables.events(spark, sfDir),
+          col("user_id"), expr("unix_micros(cast(ts as timestamp))"),
+          col("event_type") === "click", fromUs = 1L, toUs = 300000000L)
         .filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts", "n_clicks_5m")
-        .orderBy("event_id")
-    },
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("n_in_window").as("n_clicks_5m"))
+        .orderBy("event_id"),
     // oracle is the equivalent RANGE JOIN, not the window: DuckDB 1.0's
     // RANGE … FOLLOWING frame drops in-range peers on a handful of rows
     // over the full 10k-row partition-by (verified: the same window over a

@@ -210,18 +210,12 @@ object Windows {
     * set-per-frame would hold every distinct value seen. */
   val winRunningDistinct = Q(
     "win_running_distinct",
-    (spark, sfDir) => {
-      val wFirst = Window.partitionBy("user_id", "event_type")
-        .orderBy("ts", "event_id")
-      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(spark, sfDir)
-        .withColumn("first_seen",
-          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+    (spark, sfDir) =>
+      graft.ops.Ops.runningDistinct(Tables.events(spark, sfDir),
+          col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-          sum("first_seen").over(wRun).cast("bigint").as("n_distinct_types"))
-        .orderBy("user_id", "ts", "event_id")
-    },
+          col("n_distinct").as("n_distinct_types"))
+        .orderBy("user_id", "ts", "event_id"),
     Some("""WITH m AS (
               SELECT event_id, user_id, ts, event_type,
                      CASE WHEN row_number() OVER (PARTITION BY user_id, event_type

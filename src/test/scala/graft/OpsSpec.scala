@@ -82,4 +82,79 @@ class OpsSpec extends SparkSpec {
     assert(z9 > 1.5, s"outlier z = $z9") // 100 vs flat 10s
     assert(out(9)._1 == 5)
   }
+
+  test("packSequences fills bins sequentially per group on an arbitrary schema") {
+    import spark.implicits._
+    val df = Seq(("s", 1, 300), ("s", 2, 300), ("s", 3, 300), ("t", 1, 900))
+      .toDF("shard", "seq", "tok")
+    val out = Ops.packSequences(df, col("shard"), col("seq"), col("tok"), binSize = 500)
+      .orderBy("shard", "seq")
+      .select("shard", "seq", "bin", "bin_offset").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // s: cum_before 0,300,600 -> bins 0,0,1 offsets 0,300,100
+    assert(out.toSeq == Seq(("s", 1, 0L, 0L), ("s", 2, 0L, 300L),
+      ("s", 3, 1L, 100L), ("t", 1, 0L, 0L)))
+  }
+
+  test("runningDistinct counts first occurrences on an arbitrary schema") {
+    import spark.implicits._
+    val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"), (2, 1, "z"))
+      .toDF("k", "o", "v")
+    val out = Ops.runningDistinct(df, col("k"), col("v"), col("o"))
+      .orderBy("k", "o").select("n_distinct").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L, 2L, 3L, 1L))
+  }
+
+  test("conversionWindow counts targets strictly inside the value-range frame") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 1000L, "view"), (1, 1001L, "click"), (1, 2000L, "click"),
+      (1, 2001L, "view"), (2, 1000L, "view"))
+      .toDF("u", "us", "typ")
+    val out = Ops.conversionWindow(df, col("u"), col("us"),
+        col("typ") === "click", fromUs = 1L, toUs = 1000L)
+      .filter(col("typ") === "view").orderBy("u", "us")
+      .select("n_in_window").collect().map(_.getLong(0))
+    // view@1000: clicks at 1001 (in) and 2000 (in, = +1000) -> 2
+    // view@2001: none following -> 0 ; user 2: none -> 0
+    assert(out.toSeq == Seq(2L, 0L, 0L))
+  }
+
+  test("retentionCohort offsets are whole weeks from each user's first activity") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00") // a Monday
+    def plusDays(d: Int) = java.sql.Timestamp.valueOf(
+      t0.toLocalDateTime.plusDays(d))
+    val df = Seq((7L, t0), (7L, plusDays(9)), (8L, plusDays(1)))
+      .toDF("uid", "at")
+    val out = Ops.retentionCohort(df, col("uid"), col("at"))
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // user 7 active in week 0 and week 1; user 8 in week 0 only
+    assert(out.toSeq == Seq((0L, 2L), (1L, 1L)))
+  }
+
+  test("datasetMix selection is deterministic and respects rate ceilings") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (s"src${i % 4}", i)).toDF("origin", "rid")
+    val a = Ops.datasetMix(df, col("origin"), col("rid"), targetFrac = 0.25)
+    val b = Ops.datasetMix(df, col("origin"), col("rid"), targetFrac = 0.25)
+    assert(a.select("rid").collect().map(_.getLong(0)).toSet ==
+      b.select("rid").collect().map(_.getLong(0)).toSet)
+    val rates = a.select("rate").distinct().collect().map(_.getDouble(0))
+    assert(rates.forall(r => r > 0.0 && r <= 1.0))
+    // equal-sized groups at T=2 -> rate == targetFrac; selected ~25%
+    assert(math.abs(rates.head - 0.25) < 1e-9)
+  }
+
+  test("chunkManifest tiles an arbitrary payload column exactly") {
+    import spark.implicits._
+    val df = Seq((5L, "x" * 250), (6L, "")).toDF("k", "blob")
+    val out = Ops.chunkManifest(df, col("k"), col("blob"), chunkBytes = 100)
+      .orderBy("doc_id", "chunk_no").collect()
+    val k5 = out.filter(_.getLong(0) == 5L)
+    assert(k5.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 100L), (1L, 100L, 100L), (2L, 200L, 50L)))
+    assert(!out.exists(_.getLong(0) == 6L)) // empty payload -> no chunks
+  }
 }
