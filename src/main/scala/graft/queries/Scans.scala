@@ -93,6 +93,25 @@ object Scans {
             FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_nullable
                   FROM customer) ORDER BY c_custkey"""))
 
+  /** Non-file source: Spark's Range relation (the generator every engine
+    * exposes — DuckDB's generate_series). 100k synthetic rows aggregated
+    * by modulo bucket; sums stay in exact BIGINT. Range splits evenly
+    * across partitions, so the generator itself parallelizes — the pattern
+    * for synthetic/benchmark data generation at scale. */
+  val scanRangeSource = Q(
+    "scan_range_source",
+    (spark, _) =>
+      spark.range(1, 100001)
+        .select(pmod(col("id"), lit(10)).as("bucket"),
+          col("id"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("id") * col("id")).as("sum_sq"))
+        .orderBy("bucket"),
+    Some("""SELECT i % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(i * i) AS BIGINT) AS sum_sq
+            FROM (SELECT unnest(generate_series(1, 100000)) AS i)
+            GROUP BY bucket ORDER BY bucket"""))
+
   def qs: Seq[Q] = Seq(scanProject, scanFilterPushdown, scanEventsNs,
-    projectCompute, filterCompound, filterNullSemantics)
+    projectCompute, filterCompound, filterNullSemantics, scanRangeSource)
 }

@@ -935,11 +935,78 @@ object TextOps {
             FROM dfq CROSS JOIN n WHERE CAST(df AS DOUBLE)/n_docs > 0.6
             ORDER BY term"""))
 
+  /** The composed dedup pipeline as one graded query — stage-survivor
+    * census: exact content dedup, then flag docs whose 8-token chunks are
+    * >50% shared with an EARLIER doc (sub-document near-dup), then the
+    * final corpus size. Every stage is hash-keyed (content hash, chunk
+    * hash, doc id) — the whole pipeline is shuffles on hashes, no pair
+    * comparisons, which is why this composition is the 100-TB recipe. */
+  val textDedupPipeline = Q(
+    "text_dedup_pipeline",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val survivors = graft.ops.Ops
+        .exactDedup(docs, md5(col("text")), col("doc_id"))
+        .select("doc_id", "text")
+      val ch = survivors
+        .select(col("doc_id"), split(col("text"), " ", -1).as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, (size(tk) - 8) div 4 + 1)")).as("i"))
+        .select(col("doc_id"),
+          md5(expr("array_join(slice(tk, (i - 1) * 4 + 1, 8), ' ')")).as("h"))
+      val owner = ch.groupBy("h").agg(min("doc_id").as("owner"))
+      val shared = ch.join(owner, Seq("h"))
+        .filter(col("doc_id") > col("owner"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val flagged = tot.join(shared, Seq("doc_id"))
+        .filter(col("n_shared").cast("double") / col("n_chunks") > 0.5)
+      val nIn = docs.agg(count(lit(1)).as("n"))
+        .select(lit("0_input").as("stage"), col("n").as("n"))
+      val nS1 = survivors.agg(count(lit(1)).as("n"))
+        .select(lit("1_exact_dedup").as("stage"), col("n").as("n"))
+      val nFl = flagged.agg(count(lit(1)).as("nf"))
+      val nS1c = survivors.agg(count(lit(1)).as("ns"))
+      val st2 = nFl.select(lit("2_chunk_flagged").as("stage"), col("nf").as("n"))
+      val st3 = nS1c.crossJoin(nFl)
+        .select(lit("3_final").as("stage"), (col("ns") - col("nf")).as("n"))
+      nIn.unionAll(nS1).unionAll(st2).unionAll(st3).orderBy("stage")
+    },
+    Some("""WITH exact AS (
+              SELECT doc_id, md5(text) AS h,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents),
+            survivors1 AS (SELECT doc_id FROM exact WHERE rn = 1),
+            toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+                     WHERE doc_id IN (SELECT doc_id FROM survivors1)),
+            ch AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest((len(tk)-8)//4 + 1, 0)),
+                            i -> md5(array_to_string(tk[(i-1)*4+1:(i-1)*4+8], ' ')))) AS h
+              FROM toks WHERE len(tk) >= 8),
+            chunk_owner AS (SELECT h, min(doc_id) AS owner FROM ch GROUP BY h),
+            shared AS (
+              SELECT c.doc_id, count(*) AS n_shared
+              FROM ch c JOIN chunk_owner o ON c.h = o.h AND c.doc_id > o.owner
+              GROUP BY c.doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+            flagged AS (
+              SELECT t.doc_id FROM tot t JOIN shared s ON t.doc_id = s.doc_id
+              WHERE CAST(s.n_shared AS DOUBLE) / t.n_chunks > 0.5)
+            SELECT stage, n FROM (
+              SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+              UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT) FROM survivors1
+              UNION ALL SELECT '2_chunk_flagged', CAST(count(*) AS BIGINT) FROM flagged
+              UNION ALL SELECT '3_final', CAST((SELECT count(*) FROM survivors1)
+                                               - count(*) AS BIGINT) FROM flagged)
+            ORDER BY stage"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
     textLshDedupVerified, textSimhashBandPairs, textEditDistancePairs,
     textTrigramProfile, textBlocklistFilter, textRepetitionStats,
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
-    textStopwordDiscovery)
+    textStopwordDiscovery, textDedupPipeline)
 }

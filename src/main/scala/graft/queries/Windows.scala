@@ -228,7 +228,28 @@ object Windows {
                      AS n_distinct_types
             FROM m ORDER BY user_id, ts, event_id"""))
 
+  /** Rolling 5-row median per user — the robust smoother (rolling mean is
+    * ts_moving_zscore's domain; median shrugs off single spikes). EXACT
+    * interpolated percentile over the frame on both engines; boundary
+    * frames (n < 5) interpolate identically, and round(4) absorbs any
+    * last-ulp interpolation-formula difference. */
+  val winRollingMedian = Q(
+    "win_rolling_median",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      graft.util.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(expr("percentile(value, 0.5)").over(w), 4).as("med5"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, value,
+                   round(quantile_cont(value, 0.5)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+            FROM events ORDER BY event_id"""))
+
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
     winLeadLag, winNtilePct, winFirstLast, winCumeDist, winRatioToReport,
-    winRunningDistinct)
+    winRunningDistinct, winRollingMedian)
 }

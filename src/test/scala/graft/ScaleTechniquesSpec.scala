@@ -128,6 +128,34 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("text_ngram_topk plans as TakeOrdered, never a global sort of the aggregate") {
+    val q = graft.queries.Registry.byName("text_ngram_topk").build(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition-heap top-k in:\n$plan")
+  }
+
+  test("round-4 batch ops keep every data window partitioned on a real key") {
+    // the §7.7 rule: row_number/sum windows over raw data must carry a
+    // partitionBy — a global window is a single-task sort at 100 TB
+    import org.apache.spark.sql.execution.window.WindowExec
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq("ml_pack_sequences", "win_running_distinct", "ts_ewma",
+        "ts_changepoint", "ts_conversion_window", "win_rolling_median",
+        "text_repetition_stats").foreach { name =>
+        val plan = graft.queries.Registry.byName(name).build(spark, sf0001)
+          .queryExecution.executedPlan
+        val unpartitioned = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(unpartitioned.isEmpty,
+          s"$name has an unpartitioned data window:\n${unpartitioned.headOption}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("ml_shuffle_batch: every unpartitioned window sits over an aggregate, not the data") {
     // The round-3 verdict flagged the old formulation's
     // row_number() OVER (ORDER BY ...) — a single-task sort over the whole
