@@ -948,30 +948,34 @@ object TextOps {
       val survivors = graft.ops.Ops
         .exactDedup(docs, md5(col("text")), col("doc_id"))
         .select("doc_id", "text")
-      val ch = survivors
+      // owner via a window on the chunk hash, NOT a groupBy+self-join: the
+      // join formulation makes the tokenize→explode subtree appear three
+      // times in the plan and Catalyst recomputes it per occurrence (the
+      // round-3 text_tfidf lesson); this shape computes chunks ONCE —
+      // window on h, then one per-doc aggregate
+      val wOwner = Window.partitionBy("h")
+      val perDoc = survivors
         .select(col("doc_id"), split(col("text"), " ", -1).as("tk"))
         .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), col("tk"),
           explode(expr("sequence(1, (size(tk) - 8) div 4 + 1)")).as("i"))
         .select(col("doc_id"),
           md5(expr("array_join(slice(tk, (i - 1) * 4 + 1, 8), ' ')")).as("h"))
-      val owner = ch.groupBy("h").agg(min("doc_id").as("owner"))
-      val shared = ch.join(owner, Seq("h"))
-        .filter(col("doc_id") > col("owner"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      val flagged = tot.join(shared, Seq("doc_id"))
+        .withColumn("owner", min("doc_id").over(wOwner))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") > col("owner"), 1L).otherwise(0L)).as("n_shared"))
+      val flagged = perDoc
         .filter(col("n_shared").cast("double") / col("n_chunks") > 0.5)
-      val nIn = docs.agg(count(lit(1)).as("n"))
-        .select(lit("0_input").as("stage"), col("n").as("n"))
-      val nS1 = survivors.agg(count(lit(1)).as("n"))
-        .select(lit("1_exact_dedup").as("stage"), col("n").as("n"))
-      val nFl = flagged.agg(count(lit(1)).as("nf"))
-      val nS1c = survivors.agg(count(lit(1)).as("ns"))
-      val st2 = nFl.select(lit("2_chunk_flagged").as("stage"), col("nf").as("n"))
-      val st3 = nS1c.crossJoin(nFl)
-        .select(lit("3_final").as("stage"), (col("ns") - col("nf")).as("n"))
-      nIn.unionAll(nS1).unionAll(st2).unionAll(st3).orderBy("stage")
+      // one 1-row frame carrying all three counts, stacked to stage rows —
+      // each count subtree appears exactly once in the final plan
+      docs.agg(count(lit(1)).as("n_in"))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_s1")))
+        .crossJoin(flagged.agg(count(lit(1)).as("n_fl")))
+        .select(expr(
+          "stack(4, '0_input', n_in, '1_exact_dedup', n_s1," +
+            " '2_chunk_flagged', n_fl, '3_final', n_s1 - n_fl) AS (stage, n)"))
+        .orderBy("stage")
     },
     Some("""WITH exact AS (
               SELECT doc_id, md5(text) AS h,
