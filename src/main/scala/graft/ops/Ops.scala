@@ -244,14 +244,16 @@ object Ops {
   /** Running COUNT(DISTINCT `value`) per `part` under `order` — no engine
     * supports DISTINCT in a running frame; the O(1)-state decomposition is
     * a first-occurrence marker (row_number()=1 per (part, value)) plus a
-    * running sum of markers. Output: input columns plus `n_distinct`. */
+    * running sum of markers. NULL values are excluded, matching SQL
+    * COUNT(DISTINCT) semantics. Output: input columns plus `n_distinct`. */
   def runningDistinct(df: DataFrame, part: Column, value: Column,
       order: Column*): DataFrame = {
     val wFirst = Window.partitionBy(part, value).orderBy(order: _*)
     val wRun = Window.partitionBy(part).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("graft_first",
-        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        when(value.isNotNull && row_number().over(wFirst) === 1, 1L)
+          .otherwise(0L))
       .withColumn("n_distinct", sum("graft_first").over(wRun).cast("bigint"))
       .drop("graft_first")
   }
@@ -313,20 +315,29 @@ object Ops {
           (w(col("graft_n")) / col("graft_sw"))
             * (col("graft_total").cast("double") * targetFrac)
             / col("graft_n").cast("double")).as("rate"))
+      // NUMERIC threshold, not a hex-string compare: at rate = 1.0 the
+      // threshold is 16777216 whose hex is SEVEN digits, and lpad(_, 6)
+      // TRUNCATES — a fully-kept group would silently retain only the
+      // md5 prefixes starting with '0' (~1/16). conv() of the 6-hex-digit
+      // prefix compared as a number has no such edge.
       .withColumn("graft_thr",
-        lower(lpad(hex(floor(col("rate") * 16777216.0).cast("bigint")), 6, "0")))
+        floor(col("rate") * 16777216.0).cast("bigint"))
     df.withColumn("graft_g", group)
       .join(broadcast(rates), Seq("graft_g"))
-      .filter(substring(md5(concat(lit(saltPrefix), id.cast("string"))), 1, 6)
-        < col("graft_thr"))
+      .filter(conv(substring(md5(concat(lit(saltPrefix), id.cast("string"))),
+        1, 6), 16, 10).cast("bigint") < col("graft_thr"))
       .drop("graft_g", "graft_thr")
   }
 
   /** Content-addressed chunk manifest for large payloads: `chunkBytes`
     * ranges with (chunk_no, byte_offset, chunk_len, chunk_hash) per row —
     * row-local explode, no shuffle; how a blob column gets processed
-    * without one task holding a whole object. Output: `id` (as `doc_id`),
-    * chunk columns. */
+    * without one task holding a whole object. Offsets/lengths are measured
+    * in the payload's own units: CHARACTERS for a string column (== bytes
+    * only for ASCII payloads — the fixture-pinned case, MultimodalSpec),
+    * bytes for a binary column. For multibyte text, pass the binary cast
+    * so the advertised ranges are fetchable byte ranges. Output: `id` (as
+    * `doc_id`), chunk columns. */
   def chunkManifest(df: DataFrame, id: Column, payload: Column,
       chunkBytes: Int = 100): DataFrame =
     df.select(id.as("doc_id"), payload.as("graft_p"),

@@ -483,7 +483,6 @@ object Aggs {
       val s2 = sum(v2).cast("double")
       val s3 = sum(v2 * v).cast("double")
       val s4 = sum(v2 * v2).cast("double")
-      val n = count(lit(1)).cast("double")
       Tables.events(spark, sfDir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), s1.as("s1"), s2.as("s2"),

@@ -400,12 +400,12 @@ object MlPrep {
               FROM w CROSS JOIN tot),
             thr AS (
               SELECT source, rate,
-                     lower(lpad(to_hex(CAST(floor(rate * 16777216.0) AS BIGINT)),
-                                6, '0')) AS h_thr
+                     CAST(floor(rate * 16777216.0) AS BIGINT) AS n_thr
               FROM rates)
             SELECT d.doc_id, d.source, round(t.rate, 6) AS rate
             FROM documents d JOIN thr t ON d.source = t.source
-            WHERE substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 6) < t.h_thr
+            WHERE CAST(('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) < t.n_thr
             ORDER BY d.doc_id"""))
 
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,

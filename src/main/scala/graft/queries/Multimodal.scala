@@ -156,7 +156,10 @@ object Multimodal {
                    CAST((c - 1) * 100 AS BIGINT) AS byte_offset,
                    CAST(least(100, n - (c - 1) * 100) AS BIGINT) AS chunk_len,
                    md5(substring(text, (c - 1) * 100 + 1, 100)) AS chunk_hash
-            FROM d, (SELECT unnest(generate_series(1, 100)) AS c) g
+            FROM (SELECT doc_id, text, n,
+                         unnest(generate_series(1,
+                           greatest(CAST(ceil(n / 100.0) AS INT), 1))) AS c
+                  FROM d)
             WHERE (c - 1) * 100 < n
             ORDER BY doc_id, chunk_no"""))
 

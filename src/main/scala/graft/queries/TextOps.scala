@@ -651,10 +651,12 @@ object TextOps {
 
   /** Blocklist filtering — the "bad-word" safety pass of an LLM data
     * pipeline: per doc, count blocklisted tokens, flag docs whose hit
-    * ratio exceeds 10%, and emit the redacted text. Pure per-row
-    * expressions (a token-set membership via `filter` + one anchored
-    * regexp_replace) — embarrassingly parallel, no shuffle before the
-    * final presentation sort, so the pass costs one scan at any scale. */
+    * ratio exceeds 10%, and emit the redacted text. Counting and
+    * redaction use the SAME tokenization (whole-token membership) so the
+    * quality columns can never disagree with the emitted text — a regex
+    * \b redactor would also rewrite inside hyphenated/punctuated tokens
+    * the counter ignores. Pure per-row expressions — embarrassingly
+    * parallel, no shuffle before the final presentation sort. */
   val textBlocklistFilter = Q(
     "text_blocklist_filter",
     (spark, sfDir) =>
@@ -670,7 +672,9 @@ object TextOps {
         .select(col("doc_id"), col("n_tokens"), col("n_hits"),
           round(col("hit_ratio"), 4).as("hit_ratio"),
           (col("hit_ratio") > 0.1).as("flagged"),
-          regexp_replace(col("text"), "\\b(slow|error|big)\\b", "[X]")
+          expr("""array_join(transform(split(text, ' ', -1),
+                    t -> CASE WHEN t IN ('slow','error','big')
+                              THEN '[X]' ELSE t END), ' ')""")
             .as("redacted"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -683,7 +687,9 @@ object TextOps {
               CAST(len(list_filter(string_split(text, ' '),
                        t -> t IN ('slow','error','big'))) AS DOUBLE)
                     / len(string_split(text, ' ')) > 0.1 AS flagged,
-              regexp_replace(text, '\b(slow|error|big)\b', '[X]', 'g') AS redacted
+              array_to_string(list_transform(string_split(text, ' '),
+                t -> CASE WHEN t IN ('slow','error','big')
+                          THEN '[X]' ELSE t END), ' ') AS redacted
             FROM documents ORDER BY doc_id"""))
 
   /** Gopher-style repetition signals per doc: the fraction of bigram mass
@@ -822,6 +828,13 @@ object TextOps {
   val textContamination = Q(
     "text_contamination",
     (spark, sfDir) => {
+      // Single shingle pass: with benchmark and candidates carved from ONE
+      // corpus, a bench-filter + broadcast-join formulation re-derives the
+      // explode subtree three times (bench, hits, totals) — Catalyst has
+      // no subtree reuse. A membership flag + max-over-shingle window
+      // computes the shingles once. (With a SEPARATE benchmark corpus —
+      // the production decontamination shape — broadcast its shingle set
+      // into an equi-join instead; the eval-suite side is always tiny.)
       val sh = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"),
           split(col("text"), " ", -1).as("tk"))
@@ -831,20 +844,18 @@ object TextOps {
         .select(col("doc_id"), col("source"), col("tk"),
           explode(expr("sequence(1, greatest(size(tk) - 7, 1))")).as("p"))
         .filter(col("p") <= size(col("tk")) - 7)
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), (col("source") === "src0").as("is_bench"),
           md5(expr("array_join(slice(tk, p, 8), ' ')")).as("shingle"))
-      val bench = sh.filter(col("source") === "src0")
-        .select("shingle").distinct()
-      val cand = sh.filter(col("source") =!= "src0")
-        .select("doc_id", "shingle").distinct()
-      val hits = cand.join(broadcast(bench), Seq("shingle"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      cand.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)).cast("double")
-            / col("n_shingles"), 4).as("contaminated_frac"))
+        .distinct()
+      sh.withColumn("hit",
+          max(when(col("is_bench"), 1L).otherwise(0L))
+            .over(Window.partitionBy("shingle")))
+        .filter(!col("is_bench"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), sum("hit").as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_shingles"), 4)
+            .as("contaminated_frac"))
         .orderBy("doc_id")
     },
     Some("""WITH toks AS (
@@ -874,17 +885,21 @@ object TextOps {
     * misses. One explode + one hash agg keyed on content hash; at 100 TB
     * the dedup decision stays a shuffle on the chunk hash, never a pair
     * comparison. */
+  /** Full 8-token chunks at stride 4, shared by text_chunk_dedup and
+    * text_dedup_pipeline — ONE implementation via Ops.tokenChunks (the
+    * n_chunk_tokens = 8 filter keeps exactly the full windows; short tail
+    * chunks and sub-8-token docs drop out, equivalent to the explicit
+    * (size-8) div 4 + 1 bound). */
+  private def chunkShingles(docs: org.apache.spark.sql.DataFrame) =
+    graft.ops.Ops.tokenChunks(docs, col("doc_id"), col("text"),
+        chunkSize = 8, stride = 4)
+      .filter(col("n_chunk_tokens") === 8)
+      .select(col("doc_id"), col("chunk_hash").as("h"))
+
   val textChunkDedup = Q(
     "text_chunk_dedup",
     (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), split(col("text"), " ", -1).as("tk"))
-        .filter(size(col("tk")) >= 8)
-        // size >= 8 guarantees the sequence bound >= 1 (ascending)
-        .select(col("doc_id"), col("tk"),
-          explode(expr("sequence(1, (size(tk) - 8) div 4 + 1)")).as("i"))
-        .select(col("doc_id"),
-          md5(expr("array_join(slice(tk, (i - 1) * 4 + 1, 8), ' ')")).as("h"))
+      chunkShingles(Tables.documents(spark, sfDir))
         .groupBy(col("h").as("chunk_hash"))
         .agg(count(lit(1)).as("n_total"),
           countDistinct("doc_id").as("n_docs"),
@@ -954,13 +969,7 @@ object TextOps {
       // round-3 text_tfidf lesson); this shape computes chunks ONCE —
       // window on h, then one per-doc aggregate
       val wOwner = Window.partitionBy("h")
-      val perDoc = survivors
-        .select(col("doc_id"), split(col("text"), " ", -1).as("tk"))
-        .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), col("tk"),
-          explode(expr("sequence(1, (size(tk) - 8) div 4 + 1)")).as("i"))
-        .select(col("doc_id"),
-          md5(expr("array_join(slice(tk, (i - 1) * 4 + 1, 8), ' ')")).as("h"))
+      val perDoc = chunkShingles(survivors)
         .withColumn("owner", min("doc_id").over(wOwner))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),

@@ -147,6 +147,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(rates.head - 0.25) < 1e-9)
   }
 
+  test("datasetMix keeps a rate-capped group in FULL (the hex-truncation regression)") {
+    import spark.implicits._
+    // one tiny group + one huge group at T=2: the tiny group's boosted
+    // rate caps at 1.0 — every one of its rows must survive (the old
+    // lpad(hex(16777216), 6) threshold silently kept ~1/16)
+    val df = ((1L to 5L).map(i => ("rare", i)) ++
+      (6L to 2000L).map(i => ("common", i))).toDF("origin", "rid")
+    val out = Ops.datasetMix(df, col("origin"), col("rid"), targetFrac = 0.9)
+    val rare = out.filter(col("origin") === "rare")
+    assert(rare.count() == 5, "capped group must be fully retained")
+    assert(rare.select("rate").head().getDouble(0) == 1.0)
+  }
+
   test("chunkManifest tiles an arbitrary payload column exactly") {
     import spark.implicits._
     val df = Seq((5L, "x" * 250), (6L, "")).toDF("k", "blob")
