@@ -21,12 +21,18 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
-      name -> ts(ts.size / 2)
+      // ANY failed rep marks the query failed (-1): sorting would
+      // otherwise hide an intermittent crash behind a healthy median,
+      // and a -1 summed into the total would make a BROKEN query look
+      // like a speedup
+      name -> (if (ts.head < 0) -1.0 else ts(ts.size / 2))
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -30,6 +30,12 @@ object Ops {
     *
     * Output: input columns plus `h` (the content key). */
   def exactDedup(df: DataFrame, contentKey: Column, keepOrder: Column*): DataFrame = {
+    require(keepOrder.nonEmpty,
+      "exactDedup needs at least one keepOrder column (a total order " +
+        "decides WHICH duplicate survives — determinism contract)")
+    require(!df.columns.contains("h"),
+      "exactDedup emits the content key as column 'h'; the input already " +
+        "has an 'h' column, which would be silently overwritten")
     val w = Window.partitionBy("h").orderBy(keepOrder: _*)
     df.withColumn("h", contentKey)
       .withColumn("graft_rn", row_number().over(w))
@@ -56,7 +62,8 @@ object Ops {
   /** Context-window chunking: split `textCol` into `chunkSize`-token
     * chunks at `stride` (overlap = chunkSize − stride), content-addressed
     * by md5 — the LLM training-data shape. Row-local (no shuffle).
-    * Output: `id`, `chunk_no`, `n_chunk_tokens`, `chunk_hash`. */
+    * Output: `doc_id` (the caller's `id`), `chunk_no`, `n_chunk_tokens`,
+    * `chunk_hash`. */
   def tokenChunks(df: DataFrame, id: Column, textCol: Column,
       chunkSize: Int = 64, stride: Int = 48): DataFrame =
     df.select(id.as("doc_id"), split(textCol, " ", -1).as("graft_toks"))
@@ -75,19 +82,20 @@ object Ops {
     * shape that scales to any corpus); top-k is TakeOrdered (per-partition
     * heaps, no global sort). Ordering uses the ROUNDED similarity with id
     * tiebreak so the cut is total. Vectors must share dimensionality.
-    * Output: `vec_id`, `cos_sim` (rounded 4dp). */
+    * Zero-norm candidate rows are EXCLUDED (their cosine is 0/0 = NaN,
+    * which Spark sorts above every number descending — a garbage row
+    * would otherwise evict a true neighbor); a zero-norm query yields an
+    * empty result. Output: `vec_id`, `cos_sim` (rounded 4dp). */
   def cosineTopK(df: DataFrame, id: Column, vec: Column, queryId: Any,
       k: Int): DataFrame = {
-    val dbl = (c: Column) => transform(c, x => x.cast("double"))
-    val sumArr = (c: Column) => aggregate(c, lit(0.0), (a, x) => a + x)
-    val dot = (a: Column, b: Column) => sumArr(zip_with(a, b, (x, y) => x * y))
-    val norm = (c: Column) => sqrt(sumArr(transform(c, x => x * x)))
+    import graft.util.V.{dbl, dot, norm}
     val q = df.filter(id === lit(queryId))
       .select(dbl(vec).as("graft_qe"), norm(dbl(vec)).as("graft_qn"))
     df.filter(id =!= lit(queryId))
       .select(id.as("vec_id"), dbl(vec).as("graft_e"),
         norm(dbl(vec)).as("graft_en"))
       .crossJoin(broadcast(q))
+      .filter(col("graft_en") > 0.0 && col("graft_qn") > 0.0)
       .select(col("vec_id"),
         round(dot(col("graft_e"), col("graft_qe"))
           / (col("graft_en") * col("graft_qn")), 4).as("cos_sim"))
@@ -101,7 +109,14 @@ object Ops {
     * union twice — tag 0 before left rows at equal ts (feeds the backward
     * `last`), tag 2 after (feeds the forward `first`); both windows share
     * the (key; ts, tag) sort, so Catalyst evaluates them in a single
-    * WindowExec. Right rows are deduped on (key, ts).
+    * WindowExec. Right rows are deduped on (key, ts). NULL keys follow
+    * join semantics — a NULL-key left row gets `nearest_ts` NULL, never a
+    * match against NULL-key right rows (window partitioning would
+    * otherwise group NULLs together like GROUP BY). Gap comparison is in
+    * epoch microseconds of the naive timestamps — run with a UTC session
+    * timezone (the library default) so the ntz→instant cast is linear;
+    * in a DST-shifting session timezone wall-clock gaps across a
+    * transition are distorted by the offset change.
     * Output: left columns plus `nearest_ts`. */
   def asofNearest(left: DataFrame, leftKey: Column, leftTs: Column,
       right: DataFrame, rightKey: Column, rightTs: Column): DataFrame = {
@@ -113,6 +128,7 @@ object Ops {
       .withColumn("graft_sts", lit(null).cast("timestamp_ntz"))
     val obs = right
       .select(rightKey.as("graft_key"), rightTs.cast("timestamp_ntz").as("graft_ts"))
+      .filter(col("graft_key").isNotNull) // NULL never equi-matches
       .distinct()
     def tagged(t: Int) = {
       val cols = leftCols.map(c => lit(null).cast(base.schema(c).dataType).as(c))
@@ -132,7 +148,8 @@ object Ops {
           .over(wFwd))
       .filter(col("graft_tag") === 1)
       .withColumn("nearest_ts",
-        when(col("graft_back").isNull, col("graft_fwd"))
+        when(col("graft_key").isNull, lit(null).cast("timestamp_ntz"))
+          .when(col("graft_back").isNull, col("graft_fwd"))
           .when(col("graft_fwd").isNull, col("graft_back"))
           .when(unix_micros(col("graft_ts").cast("timestamp"))
             - unix_micros(col("graft_back").cast("timestamp"))

@@ -68,16 +68,13 @@ object Approx {
     None)
 
   // ---- memoized index builds ------------------------------------------
-
-  private def key(spark: SparkSession, sfDir: String, what: String): String =
-    s"${System.identityHashCode(spark)}:$sfDir:$what"
-
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  // util.Memo keys weakly on the session object itself: a stopped
+  // session's persisted indexes become collectable (an identityHashCode
+  // string key pinned them forever and could collide across sessions)
 
   private def memo[T <: AnyRef](spark: SparkSession, sfDir: String,
       what: String)(build: => T): T =
-    indexCache.getOrElseUpdate(key(spark, sfDir, what), build).asInstanceOf[T]
+    graft.util.Memo(spark, s"$sfDir:$what")(build)
 
   /** L2-normalized embeddings as MLlib vectors — shared input of both ANN
     * indexes. Persisted: the build phase reads it several times (fit,

@@ -128,6 +128,36 @@ class Round6OpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 20))
   }
 
+  test("winnow fingerprint window positions: a 7-char doc emits zero windows") {
+    // regression: greatest(len-7, 0) let sequence(1,0) step backward and
+    // the p <= len-7 filter kept the bogus p=0 row at exactly len==7
+    import spark.implicits._
+    val probe = Seq((1L, "exactly"), (2L, "12345678"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = probe
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - 7, lit(1)))).as("p"))
+      .filter(col("p") <= length(col("text")) - 7)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSeq == Seq((2L, 1))) // only the 8-char doc, one window
+  }
+
+  test("Ops.asofNearest: NULL-key left rows never match NULL-key right rows") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t5 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val left = Seq((Option(1L), t), (Option.empty[Long], t))
+      .toDF("k", "at")
+    val right = Seq((Option(1L), t5), (Option.empty[Long], t5))
+      .toDF("rk", "rat")
+    val out = graft.ops.Ops.asofNearest(left, col("k"), col("at"),
+        right, col("rk"), col("rat"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(2)))).toMap
+    assert(out(Some(1L)).isDefined, "keyed row must match its signup")
+    assert(out(None).isEmpty, "NULL-key row must get NULL, not a NULL-key match")
+  }
+
   test("mm_chunk_manifest: chunks tile each payload exactly and hashes match content") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
