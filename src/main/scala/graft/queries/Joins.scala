@@ -330,7 +330,47 @@ object Joins {
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
 
+  /** Five-table star join (region→nation→customer→orders→lineitem) with a
+    * date filter and exact-decimal revenue rollup — the canonical
+    * dimensional query shape. The two true dimensions (region, nation)
+    * are broadcast; customer⇄orders⇄lineitem are fact-sized and shuffle
+    * on their keys (AQE re-plans if a side turns out broadcastable). The
+    * o_orderdate filter pushes to the orders scan. */
+  val joinStarFlagship = Q(
+    "join_star_flagship",
+    (spark, sfDir) => {
+      import graft.util.D
+      Tables.region(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(spark, sfDir),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(spark, sfDir)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          D.sumDec4(D.net(col("l_extendedprice"), col("l_discount")))
+            .as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+    Some(s"""SELECT r.r_name, n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   ${graft.util.D.oDbl(
+                     s"CAST(sum(${graft.util.D.oNet("l.l_extendedprice", "l.l_discount")}) AS DECIMAL(18,4))")} AS revenue
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            GROUP BY r.r_name, n.n_name
+            ORDER BY r.r_name, n.n_name"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
-    joinRange, joinAsof, joinAsofForward, joinAsofNearest, joinSkewSalted)
+    joinRange, joinAsof, joinAsofForward, joinAsofNearest, joinSkewSalted,
+    joinStarFlagship)
 }

@@ -555,8 +555,39 @@ object TimeSeries {
             GROUP BY v.event_id, v.user_id, v.ts
             ORDER BY v.event_id"""))
 
+  /** Hour-of-day seasonality profile per event type — the diurnal-pattern
+    * view behind load forecasting and anomaly baselines. One hash agg on
+    * (type, hour): 120 groups regardless of corpus size, decimal-exact
+    * sums. */
+  val tsHourlyProfile = Q(
+    "ts_hourly_profile",
+    (spark, sfDir) =>
+      // avg via EXACT integer arithmetic, truncated at 4dp: sums of 2-dp
+      // values divided by hour counts routinely TERMINATE at 5 decimals
+      // (e.g. 5514.30/80 = 68.92875) — a genuine 4dp midpoint, the one
+      // case where Spark's repr-rounding and DuckDB's bits-rounding of
+      // the same double disagree (observed at sf0.001). cents·10⁴ div n
+      // is pure BIGINT on both engines; /10⁴ of the same integer is
+      // bit-identical.
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          (sum(graft.util.D.dec(col("value")) * 100).cast("bigint") * 10000L)
+            .as("scaled"))
+        .select(col("event_type"), col("hr"), col("n"),
+          (expr("scaled div n").cast("double") / 10000.0).as("avg_value"))
+        .orderBy("event_type", "hr"),
+    Some("""SELECT event_type, hr, n,
+                   CAST(scaled // n AS DOUBLE) / 10000.0 AS avg_value
+            FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(value AS DECIMAL(9,2))) * 100 AS BIGINT)
+                           * 10000 AS scaled
+                  FROM events GROUP BY event_type, hr)
+            ORDER BY event_type, hr"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
-    tsConversionWindow)
+    tsConversionWindow, tsHourlyProfile)
 }

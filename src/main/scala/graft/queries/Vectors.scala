@@ -373,7 +373,49 @@ object Vectors {
                    CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY bin ORDER BY bin"""))
 
+  /** Per-dimension embedding statistics (min/max/mean/std) — the drift/
+    * quality monitor a vector pipeline runs per batch: a collapsed or
+    * exploded dimension shows up as degenerate std. Values are rounded to
+    * 4dp THEN cast to exact decimal so the sums are associative (raw
+    * double sums across partitions are not); the 4dp midpoint of an
+    * arbitrary float is never exactly representable, so both engines
+    * round identically. posexplode → (dim) hash agg: map-side combinable,
+    * d partials per partition at any corpus size. */
+  val vecDimStats = Q(
+    "vec_dim_stats",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("bigint").as("dim"),
+          round(col("col").cast("double"), 4).cast(DecimalType(9, 4)).as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          min("x").cast("double").as("min_x"),
+          max("x").cast("double").as("max_x"),
+          (round(sum("x").cast("double") / count(lit(1)), 4) + 0.0)
+            .as("mean_x"),
+          round(sqrt(
+            (sum(col("x") * col("x")).cast("double")
+              - sum("x").cast("double") * sum("x").cast("double")
+                / count(lit(1)))
+              / (count(lit(1)) - 1)), 4).as("std_x"))
+        .orderBy("dim")
+    },
+    Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                              CAST(round(CAST(unnest(embedding) AS DOUBLE), 4)
+                                   AS DECIMAL(9,4)) AS x
+                       FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(x) AS DOUBLE) AS min_x, CAST(max(x) AS DOUBLE) AS max_x,
+                   round(CAST(sum(x) AS DOUBLE) / count(*), 4) + 0.0 AS mean_x,
+                   round(sqrt((CAST(sum(x * x) AS DOUBLE)
+                               - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
+                                 / count(*))
+                              / (count(*) - 1)), 4) AS std_x
+            FROM e GROUP BY dim ORDER BY dim"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
-    vecScalarQuantize, vecKmeansStep, vecCosineHistogram)
+    vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats)
 }

@@ -128,6 +128,15 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("star flagship: dimensions broadcast and the date filter reaches the orders scan") {
+    val q = graft.queries.Registry.byName("join_star_flagship").build(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast dims in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"expected o_orderdate pushdown in:\n$plan")
+  }
+
   test("text_ngram_topk plans as TakeOrdered, never a global sort of the aggregate") {
     val q = graft.queries.Registry.byName("text_ngram_topk").build(spark, sf0001)
     val plan = q.queryExecution.executedPlan.toString
