@@ -207,6 +207,46 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.count() == 5)
   }
 
+  test("stream-stream interval join: view->click attribution == batch range join") {
+    // the last uncovered streaming shape: BOTH sides are streams, state is
+    // bounded by watermark + time-range condition (Spark buffers each side
+    // only within the interval). Semantics mirror the batch
+    // ts_conversion_window operator: clicks strictly after a view, within
+    // 5 minutes, same user.
+    val dir = stagedEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val views = stream().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "60 days")
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "60 days")
+    val joined = views.join(clicks,
+      col("vu") === col("cu") &&
+        col("cts") > col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ss_join")
+      .groupBy("view_id").agg(count(lit(1)).as("n"))
+    val ev = spark.read.parquet(dir)
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        col("ts").as("vts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts")),
+        col("vu") === col("cu") && col("cts") > col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy("view_id").agg(count(lit(1)).as("n"))
+    assert(streamed.count() > 0, "fixture must produce view->click pairs")
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("stateful streaming dedup == batch row_number dedup on full replay") {
     val dir = stagedEventsDir()
     val schema = spark.read.parquet(dir).schema
