@@ -148,7 +148,11 @@ object Ops {
           .over(wFwd))
       .filter(col("graft_tag") === 1)
       .withColumn("nearest_ts",
-        when(col("graft_key").isNull, lit(null).cast("timestamp_ntz"))
+        // NULL key or NULL timestamp → no match (a NULL ts sorts first in
+        // the window order, where graft_fwd would otherwise fabricate the
+        // partition's earliest observation as its "nearest")
+        when(col("graft_key").isNull || col("graft_ts").isNull,
+          lit(null).cast("timestamp_ntz"))
           .when(col("graft_back").isNull, col("graft_fwd"))
           .when(col("graft_fwd").isNull, col("graft_back"))
           .when(unix_micros(col("graft_ts").cast("timestamp"))
@@ -195,7 +199,13 @@ object Ops {
   /** Candidate near-dup pairs from shared minhash bands: the banded
     * EQUI-join over `minhashBands` output. Returns distinct (id1, id2)
     * with id1 < id2; verify with an exact measure (Jaccard, edit
-    * distance) on THESE pairs only — never all pairs. */
+    * distance) on THESE pairs only — never all pairs.
+    *
+    * Plan note: the self-join references the signature subtree twice and
+    * Catalyst has no automatic reuse, so the tokenize→minhash aggregation
+    * computes twice per call. At corpus scale, persist/Memo the bands at
+    * the call site (this generic API has no cache key of its own and a
+    * silent internal persist() would leak across invocations). */
   def minhashCandidatePairs(df: DataFrame, id: Column, textCol: Column,
       numHashes: Int = 8, bands: Int = 2): DataFrame = {
     val b = minhashBands(df, id, textCol, numHashes, bands)
@@ -277,10 +287,13 @@ object Ops {
 
   /** Forward attribution/conversion count: for every row, the number of
     * rows satisfying `isTarget` with the same `key` whose `eventUs`
-    * (microseconds, any monotone long clock) lies in
-    * (us + fromUs, us + toUs] — a VALUE-range window frame, so co-timed
+    * (microseconds, any monotone long clock) lies in the CLOSED interval
+    * [us + fromUs, us + toUs] — a VALUE-range window frame, so co-timed
     * events are handled by value and the result is partition-order
-    * independent. Output: input columns plus `n_in_window`. */
+    * independent. Pass fromUs = 1 (the default) to exclude co-timed
+    * events ("strictly after" on an integer clock); fromUs = 0 counts the
+    * row itself when it satisfies `isTarget`.
+    * Output: input columns plus `n_in_window`. */
   def conversionWindow(df: DataFrame, key: Column, eventUs: Column,
       isTarget: Column, fromUs: Long = 1L, toUs: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col("graft_us"))

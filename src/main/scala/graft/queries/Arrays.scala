@@ -17,11 +17,8 @@ import graft.util.Tables
   */
 object Arrays {
 
-  /** embedding elements cast to double (element-wise, order-preserving). */
-  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
-
-  private def sumArr(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
+  // single shared fold implementation (util/V.scala) — see Vectors/Ops
+  import graft.util.V.{dbl, sumArr}
 
   val arrBasics = Q(
     "arr_basics",

@@ -108,7 +108,8 @@ object Multimodal {
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x) / 16.0, 6)
             .as("mean_intensity"))
         .orderBy("doc_id"),
-    Some("""SELECT doc_id, CAST(16 AS BIGINT) AS dim,
+    Some("""SELECT doc_id,
+            CAST(least(16, length(text)) AS BIGINT) AS dim,
             round(list_aggregate(
                     list_transform(generate_series(1, 16),
                                    i -> ascii(substring(text, i, 1)) / CAST(255 AS DOUBLE)),

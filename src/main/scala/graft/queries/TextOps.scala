@@ -413,26 +413,18 @@ object TextOps {
   val textLshDedupVerified = Q(
     "text_lsh_dedup_verified",
     (spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
-        .filter(col("doc_id") < 200)
+      val docsF = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+      val toks = docsF
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
         .filter(length(col("tok")) > 0)
         .distinct()
-      def h(s: Int) = min(
-        conv(substring(md5(concat(lit(s + ":"), col("tok"))), 1, 15), 16, 10)
-          .cast("bigint")).as(s"h$s")
-      val sig = toks.groupBy("doc_id")
-        .agg(h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
-      val bands = sig.select(col("doc_id"), posexplode(array(
-        md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))),
-        md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7")))))
-        .as(Seq("band_no", "bkey")))
-      val cand = bands.select(col("doc_id").as("d1"), col("band_no"), col("bkey"))
-        .join(bands.select(col("doc_id").as("d2"),
-          col("band_no").as("bn2"), col("bkey").as("bk2")),
-          col("band_no") === col("bn2") && col("bkey") === col("bk2"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
+      // candidate generation through the ONE banding implementation
+      // (Ops.minhashBands / minhashCandidatePairs) — a hash-family or
+      // band-layout change lands in every LSH consumer at once
+      val cand = graft.ops.Ops
+        .minhashCandidatePairs(docsF, col("doc_id"), col("text"),
+          numHashes = 8, bands = 2)
+        .select(col("id1").as("d1"), col("id2").as("d2"))
       // verify stage: exact Jaccard over sorted token sets, candidates only
       val sets = toks.groupBy("doc_id")
         .agg(sort_array(collect_set(col("tok"))).as("ts"))

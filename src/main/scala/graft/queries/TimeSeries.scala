@@ -72,13 +72,13 @@ object TimeSeries {
       sessionize(Tables.events(spark, sfDir))
         .orderBy("user_id", "session_start"),
     Some(s"""WITH flagged AS (
-              SELECT user_id, ts, value,
+              SELECT user_id, ts, event_id, value,
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
               FROM events),
             numbered AS (
               SELECT user_id, ts, value,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               FROM flagged)
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -574,8 +574,13 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"),
           (sum(graft.util.D.dec(col("value")) * 100).cast("bigint") * 10000L)
             .as("scaled"))
+        // FLOOR division via pmod (Spark's `div` truncates toward zero,
+        // DuckDB's `//` floors — they differ on negative sums; subtracting
+        // the non-negative pmod first makes the dividend an exact multiple,
+        // so `div` == floor for any sign)
         .select(col("event_type"), col("hr"), col("n"),
-          (expr("scaled div n").cast("double") / 10000.0).as("avg_value"))
+          (expr("(scaled - pmod(scaled, n)) div n").cast("double") / 10000.0)
+            .as("avg_value"))
         .orderBy("event_type", "hr"),
     Some("""SELECT event_type, hr, n,
                    CAST(scaled // n AS DOUBLE) / 10000.0 AS avg_value

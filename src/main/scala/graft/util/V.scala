@@ -45,8 +45,12 @@ object Memo {
       }
       inner
     }
-    // getOrElseUpdate may race-evaluate `build` twice; builds are
-    // idempotent (deterministic plans) so last-write-wins is safe
-    m.getOrElseUpdate(key, build).asInstanceOf[T]
+    // build under the map's lock: a racy getOrElseUpdate could evaluate a
+    // .persist()-ing build twice and strand the loser's cached blocks with
+    // no unpersist handle. Builds are plan construction (persist() is lazy
+    // metadata), so holding the lock is cheap.
+    m.synchronized {
+      m.getOrElseUpdate(key, build).asInstanceOf[T]
+    }
   }
 }
