@@ -1011,11 +1011,37 @@ object TextOps {
                                                - count(*) AS BIGINT) FROM flagged)
             ORDER BY stage"""))
 
+  /** Corpus length histogram with cumulative counts — the first chart of
+    * any data audit (and the input to length-based filtering thresholds):
+    * 10-token buckets, count + running total. The cumulative window is
+    * GLOBAL but sits over the bucket AGGREGATE (tens of rows at any corpus
+    * size) — the §7.7-sanctioned place for an unpartitioned window. */
+  val textLengthHistogram = Q(
+    "text_length_histogram",
+    (spark, sfDir) => {
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, sfDir)
+        .select(expr("size(split(text, ' ', -1)) div 10").cast("bigint")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("cum_n", sum("n").over(w).cast("bigint"))
+        .orderBy("bucket")
+    },
+    Some("""WITH d AS (SELECT CAST(len(string_split(text,' ')) // 10 AS BIGINT)
+                              AS bucket FROM documents),
+            c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY bucket)
+            SELECT bucket, n,
+                   CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_n
+            FROM c ORDER BY bucket"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
     textLshDedupVerified, textSimhashBandPairs, textEditDistancePairs,
     textTrigramProfile, textBlocklistFilter, textRepetitionStats,
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
-    textStopwordDiscovery, textDedupPipeline)
+    textStopwordDiscovery, textDedupPipeline, textLengthHistogram)
 }

@@ -591,8 +591,46 @@ object TimeSeries {
                   FROM events GROUP BY event_type, hr)
             ORDER BY event_type, hr"""))
 
+  /** First-touch / last-touch attribution: for every purchase, the user's
+    * FIRST view ever (if strictly before the purchase) and the most recent
+    * view strictly before it — the two endpoints of the marketing
+    * attribution spectrum in one output. first-touch is a per-user min
+    * (broadcastable aggregate); last-touch is a per-purchase max over the
+    * user-keyed view join, all shuffles on user_id. */
+  val tsAttribution = Q(
+    "ts_attribution",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("vts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ft = v.groupBy("vu").agg(min("vts").as("first_view"))
+      val lt = p.join(v, col("user_id") === col("vu") && col("vts") < col("ts"))
+        .groupBy("event_id").agg(max("vts").as("last_view"))
+      p.join(ft, col("user_id") === col("vu") && col("first_view") < col("ts"),
+          "left")
+        .join(lt, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("first_view"), col("last_view"))
+        .orderBy("event_id")
+    },
+    Some("""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            ft AS (SELECT user_id, min(ts) AS first_view FROM v GROUP BY user_id),
+            lt AS (
+              SELECT p.event_id, max(v.ts) AS last_view
+              FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+              GROUP BY p.event_id)
+            SELECT p.event_id, p.user_id, p.ts, f.first_view, l.last_view
+            FROM p
+            LEFT JOIN ft f ON p.user_id = f.user_id AND f.first_view < p.ts
+            LEFT JOIN lt l ON p.event_id = l.event_id
+            ORDER BY p.event_id"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
-    tsConversionWindow, tsHourlyProfile)
+    tsConversionWindow, tsHourlyProfile, tsAttribution)
 }

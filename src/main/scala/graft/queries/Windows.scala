@@ -249,7 +249,46 @@ object Windows {
                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
             FROM events ORDER BY event_id"""))
 
+  /** Longest same-type streak per user — gaps-and-islands by VALUE change
+    * (ts_session islands by time gap; this islands by consecutive equal
+    * values): island id = rn − rn_within_type, both row_numbers sharing
+    * the user-keyed (ts, event_id) total order; streak_type breaks max
+    * ties by type name (min) so the answer is total. */
+  val winStreaks = Q(
+    "win_streaks",
+    (spark, sfDir) => {
+      val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wTyp = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val isl = graft.util.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          (row_number().over(wAll) - row_number().over(wTyp)).as("island"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(count(lit(1)).as("len"))
+      isl.withColumn("ml",
+          max("len").over(Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(max("len").cast("bigint").as("longest_streak"),
+          min(when(col("len") === col("ml"), col("event_type")))
+            .as("streak_type"))
+        .orderBy("user_id")
+    },
+    Some("""WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rnt
+              FROM events),
+            isl AS (
+              SELECT user_id, event_type, rn - rnt AS island, count(*) AS len
+              FROM o GROUP BY user_id, event_type, island)
+            SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+                   min(CASE WHEN len = ml THEN event_type END) AS streak_type
+            FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM isl)
+            GROUP BY user_id ORDER BY user_id"""))
+
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
     winLeadLag, winNtilePct, winFirstLast, winCumeDist, winRatioToReport,
-    winRunningDistinct, winRollingMedian)
+    winRunningDistinct, winRollingMedian, winStreaks)
 }
