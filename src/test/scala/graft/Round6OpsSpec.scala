@@ -158,6 +158,54 @@ class Round6OpsSpec extends SparkSpec {
     assert(out(None).isEmpty, "NULL-key row must get NULL, not a NULL-key match")
   }
 
+  test("win_streaks: matches brute-force longest-run computation") {
+    def micros(v: Any): Long = {
+      val t = v.asInstanceOf[java.time.LocalDateTime]
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    }
+    val out = graft.queries.Windows.winStreaks.build(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val ev = graft.util.Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), micros(r.get(2)), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      // brute force: longest run per type, max tie -> lexicographically first type
+      val runs = scala.collection.mutable.Map.empty[String, Int]
+      var cur = 1
+      seq.indices.foreach { i =>
+        if (i > 0 && seq(i) == seq(i - 1)) cur += 1 else cur = 1
+        runs(seq(i)) = math.max(runs.getOrElse(seq(i), 0), cur)
+      }
+      val best = runs.values.max
+      val bestType = runs.filter(_._2 == best).keys.min
+      assert(out(uid) == (best.toLong, bestType),
+        s"user $uid: got ${out(uid)}, want ($best, $bestType)")
+    }
+  }
+
+  test("ts_attribution: last_view strictly precedes the purchase; first_view <= last_view") {
+    val out = graft.queries.TimeSeries.tsAttribution.build(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    def us(v: Any): Long = {
+      val t = v.asInstanceOf[java.time.LocalDateTime]
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    }
+    out.foreach { r =>
+      val pts = us(r.get(2))
+      val ft = Option(r.get(3)).map(us)
+      val lt = Option(r.get(4)).map(us)
+      ft.foreach(f => assert(f < pts))
+      lt.foreach(l => assert(l < pts))
+      // first view is never later than the last view before purchase
+      (ft, lt) match {
+        case (Some(f), Some(l)) => assert(f <= l)
+        case (Some(_), None) => fail(s"purchase ${r.getLong(0)}: first without last")
+        case _ => ()
+      }
+    }
+  }
+
   test("mm_chunk_manifest: chunks tile each payload exactly and hashes match content") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
