@@ -136,6 +136,32 @@ object SetOps {
     Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
             ORDER BY o_orderkey LIMIT 50 OFFSET 100"""))
 
+  /** Schema-evolution union: two frames with DIFFERENT column sets merge
+    * by NAME, absent columns null-filled (`unionByName(allowMissing)` ↔
+    * DuckDB `UNION ALL BY NAME`) — the shape that appends a new-schema
+    * batch to an old-schema corpus without positional-union corruption. */
+  val setUnionByname = Q(
+    "set_union_byname",
+    (spark, sfDir) => {
+      val cust = Tables.customer(spark, sfDir)
+      val old = cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select("c_custkey", "c_name", "c_acctbal") // no segment column
+      val neu = cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("c_name")) // no acctbal, different order
+      old.unionByName(neu, allowMissingColumns = true)
+        .select("c_custkey", "c_name", "c_acctbal", "segment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, segment FROM (
+              SELECT c_custkey, c_name, c_acctbal, NULL AS segment
+              FROM customer WHERE c_custkey % 2 = 0
+              UNION ALL BY NAME
+              SELECT c_custkey, c_mktsegment AS segment, c_name
+              FROM customer WHERE c_custkey % 2 = 1)
+            ORDER BY c_custkey"""))
+
   def qs: Seq[Q] = Seq(sortLimitTopk, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept, setIntersectAll, setExceptAll, sortLimitOffset)
+    setIntersect, setExcept, setIntersectAll, setExceptAll, sortLimitOffset,
+    setUnionByname)
 }

@@ -629,8 +629,42 @@ object TimeSeries {
             LEFT JOIN lt l ON p.event_id = l.event_id
             ORDER BY p.event_id"""))
 
+  /** Rate of change (dv/dt in units/second) per user — the derivative
+    * pass at the heart of sensory-signal processing (velocity from
+    * position, throughput from counters). One lag window; rows with no
+    * predecessor or zero elapsed time (co-timed readings) are excluded
+    * rather than dividing by zero. Identical IEEE ops over identical
+    * operands on both engines; round(6) on the quotient. */
+  val tsDerivative = Q(
+    "ts_derivative",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, sfDir)
+        .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("pv", lag("value", 1).over(w))
+        .withColumn("pus", lag("us", 1).over(w))
+        .filter(col("pv").isNotNull && col("us") > col("pus"))
+        // + 0.0 canonicalizes IEEE -0.0 after rounding a tiny negative rate
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          (round((col("value") - col("pv"))
+            / ((col("us") - col("pus")).cast("double") / 1000000.0), 6) + 0.0)
+            .as("dv_dt"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""WITH l AS (
+              SELECT user_id, ts, event_id, value,
+                     lag(value) OVER w AS pv,
+                     lag(epoch_us(ts)) OVER w AS pus,
+                     epoch_us(ts) AS us
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, ts, event_id, value,
+                   round((value - pv) / (CAST(us - pus AS DOUBLE) / 1000000.0), 6)
+                     + 0.0 AS dv_dt
+            FROM l WHERE pv IS NOT NULL AND us > pus
+            ORDER BY user_id, ts, event_id"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
-    tsConversionWindow, tsHourlyProfile, tsAttribution)
+    tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative)
 }
