@@ -14,11 +14,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed trivial action before the loop: JVM/session bring-up
+    // (executor start, first codegen, parquet footer cache) otherwise
+    // lands entirely on whichever query is declared first — r5 measured
+    // scan_project at 3.4 s as query #1 vs 0.15 s mid-run.
+    spark.range(16).count()
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    val gc0 = gcMillis
     val results = SparkEntry.queries.map { case (name, fn) =>
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
       // ANY failed rep marks the query failed (-1): sorting would
@@ -27,12 +38,19 @@ object Bench {
       // like a speedup
       name -> (if (ts.head < 0) -1.0 else ts(ts.size / 2))
     }
+    val gcSec = (gcMillis - gc0) / 1000.0
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // A run with a crashed query has no honest total: summing the healthy
+    // rest would read as a speedup in naive run-over-run comparison
+    // (ADVICE r4). value:-1 + valid:false make the invalidity visible to
+    // consumers that only look at the headline number.
+    val valid = failed.isEmpty
+    val total = if (valid) results.values.sum else -1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"gc_sec":$gcSec,"sf":"$sfDir","reps":$reps}""")
+    Graft.freeCaches(spark)
     spark.stop()
   }
 }

@@ -23,4 +23,10 @@ object Graft {
     registerViews(spark, sfDir)
     spark.sql(query)
   }
+
+  /** Free every memoized build (ANN indexes, signature/edge frames) and
+    * unpersist their cached blocks. A long-lived session should call this
+    * when done with a fixture dir — the memo cannot free itself (see
+    * util.Memo's scaladoc); the next query invocation simply rebuilds. */
+  def freeCaches(spark: SparkSession): Unit = graft.util.Memo.clear(spark)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, DotProduct, L2Sq}
+import graft.functions.{Builders, CosineSim, DotProduct, L2Sq}
 
 /** Session-extensions entry point — the idiomatic way a cluster enables the
   * library's native expressions for every session (including pure-SQL
@@ -25,14 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_native"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      Builders.arity2("dot_native")(DotProduct(_, _))))
     ext.injectFunction((
       FunctionIdentifier("cosine_native"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_native"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+      Builders.arity2("cosine_native")(CosineSim(_, _))))
     ext.injectFunction((
       FunctionIdentifier("l2sq_native"),
       new ExpressionInfo(classOf[L2Sq].getName, "l2sq_native"),
-      (children: Seq[Expression]) => L2Sq(children(0), children(1))))
+      Builders.arity2("l2sq_native")(L2Sq(_, _))))
   }
 }

@@ -134,5 +134,5 @@ object CosineSim {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_native"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_native"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+      Builders.arity2("cosine_native")(CosineSim(_, _)))
 }

@@ -9,9 +9,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two double arrays, folding left-to-right —
-  * exactly the same summation order as `aggregate(zip_with(a, b, _*_))`
-  * and DuckDB's `list_aggregate('sum')`, so results are bit-identical to
-  * the higher-order formulation and oracle-compatible.
+  * for EQUAL-LENGTH inputs, exactly the same summation order as
+  * `aggregate(zip_with(a, b, _*_))` and DuckDB's `list_aggregate('sum')`,
+  * so results are bit-identical to the higher-order formulation and
+  * oracle-compatible. On length mismatch the two diverge by construction:
+  * zip_with null-pads the shorter side (nulling the sum) while this folds
+  * over the min length and returns a number.
   *
   * Why a custom Catalyst Expression (the one place the engine drops below
   * the DataFrame API): Spark's higher-order functions (ArrayTransform /
@@ -94,5 +97,5 @@ object DotProduct {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_native"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      Builders.arity2("dot_native")(DotProduct(_, _)))
 }

@@ -9,11 +9,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Squared Euclidean distance over two double arrays, folding
-  * left-to-right — exactly the same order of IEEE ops as
-  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, _+_)` and DuckDB's
+  * left-to-right — for EQUAL-LENGTH inputs, exactly the same order of
+  * IEEE ops as `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, _+_)`
+  * and DuckDB's
   * `list_aggregate(list_transform(list_zip(a,b), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')`,
   * so results are bit-identical to the higher-order formulation and
-  * oracle-compatible (pinned in NativeDotSpec).
+  * oracle-compatible (pinned in NativeDotSpec). On length mismatch the
+  * two diverge by construction: zip_with null-pads the shorter side (the
+  * lambda then nulls the whole sum) while this folds over the min length
+  * and returns a number — pinned by the min-length test.
   *
   * Same rationale as DotProduct (functions/DotProduct.scala): Spark's
   * higher-order lambdas evaluate interpreted, outside whole-stage codegen —
@@ -88,5 +92,5 @@ object L2Sq {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("l2sq_native"),
       new ExpressionInfo(classOf[L2Sq].getName, "l2sq_native"),
-      (children: Seq[Expression]) => L2Sq(children(0), children(1)))
+      Builders.arity2("l2sq_native")(L2Sq(_, _)))
 }

@@ -68,9 +68,10 @@ object Approx {
     None)
 
   // ---- memoized index builds ------------------------------------------
-  // util.Memo keys weakly on the session object itself: a stopped
-  // session's persisted indexes become collectable (an identityHashCode
-  // string key pinned them forever and could collide across sessions)
+  // util.Memo keys on the session object itself (two sessions can never
+  // collide the way an identityHashCode string key could); persisted
+  // index frames are freed explicitly via Memo.clear / Graft.freeCaches —
+  // see util.Memo's scaladoc for why weak keys alone cannot reclaim them
 
   private def memo[T <: AnyRef](spark: SparkSession, sfDir: String,
       what: String)(build: => T): T =
@@ -108,7 +109,9 @@ object Approx {
     model: KMeansModel, assigned: DataFrame, qv: Vector, probes: Seq[Int])
 
   private def ivfIndex(spark: SparkSession, sfDir: String): IvfIndex =
-    memo(spark, sfDir, "ivf") {
+    // withDispose: the index value is not itself a DataFrame, so the memo's
+    // default unpersist-on-evict can't see the persisted `assigned` frame
+    graft.util.Memo.withDispose(spark, s"$sfDir:ivf") {
       val vecs = normalizedVecs(spark, sfDir)
       // Coarse quantizer only — 3 Lloyd iterations give stable-enough
       // cells for an inverted file (recall pinned by AnnRecallSpec) at a
@@ -130,7 +133,7 @@ object Approx {
         }
         .sortBy(_._2).take(3).map(_._1).toSeq
       IvfIndex(model, assigned, qv, probes)
-    }
+    }(idx => idx.assigned.unpersist(false))
 
   /** MinHash-LSH approximate Jaccard join over token sets (doc_id < 50,
     * same corpus slice as the exact text_jaccard_pairs): tokens →

@@ -257,15 +257,20 @@ object Vectors {
         // reference in the same select as a `round(mn).as("mn")` alias
         // resolves against the aliased (rounded) output, not the child —
         // verified on the physical plan, and an 8% mse shift at sf0.01
+        // constant vector (mx == mn) round-trips exactly: the code for
+        // every element is 0 and dequantize returns mn — guard it, the
+        // unguarded (x-mn)/(mx-mn) is 0/0 = NaN (fixtures never hit the
+        // case, but this is presented as the general quantization shape)
         .withColumn("mse_ppm",
-          round(
-            aggregate(
-              transform(col("e"), x =>
-                pow(x - (col("mn")
-                  + floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0)
-                    * (col("mx") - col("mn")) / 255.0), lit(2.0))),
-              lit(0.0), (acc, x) => acc + x)
-              / size(col("e")).cast("double") * 1e6, 4))
+          when(col("mx") === col("mn"), lit(0.0)).otherwise(
+            round(
+              aggregate(
+                transform(col("e"), x =>
+                  pow(x - (col("mn")
+                    + floor((x - col("mn")) / (col("mx") - col("mn")) * 255.0)
+                      * (col("mx") - col("mn")) / 255.0), lit(2.0))),
+                lit(0.0), (acc, x) => acc + x)
+                / size(col("e")).cast("double") * 1e6, 4)))
         .select(col("vec_id"), round(col("mn"), 4).as("mn"),
           round(col("mx"), 4).as("mx"), col("mse_ppm"))
         .orderBy("vec_id"),
@@ -277,10 +282,11 @@ object Vectors {
                      list_aggregate(e, 'max') AS mx
               FROM v)
             SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx,
-                   round(list_aggregate(list_transform(e, x ->
-                     pow(x - (mn + floor((x - mn) / (mx - mn) * 255.0)
-                       * (mx - mn) / 255.0), 2)), 'sum')
-                     / len(e) * 1e6, 4) AS mse_ppm
+                   CASE WHEN mx = mn THEN 0.0 ELSE
+                     round(list_aggregate(list_transform(e, x ->
+                       pow(x - (mn + floor((x - mn) / (mx - mn) * 255.0)
+                         * (mx - mn) / 255.0), 2)), 'sum')
+                       / len(e) * 1e6, 4) END AS mse_ppm
             FROM mm ORDER BY vec_id"""))
 
   /** One distributed Lloyd (k-means) refinement step, k = 8 seeded from

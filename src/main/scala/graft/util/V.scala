@@ -25,32 +25,74 @@ object V {
 
 /** Per-session memo for expensive deterministic builds (ANN indexes,
   * persisted signature/edge frames): reps and repeat invocations reuse one
-  * entry instead of re-fitting / re-persisting per call. Keyed WEAKLY on
-  * the SparkSession itself, so a stopped session's entries (and their
-  * persisted RDDs) become collectable instead of pinning the old session
-  * forever — and two sessions can never collide the way an
-  * identityHashCode string key could. */
+  * entry instead of re-fitting / re-persisting per call.
+  *
+  * Lifecycle is EXPLICIT: `evict`/`clear` dispose entries (unpersisting
+  * any cached frames they hold). The session key is weak only to isolate
+  * concurrent sessions; it cannot reclaim a stopped session by itself,
+  * because cached values (DataFrames, fitted models) strongly reference
+  * their SparkSession via `df.sparkSession` — the classic WeakHashMap
+  * caveat that a value strongly reaching its key pins the entry forever.
+  * A long-lived session must call `Graft.freeCaches` (or `Memo.clear`)
+  * when done with a fixture dir; Bench/Verify do so before stopping. */
 object Memo {
-  private val perSession =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, AnyRef]]
+  import org.apache.spark.sql.SparkSession
 
-  def apply[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
-      key: String)(build: => T): T = {
-    val m = perSession.synchronized {
-      var inner = perSession.get(spark)
-      if (inner == null) {
-        inner = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
-        perSession.put(spark, inner)
-      }
-      inner
+  private final case class Entry(value: AnyRef, dispose: () => Unit)
+
+  private val perSession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Entry]]
+
+  /** Memoize `build`, disposing on evict by unpersisting the value when
+    * it is a Dataset/DataFrame (the common case). Values that hold cached
+    * frames indirectly should use `withDispose`. */
+  def apply[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
+    withDispose(spark, key)(build) {
+      case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(false)
+      case _ => ()
     }
+
+  /** Memoize `build` with an explicit disposer run on evict/clear. */
+  def withDispose[T <: AnyRef](spark: SparkSession, key: String)
+      (build: => T)(dispose: T => Unit): T = {
+    val m = mapFor(spark)
     // build under the map's lock: a racy getOrElseUpdate could evaluate a
     // .persist()-ing build twice and strand the loser's cached blocks with
     // no unpersist handle. Builds are plan construction (persist() is lazy
     // metadata), so holding the lock is cheap.
     m.synchronized {
-      m.getOrElseUpdate(key, build).asInstanceOf[T]
+      m.getOrElseUpdate(key, {
+        val v = build
+        Entry(v, () => dispose(v))
+      }).value.asInstanceOf[T]
     }
+  }
+
+  /** Dispose and drop one entry (no-op when absent). */
+  def evict(spark: SparkSession, key: String): Unit = {
+    val m = mapFor(spark)
+    m.synchronized { m.remove(key) }.foreach(_.dispose())
+  }
+
+  /** Dispose and drop every entry of this session — unpersists all memoized
+    * cached frames. Safe to call mid-session: the next invocation simply
+    * rebuilds. */
+  def clear(spark: SparkSession): Unit = {
+    val m = mapFor(spark)
+    val entries = m.synchronized { val es = m.values.toList; m.clear(); es }
+    entries.foreach(_.dispose())
+  }
+
+  /** Live entry count (test/telemetry hook for bounded-cache assertions). */
+  def entryCount(spark: SparkSession): Int = mapFor(spark).size
+
+  private def mapFor(spark: SparkSession) = perSession.synchronized {
+    var inner = perSession.get(spark)
+    if (inner == null) {
+      inner = scala.collection.concurrent.TrieMap.empty[String, Entry]
+      perSession.put(spark, inner)
+    }
+    inner
   }
 }

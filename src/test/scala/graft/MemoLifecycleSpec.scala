@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Registry
+import graft.util.Memo
+
+/** Memo lifecycle discipline (r4 verdict #4): repeat invocations of the
+  * memoized queries must not grow the session's cache, and clear() must
+  * release every cached block — the leak-pattern guard for a long-lived
+  * production session reusing one SparkSession across many fixture dirs. */
+class MemoLifecycleSpec extends SparkSpec {
+
+  // every query whose plan builds through util.Memo (persisted signature/
+  // edge frames + the three ANN index builds)
+  private val memoized = Seq("text_simhash_band_pairs", "vec_dup_clusters",
+    "minhash_lsh_jaccard", "vec_ann_lsh", "vec_ann_ivf")
+
+  // one persisted RDD per materialized cached frame — the exact resource
+  // whose unbounded growth the memo exists to prevent
+  private def cachedCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("repeat invocations reuse one cached copy per build — no growth") {
+    Memo.clear(spark)
+    memoized.foreach(n => Registry.byName(n).build(spark, sf0001).count())
+    val entriesAfterFirst = Memo.entryCount(spark)
+    val cachedAfterFirst = cachedCount
+    (1 to 3).foreach { _ =>
+      memoized.foreach(n => Registry.byName(n).build(spark, sf0001).count())
+    }
+    assert(Memo.entryCount(spark) == entriesAfterFirst,
+      "repeat invocations must not add memo entries")
+    assert(cachedCount == cachedAfterFirst,
+      "repeat invocations must not stack persisted copies")
+  }
+
+  test("clear() disposes every entry and unpersists every cached block") {
+    Memo.clear(spark)
+    val base = cachedCount // residue from non-memo suites, if any
+    memoized.foreach(n => Registry.byName(n).build(spark, sf0001).count())
+    assert(Memo.entryCount(spark) > 0)
+    assert(cachedCount > base)
+    Memo.clear(spark)
+    assert(Memo.entryCount(spark) == 0)
+    assert(cachedCount == base,
+      "all memoized persisted frames must be unpersisted after clear()")
+    // and the queries still work afterwards — clear is safe mid-session
+    assert(Registry.byName("vec_ann_ivf").build(spark, sf0001).count() > 0)
+    Memo.clear(spark)
+  }
+
+  test("evict() frees one key, leaves the rest") {
+    Memo.clear(spark)
+    val a = Memo(spark, "k1") { spark.range(10).toDF().persist() }
+    a.count()
+    Memo(spark, "k2") { "plain-value" }
+    assert(Memo.entryCount(spark) == 2)
+    Memo.evict(spark, "k1")
+    assert(Memo.entryCount(spark) == 1)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evict must unpersist a DataFrame value")
+    Memo.evict(spark, "k2") // disposer is a no-op for non-Dataset values
+    assert(Memo.entryCount(spark) == 0)
+  }
+}

@@ -61,6 +61,37 @@ class NativeDotSpec extends SparkSpec {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("cosine_native unequal-length contract: bit-identical to the composed formulation") {
+    // the doc comment's claim, enforced: dot folds over min(len) while
+    // |a|² covers ALL of a and |b|² ALL of b — exactly what
+    // dot_native(a,b)/(sqrt(dot_native(a,a))*sqrt(dot_native(b,b))) does
+    DotProduct.register(spark)
+    graft.functions.CosineSim.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 7.0), Seq(3.0, 4.0)),       // a longer
+      (2L, Seq(1.0, 2.0), Seq(3.0, 4.0, -5.0, 0.5)), // b longer
+      (3L, Seq(2.0, -1.0), Seq(2.0, -1.0))           // equal (control)
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        expr("cosine_native(a, b)").as("fused"),
+        (expr("dot_native(a, b)") /
+          (sqrt(expr("dot_native(a, a)")) * sqrt(expr("dot_native(b, b)"))))
+          .as("composed"))
+    assert(df.filter(col("fused") =!= col("composed")).count() == 0)
+  }
+
+  test("wrong arity surfaces as an analysis error, not IndexOutOfBounds") {
+    graft.functions.L2Sq.register(spark)
+    import spark.implicits._
+    Seq(Seq(1.0)).toDF("a").createOrReplaceTempView("arity_t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT l2sq_native(a) FROM arity_t").collect()
+    }
+    assert(e.getMessage.contains("l2sq_native"))
+    assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"))
+  }
+
   test("the generated plan keeps dot_native inside whole-stage codegen") {
     DotProduct.register(spark)
     val dbl = transform(col("embedding"), x => x.cast("double"))

@@ -4,6 +4,13 @@
 set -eo pipefail
 SF=${1:-sf0.01}
 ONLY=${2:-}
+# driver fixtures live at /root/testdata; rehearsal SFs (tools/gen_sf.py)
+# under the repo's own testdata/ — sf1 resolves there, paths pass through
+case "$SF" in
+  /*)  SFDIR=$SF; SF=$(basename "$SF");;
+  sf1) SFDIR=/root/repo/testdata/sf1;;
+  *)   SFDIR=/root/testdata/$SF;;
+esac
 OUT=/tmp/verify_$SF
 rm -rf "$OUT"
 ADD_OPENS=""
@@ -15,5 +22,5 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "/root/testdata/$SF" "$OUT" 2>&1 | { grep -v '^\(2[0-9]\|WARN\|INFO\)' || true; }
-python3 /root/repo/tools/parity.py "/root/testdata/$SF" "$OUT" $ONLY
+  graft.Verify "$SFDIR" "$OUT" 2>&1 | { grep -v '^\(2[0-9]\|WARN\|INFO\)' || true; }
+python3 /root/repo/tools/parity.py "$SFDIR" "$OUT" $ONLY
