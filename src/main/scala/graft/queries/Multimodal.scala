@@ -1,24 +1,27 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.util.Tables
 
 /** Multimodal-column surface (task brief: image/audio/video as opaque
   * `binary` columns with typed metadata; decode / feature-extract / frame-
-  * sample as batch transforms with a STUBBED codec).
+  * sample as batch transforms).
   *
-  * The fixture corpus has no real media, so the opaque payload is the
-  * UTF-8 byte stream of documents.text (pure ASCII in fixtures — pinned in
-  * MultimodalSpec — so the DuckDB oracle can mirror byte ops with string
-  * ops). What is REAL here, and what the tier demonstrates:
+  * The fixture corpus has no real media, so the opaque payload is a REAL
+  * image container synthesized from documents.text: a Netpbm P5 (binary
+  * PGM) grayscale image — the documented public format
+  * (https://netpbm.sourceforge.net/doc/pgm.html) — whose sample bytes are
+  * the text's leading bytes (pure ASCII in fixtures, pinned in
+  * MultimodalSpec, so the DuckDB oracle can mirror byte ops with string
+  * ops). What the tier demonstrates:
   *  - binary payloads flowing through scans/filters/exprs untouched,
   *  - typed metadata columns next to the blob,
   *  - frame sampling as zero-copy byte-range slices (codegen'd substring),
   *  - a per-partition imperative decode (`decodeFeatures`, mapPartitions —
-  *    the pattern a real image/audio codec would use) with a deterministic
-  *    fake decoder standing in for the absent media libs.
+  *    the pattern any codec integration uses) that genuinely PARSES the
+  *    container: magic, dimensions, maxval, sample-section length.
   *
   * 100-TB notes: blobs never reach the driver; frame sampling and decode
   * are row-local (no shuffle); mapPartitions keeps the codec call batched
@@ -73,48 +76,96 @@ object Multimodal {
                         FROM documents))
             WHERE length(f) > 0 ORDER BY doc_id, frame_no"""))
 
-  /** The stubbed decoder: payload bytes → normalized [0,1] doubles. A real
-    * deployment would call an image/audio codec here; the fake reads the
-    * first `dim` bytes. Deterministic, so it stays oracle-checkable. */
-  def fakeDecode(payload: Array[Byte], dim: Int): Array[Double] =
-    payload.iterator.take(dim).map(b => (b & 0xff) / 255.0).toArray
+  /** A parsed P5 image: dimensions + maxval from the header, samples
+    * normalized to [0,1] by the header's maxval. */
+  final case class PgmImage(width: Int, height: Int, maxval: Int,
+    pixels: Array[Double])
 
-  /** mapPartitions decode plumbing: binary in → fixed-width feature vector
-    * out, batched per partition (codec setup would amortize here). */
-  def decodeFeatures(docs: DataFrame, dim: Int = 16): DataFrame = {
+  /** Synthesize a valid Netpbm P5 container around the text payload:
+    * ASCII header `P5 <w> <h> <maxval>\n` followed by exactly w*h
+    * single-byte samples (maxval < 256 per the spec). Height is
+    * floor(len/width) so the sample section always holds whole rows. */
+  def encodePgmPayload(text: Column, width: Int): Column =
+    concat(
+      lit(s"P5 $width "),
+      floor(length(text) / width).cast("int").cast("string"),
+      lit(" 255\n"),
+      text.substr(lit(1), (floor(length(text) / width).cast("int") * width)
+        .cast("int")))
+      .cast("binary")
+
+  /** The REAL decoder on the mapPartitions seam: parses the P5 header
+    * (magic, width, height, maxval), validates the sample-section length,
+    * and normalizes each sample by the PARSED maxval — malformed payloads
+    * fail loudly instead of decoding garbage. */
+  def decodePgm(payload: Array[Byte]): PgmImage = {
+    val nl = payload.indexOf('\n'.toByte)
+    require(nl > 0, "PGM: missing header terminator")
+    val header = new String(payload, 0, nl, "US-ASCII").split(" ")
+    require(header.length == 4 && header(0) == "P5",
+      s"PGM: bad magic/header '${header.mkString(" ")}'")
+    val w = header(1).toInt
+    val h = header(2).toInt
+    val maxval = header(3).toInt
+    require(w > 0 && h >= 0, s"PGM: bad dimensions ${w}x$h")
+    require(maxval > 0 && maxval < 256, s"PGM: maxval $maxval out of range")
+    val n = w * h
+    require(payload.length - nl - 1 == n,
+      s"PGM: sample section ${payload.length - nl - 1} bytes, expected $n")
+    val px = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      px(i) = (payload(nl + 1 + i) & 0xff).toDouble / maxval
+      i += 1
+    }
+    PgmImage(w, h, maxval, px)
+  }
+
+  /** mapPartitions decode plumbing: container bytes in → parsed dims +
+    * normalized feature vector out, batched per partition (codec context
+    * setup amortizes per partition, not per row). */
+  def decodeFeatures(docs: DataFrame, width: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
       StructField("features", ArrayType(DoubleType, containsNull = false))))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    docs.select(col("doc_id"),
+        encodePgmPayload(col("text"), width).as("payload"))
       .mapPartitions { rows =>
-        // per-partition scope: a real codec would init its context once here
         rows.map { r =>
-          Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1), dim))
+          val img = decodePgm(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), img.width, img.height, img.pixels)
         }
       }(encoder)
   }
 
-  /** Decoded-feature stats per document: mean of the first 16 normalized
-    * bytes, computed through the mapPartitions decode path. The oracle
-    * replays the same left-to-right fold over ascii codes (fixtures are
-    * ASCII, so string positions == byte positions). */
+  /** Decoded-feature stats per document through the mapPartitions P5
+    * decode: pixel count (16 × floor(len/16)) and mean intensity over all
+    * decoded samples. The oracle replays the container's header arithmetic
+    * directly on the text — same left-to-right fold over ascii codes
+    * (fixtures are ASCII, so string positions == byte positions; min doc
+    * is 19 chars, so height >= 1 always). */
   val mmDecodeStats = Q(
     "mm_decode_stats",
     (spark, sfDir) =>
       decodeFeatures(Tables.documents(spark, sfDir), 16)
         .select(col("doc_id"),
           size(col("features")).cast("bigint").as("dim"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x) / 16.0, 6)
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x)
+            / size(col("features")).cast("double"), 6)
             .as("mean_intensity"))
         .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-            CAST(least(16, length(text)) AS BIGINT) AS dim,
-            round(list_aggregate(
-                    list_transform(generate_series(1, 16),
-                                   i -> ascii(substring(text, i, 1)) / CAST(255 AS DOUBLE)),
-                    'sum') / 16.0, 6) AS mean_intensity
-            FROM documents ORDER BY doc_id"""))
+    Some("""WITH d AS (SELECT doc_id, text,
+                              16 * CAST(floor(length(text) / 16) AS INT) AS n
+                       FROM documents)
+            SELECT doc_id, CAST(n AS BIGINT) AS dim,
+                   round(list_aggregate(
+                           list_transform(generate_series(1, n),
+                             i -> ascii(substring(text, i, 1)) / CAST(255 AS DOUBLE)),
+                           'sum') / n, 6) AS mean_intensity
+            FROM d ORDER BY doc_id"""))
 
   /** Exact payload dedup: group binary payloads by content hash — the
     * first pass of any media-dedup pipeline (identical bytes collapse

@@ -15,24 +15,59 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("fakeDecode normalizes bytes into [0,1] at the requested width") {
-    val f = Multimodal.fakeDecode("Hello!".getBytes("UTF-8"), 4)
-    assert(f.length == 4)
-    assert(f(0) == 'H'.toInt / 255.0)
-    assert(f.forall(v => v >= 0.0 && v <= 1.0))
-    // narrower payload than dim → truncated, not padded
-    assert(Multimodal.fakeDecode("ab".getBytes("UTF-8"), 16).length == 2)
+  test("decodePgm parses a valid P5 container and normalizes by the parsed maxval") {
+    val img = Multimodal.decodePgm("P5 2 2 100\nHell".getBytes("US-ASCII"))
+    assert((img.width, img.height, img.maxval) == (2, 2, 100))
+    assert(img.pixels.length == 4)
+    assert(img.pixels(0) == 'H'.toInt / 100.0) // maxval from the HEADER, not 255
+    assert(img.pixels.forall(v => v >= 0.0))
   }
 
-  test("decodeFeatures: mapPartitions keeps schema, width, and row count") {
+  test("decodePgm rejects malformed containers loudly") {
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePgm("P6 2 2 255\nHell".getBytes("US-ASCII"))
+    }
+    // sample section shorter than width*height
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePgm("P5 4 4 255\nab".getBytes("US-ASCII"))
+    }
+    // maxval out of the single-byte range
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePgm("P5 1 2 999\nab".getBytes("US-ASCII"))
+    }
+    // no header terminator at all
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePgm("garbage".getBytes("US-ASCII"))
+    }
+  }
+
+  test("encode → decode round-trip: container survives the binary column unchanged") {
+    import spark.implicits._
+    val text = "the fast key order sort" // 23 chars → 16x1 image
+    val payload = Seq(text).toDF("text")
+      .select(Multimodal.encodePgmPayload(col("text"), 16).as("p"))
+      .head().getAs[Array[Byte]](0)
+    assert(new String(payload.take(9), "US-ASCII") == "P5 16 1 2")
+    val img = Multimodal.decodePgm(payload)
+    assert((img.width, img.height, img.maxval) == (16, 1, 255))
+    assert(img.pixels.toSeq == text.take(16).map(_.toInt / 255.0))
+  }
+
+  test("decodeFeatures: mapPartitions keeps schema, parsed dims, and row count") {
     val docs = Tables.documents(spark, sf0001)
     val out = Multimodal.decodeFeatures(docs, 16)
     assert(out.schema == StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
       StructField("features", ArrayType(DoubleType, containsNull = false)))))
     assert(out.count() == docs.count())
-    val widths = out.select(size(col("features"))).distinct().collect().map(_.getInt(0))
-    assert(widths.toSeq == Seq(16)) // every fixture doc has >= 16 bytes
+    // parsed dims must satisfy the container's own arithmetic
+    assert(out.filter(col("width") =!= 16).count() == 0)
+    assert(out.filter(size(col("features")) =!= col("width") * col("height"))
+      .count() == 0)
+    assert(out.filter(col("height") < 1).count() == 0) // min doc is 19 chars
     val r = out.filter(col("doc_id") === 0).head()
     val first = r.getAs[scala.collection.Seq[Double]]("features")
     assert(first.forall(v => v >= 0.0 && v <= 1.0))

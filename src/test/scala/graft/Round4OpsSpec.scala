@@ -167,21 +167,25 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.filter(!col("b64_rt_ok") || !col("hex_rt_ok")).count() == 0)
   }
 
-  test("agg_hll_sketch_merge: merged and direct estimates both within 5% of exact") {
-    val out = graft.queries.Approx.aggHllSketchMerge.build(spark, sf0001).collect()
-    assert(out.nonEmpty)
-    out.foreach { r =>
-      val (merged, direct, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      // NOT asserting merged == direct: the union promotes the sketch's
-      // internal mode (sparse/set -> dense HLL), so estimates can differ by
-      // a few counts even at equal lgK (observed 1991 vs 1999 at sf0.01).
-      // The algebra claim is that BOTH stay inside the configured ε band.
-      assert(math.abs(merged - exact).toDouble / exact <= 0.05,
-        s"merged sketch error > 5%: $merged vs exact $exact")
-      assert(math.abs(direct - exact).toDouble / exact <= 0.05,
-        s"direct sketch error > 5%: $direct vs exact $exact")
-      assert(math.abs(merged - direct).toDouble / exact <= 0.02,
-        s"merged vs direct drift > 2%: $merged vs $direct")
+  test("agg_hll_sketch_merge: merged and direct estimates within 5% of exact at every SF") {
+    // the ε envelope must hold wherever the parity gate runs, not at one
+    // cherry-picked scale (r4 verdict #5): cardinalities span 200 → 20k
+    allSfs.foreach { sf =>
+      val out = graft.queries.Approx.aggHllSketchMerge.build(spark, sf).collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val (merged, direct, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        // NOT asserting merged == direct: the union promotes the sketch's
+        // internal mode (sparse/set -> dense HLL), so estimates can differ by
+        // a few counts even at equal lgK (observed 1991 vs 1999 at sf0.01).
+        // The algebra claim is that BOTH stay inside the configured ε band.
+        assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+          s"$sf: merged sketch error > 5%: $merged vs exact $exact")
+        assert(math.abs(direct - exact).toDouble / exact <= 0.05,
+          s"$sf: direct sketch error > 5%: $direct vs exact $exact")
+        assert(math.abs(merged - direct).toDouble / exact <= 0.02,
+          s"$sf: merged vs direct drift > 2%: $merged vs $direct")
+      }
     }
   }
 }

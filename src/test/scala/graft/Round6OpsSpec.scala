@@ -8,20 +8,24 @@ import org.apache.spark.sql.functions._
   * equivalence, manifest reassembly. */
 class Round6OpsSpec extends SparkSpec {
 
-  test("agg_approx_quantile: GK sketch within rank-accuracy of the exact percentile") {
-    val rows = Approx.aggApproxQuantile.build(spark, sf001).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      // accuracy 1e4 on ~2k rows/group → sketch is rank-exact; allow the
-      // interpolation gap between the exact (interpolated) percentile and
-      // the sketch's nearest data point: bounded by the local value spacing,
-      // generously 5% of the value scale here
-      val (p50a, p90a, p50e, p90e) =
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
-      assert(math.abs(p50a - p50e) <= math.max(1.0, 0.05 * math.abs(p50e)),
-        s"${r.getString(0)}: p50 $p50a vs $p50e")
-      assert(math.abs(p90a - p90e) <= math.max(1.0, 0.05 * math.abs(p90e)),
-        s"${r.getString(0)}: p90 $p90a vs $p90e")
+  test("agg_approx_quantile: GK sketch within rank-accuracy of the exact percentile at every SF") {
+    // group sizes span ~200 → 20k rows across the three SFs — the sketch's
+    // rank-accuracy claim must hold at each (r4 verdict #5)
+    allSfs.foreach { sf =>
+      val rows = Approx.aggApproxQuantile.build(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        // accuracy 1e4 → sketch is rank-exact at these group sizes; allow
+        // the interpolation gap between the exact (interpolated) percentile
+        // and the sketch's nearest data point: bounded by the local value
+        // spacing, generously 5% of the value scale here
+        val (p50a, p90a, p50e, p90e) =
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        assert(math.abs(p50a - p50e) <= math.max(1.0, 0.05 * math.abs(p50e)),
+          s"$sf ${r.getString(0)}: p50 $p50a vs $p50e")
+        assert(math.abs(p90a - p90e) <= math.max(1.0, 0.05 * math.abs(p90e)),
+          s"$sf ${r.getString(0)}: p90 $p90a vs $p90e")
+      }
     }
   }
 

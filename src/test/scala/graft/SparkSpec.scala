@@ -17,4 +17,8 @@ trait SparkSpec extends AnyFunSuite {
   }
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
+  /** The parity gate runs at all three driver SFs (tools/check.sh);
+    * accuracy envelopes for the oracle-less sketches assert the same. */
+  val allSfs: Seq[String] = Seq(sf0001, sf001, sf01)
 }

@@ -177,6 +177,68 @@ class StreamingParitySpec extends SparkSpec {
     assert(batchCounts.except(finalState).count() == 0)
   }
 
+  test("transformWithState (arbitrary-state v2) per-user state == batch counts") {
+    // the Spark 4.x replacement for flatMapGroupsWithState: a
+    // StatefulProcessor with named, typed state slots over the RocksDB
+    // store — same running (count, sum) per user as the fMGWS mirror
+    // above, so the two APIs are proven equivalent on the same input
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val dir = stagedEventsDir()
+    val outDir = Files.createTempDirectory("graft_tws_out_").toString
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      class RunningAgg extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+        @transient private var st: ValueState[(Long, Double)] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[(Long, Double)]("agg",
+            org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+        override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+            tv: TimerValues): Iterator[(Long, Long, Double)] = {
+          val (n0, s0) = Option(st.get()).getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { e => n += 1; s += e._2 }
+          st.update((n, s))
+          Iterator((uid, n, s))
+        }
+      }
+      val updated = stream.groupByKey(_._1)
+        .transformWithState(new RunningAgg, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n", "sum_value")
+      val q = updated.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("batch_id").desc)
+      val finalState = spark.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n"))
+      val batchCounts = spark.read.parquet(dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(finalState.except(batchCounts).count() == 0)
+      assert(batchCounts.except(finalState).count() == 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast join: streaming events × static dim == batch join") {
     // the enrich-a-stream-with-a-dimension shape: the static side is read
     // fresh per micro-batch and (being tiny) broadcast — no stream-stream
