@@ -29,9 +29,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_BENCH_TELEMETRY=1 → a second JSON line with per-query GC
+    // time and cache occupancy: the r4 driver run showed three late-running
+    // queries inflated 5-6x with no way to tell WHY from the timings alone
+    // (root cause: transient host contention — see BASELINE.md round 5)
+    val telemetry = sys.env.get("SPARK_GRAFT_BENCH_TELEMETRY").contains("1")
+    val gcPer = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val cachedPer = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val gc0 = gcMillis
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val g0 = gcMillis
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
+      if (telemetry) {
+        gcPer(name) = gcMillis - g0
+        cachedPer(name) = spark.sparkContext.getPersistentRDDs.size
+      }
       // ANY failed rep marks the query failed (-1): sorting would
       // otherwise hide an intermittent crash behind a healthy median,
       // and a -1 summed into the total would make a BROKEN query look
@@ -50,6 +62,13 @@ object Bench {
     val total = if (valid) results.values.sum else -1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"gc_sec":$gcSec,"sf":"$sfDir","reps":$reps}""")
+    if (telemetry) {
+      val gcJson = gcPer.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val cJson = cachedPer.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"telemetry":true,"gc_ms":$gcJson,"persistent_rdds":$cJson}""")
+    }
     Graft.freeCaches(spark)
     spark.stop()
   }

@@ -34,8 +34,8 @@ object Aggs {
     Some(s"""SELECT l_returnflag, l_linestatus,
             ${D.oSumDec("l_quantity")} AS sum_qty,
             ${D.oSumDec("l_extendedprice")} AS sum_base_price,
-            ${D.oDbl(s"CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4))")} AS sum_disc_price,
-            ${D.oDbl(s"CAST(sum(${D.oCharge("l_extendedprice", "l_discount", "l_tax")}) AS DECIMAL(18,6))")} AS sum_charge,
+            ${D.oDbl(s"CAST(round(sum(${D.oNet("l_extendedprice", "l_discount")}), 2) AS DECIMAL(18,2))")} AS sum_disc_price,
+            ${D.oDbl(s"CAST(round(sum(${D.oCharge("l_extendedprice", "l_discount", "l_tax")}), 2) AS DECIMAL(18,2))")} AS sum_charge,
             round(avg(l_quantity), 4) AS avg_qty,
             round(avg(l_extendedprice), 2) AS avg_price,
             round(avg(l_discount), 4) AS avg_disc,
@@ -426,7 +426,7 @@ object Aggs {
                     wsum_price / w_total AS wavg_price
             FROM (SELECT l_returnflag,
                          ${D.oSumDec("l_quantity")} AS w_total,
-                         ${D.oDbl(s"CAST(sum(CAST(${D.oDec("l_quantity")} * ${D.oDec("l_extendedprice")} AS DECIMAL(18,4))) AS DECIMAL(18,4))")} AS wsum_price,
+                         ${D.oDbl(s"CAST(round(sum(CAST(${D.oDec("l_quantity")} * ${D.oDec("l_extendedprice")} AS DECIMAL(18,4))), 2) AS DECIMAL(18,2))")} AS wsum_price,
                          count(*) AS n
                   FROM lineitem GROUP BY l_returnflag)
             ORDER BY l_returnflag"""))

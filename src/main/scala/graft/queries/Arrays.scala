@@ -27,12 +27,13 @@ object Arrays {
         .select(col("vec_id"),
           size(col("embedding")).cast("bigint").as("dim"),
           element_at(col("embedding"), 1).cast("double").as("e1"),
-          round(sumArr(dbl(slice(col("embedding"), 1, 8))), 4).as("sum8"))
+          // + 0.0: -0.0 canonicalization (sf1 rehearsal), see vec_l2_normalize
+          (round(sumArr(dbl(slice(col("embedding"), 1, 8))), 4) + 0.0).as("sum8"))
         .orderBy("vec_id"),
     Some("""SELECT vec_id,
             len(embedding) AS dim,
             CAST(embedding[1] AS DOUBLE) AS e1,
-            round(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum8
+            round(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 4) + 0.0 AS sum8
             FROM embeddings ORDER BY vec_id"""))
 
   val arrHigherOrder = Q(

@@ -51,11 +51,12 @@ object Joins {
         .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          D.dbl(sum(col("rev_o")).cast(D.Money4)).as("revenue"),
+          // scale-2 narrowing before the double cast — see D.sumDec4
+          D.dbl(sum(col("rev_o")).cast(D.Money)).as("revenue"),
           sum(col("n_items_o")).as("n_items"))
         .orderBy("r_name", "n_name"),
     Some(s"""SELECT r_name, n_name,
-            ${D.oDbl(s"CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4))")} AS revenue,
+            ${D.oDbl(s"CAST(round(sum(${D.oNet("l_extendedprice", "l_discount")}), 2) AS DECIMAL(18,2))")} AS revenue,
             count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -359,7 +360,7 @@ object Joins {
     Some(s"""SELECT r.r_name, n.n_name,
                    CAST(count(*) AS BIGINT) AS n_items,
                    ${graft.util.D.oDbl(
-                     s"CAST(sum(${graft.util.D.oNet("l.l_extendedprice", "l.l_discount")}) AS DECIMAL(18,4))")} AS revenue
+                     s"CAST(round(sum(${graft.util.D.oNet("l.l_extendedprice", "l.l_discount")}), 2) AS DECIMAL(18,2))")} AS revenue
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
             JOIN customer c ON c.c_nationkey = n.n_nationkey

@@ -13,14 +13,20 @@ import graft.util.{D, Tables}
   */
 object Scans {
 
+  // Row-level scans ORDER BY the FULL projection: (l_orderkey,
+  // l_linenumber) is NOT unique in the fixtures (118k duplicate pairs at
+  // sf0.1), and the sf1 rehearsal caught DuckDB's parallel sort breaking
+  // those ties differently than Spark's at 6M rows. Sorting by every
+  // emitted column is a total order up to fully-identical rows, which
+  // compare equal anyway — deterministic at ANY scale.
   val scanProject = Q(
     "scan_project",
     (spark, sfDir) =>
       Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""))
 
   val scanFilterPushdown = Q(
     "scan_filter_pushdown",
@@ -28,10 +34,10 @@ object Scans {
       Tables.lineitem(spark, sfDir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
     Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity"""))
 
   /** The nanosecond-parquet recipe end-to-end (SURVEY §1.4). */
   val scanEventsNs = Q(
@@ -51,11 +57,11 @@ object Scans {
           col("l_orderkey"), col("l_linenumber"),
           D.dbl(D.net(col("l_extendedprice"), col("l_discount"))).as("net_price"),
           when(col("l_discount") > 0.05, "HIGH").otherwise("LOW").as("disc_band"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "disc_band"),
     Some(s"""SELECT l_orderkey, l_linenumber,
             ${D.oDbl(D.oNet("l_extendedprice", "l_discount"))} AS net_price,
             CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, disc_band"""))
 
   val filterCompound = Q(
     "filter_compound",

@@ -28,7 +28,7 @@ object SetOps {
         .limit(10)
     },
     Some(s"""SELECT l_orderkey, o_orderdate,
-            ${D.oDbl(s"CAST(sum(${D.oNet("l_extendedprice", "l_discount")}) AS DECIMAL(18,4))")} AS revenue
+            ${D.oDbl(s"CAST(round(sum(${D.oNet("l_extendedprice", "l_discount")}), 2) AS DECIMAL(18,2))")} AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

@@ -37,18 +37,21 @@ object Vectors {
     (spark, sfDir) => {
       val e = dbl(col("embedding"))
       val n = norm(e)
+      // + 0.0 canonicalizes -0.0 (sf1 rehearsal: a dim that rounds to zero
+      // keeps its sign in DuckDB's round but not Spark's — the engines
+      // stringify the two zeros differently)
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"),
           round(n, 4).as("l2_norm"),
-          round(element_at(e, 1) / n, 6).as("n1"),
-          round(element_at(e, 2) / n, 6).as("n2"),
-          round(element_at(e, 3) / n, 6).as("n3"),
-          round(element_at(e, 4) / n, 6).as("n4"))
+          (round(element_at(e, 1) / n, 6) + 0.0).as("n1"),
+          (round(element_at(e, 2) / n, 6) + 0.0).as("n2"),
+          (round(element_at(e, 3) / n, 6) + 0.0).as("n3"),
+          (round(element_at(e, 4) / n, 6) + 0.0).as("n4"))
         .orderBy("vec_id")
     },
     Some(s"""SELECT vec_id, round(nrm, 4) AS l2_norm,
-            round(e1 / nrm, 6) AS n1, round(e2 / nrm, 6) AS n2,
-            round(e3 / nrm, 6) AS n3, round(e4 / nrm, 6) AS n4
+            round(e1 / nrm, 6) + 0.0 AS n1, round(e2 / nrm, 6) + 0.0 AS n2,
+            round(e3 / nrm, 6) + 0.0 AS n3, round(e4 / nrm, 6) + 0.0 AS n4
             FROM (SELECT vec_id, ${oNorm("embedding::DOUBLE[]")} AS nrm,
                          embedding[1]::DOUBLE AS e1, embedding[2]::DOUBLE AS e2,
                          embedding[3]::DOUBLE AS e3, embedding[4]::DOUBLE AS e4

@@ -51,11 +51,21 @@ object D {
   /** Exact, partition-order-independent decimal sum, emitted as double. */
   def sumDec(c: Column): Column = dbl(sum(dec(c)).cast(Money))
 
-  /** Sum of an already-decimal scale-4 expression, emitted as double. */
-  def sumDec4(c: Column): Column = dbl(sum(c).cast(Money4))
+  /** Sums of scale-4/6 decimals narrow to scale 2 BEFORE the double cast.
+    * Scale-rehearsal finding (sf1, round 5): once |sum|·10^scale crosses
+    * 2^53 the exact decimal no longer fits a double, and the two engines'
+    * decimal→double conversions round the last ulp differently (Spark's
+    * BigDecimal.doubleValue is correctly rounded; DuckDB converts the
+    * int128 payload then divides by 10^scale — two roundings). A 6-dp sum
+    * diverged at ~2.8e10 (sf1's Q1 sum_charge); at scale 2 the same
+    * boundary sits at ~9e13, four orders of headroom. Both engines round
+    * the 4/6-dp sum to 2 dp identically (exact decimal, HALF_UP, positive
+    * sums), so the narrowed value is engine-portable — per-window/group
+    * sums bounded by construction (not corpus size) may keep full scale. */
+  def sumDec4(c: Column): Column = dbl(sum(c).cast(Money))
 
-  /** Sum of an already-decimal scale-6 expression, emitted as double. */
-  def sumDec6(c: Column): Column = dbl(sum(c).cast(Money6))
+  /** See sumDec4 — same scale-2 narrowing for scale-6 decimal sums. */
+  def sumDec6(c: Column): Column = dbl(sum(c).cast(Money))
 
   /** Timestamp output normalization — all query outputs are timestamp_ntz. */
   def ntz(c: Column): Column = c.cast("timestamp_ntz")

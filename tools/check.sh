@@ -22,5 +22,5 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SFDIR" "$OUT" 2>&1 | { grep -v '^\(2[0-9]\|WARN\|INFO\)' || true; }
+  graft.Verify "$SFDIR" "$OUT" $ONLY 2>&1 | { grep -v '^\(2[0-9]\|WARN\|INFO\)' || true; }
 python3 /root/repo/tools/parity.py "$SFDIR" "$OUT" $ONLY
