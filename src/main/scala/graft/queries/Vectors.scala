@@ -424,7 +424,75 @@ object Vectors {
                               / (count(*) - 1)), 4) AS std_x
             FROM e GROUP BY dim ORDER BY dim"""))
 
+  /** Product quantization — the ANN compression path scalar quantization
+    * can't reach: the 64-dim vector splits into M=4 contiguous 16-dim
+    * subspaces, each encoded as the id of its nearest codeword (here the
+    * deterministic seed codebook = sub-vectors of vec_id < 16, the same
+    * seeding rule as vec_kmeans_step), giving a 4-byte code per vector
+    * (64× smaller than float32) plus the reconstruction error.
+    *
+    * 100-TB shape: the codebook is tiny and BROADCAST (M·k codewords);
+    * encoding is a per-row argmin over k codewords per subspace — one
+    * scan, no data shuffle until the final per-vector regroup, distances
+    * through the codegen'd `l2sq_native` (bit-identical to the zip_with
+    * fold, NativeDotSpec). Sub-vector slices are equal-length by
+    * construction, so the native min-length fold == the composed HOF.
+    * pq_err sums the 4 subspace minima in FIXED order (conditional picks,
+    * not an agg over arbitrary partition order) — IEEE addition is not
+    * associative, the oracle adds in the same order. */
+  val vecPqQuantize = Q(
+    "vec_pq_quantize",
+    (spark, sfDir) => {
+      graft.functions.L2Sq.register(spark)
+      val v = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val subs = v.select(col("vec_id"),
+        posexplode(array((0 until 4).map(s =>
+          slice(col("e"), s * 16 + 1, 16)): _*)).as(Seq("sub", "sv")))
+      val seeds = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("seed"), col("sub").as("ssub"),
+          col("sv").as("cw"))
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2"), col("seed"))
+      val best = subs.join(broadcast(seeds), col("sub") === col("ssub"))
+        .select(col("vec_id"), col("sub"), col("seed"),
+          expr("l2sq_native(sv, cw)").as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      def codeOf(s: Int) =
+        max(when(col("sub") === s, col("seed"))).cast("bigint")
+      def errOf(s: Int) = max(when(col("sub") === s, col("d2")))
+      best.groupBy("vec_id")
+        .agg(codeOf(0).as("code_0"), codeOf(1).as("code_1"),
+          codeOf(2).as("code_2"), codeOf(3).as("code_3"),
+          round(errOf(0) + errOf(1) + errOf(2) + errOf(3), 6).as("pq_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+                 subs AS (SELECT vec_id, s.sub, v.e[(16*s.sub+1):(16*s.sub+16)] AS sv
+                          FROM v, (SELECT unnest(generate_series(0,3)) AS sub) s),
+                 seeds AS (SELECT vec_id AS seed, sub AS ssub, sv AS cw
+                           FROM subs WHERE vec_id < 16),
+                 dist AS (SELECT subs.vec_id, subs.sub, seeds.seed,
+                                 list_aggregate(list_transform(list_zip(subs.sv, seeds.cw),
+                                   p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d2
+                          FROM subs JOIN seeds ON subs.sub = seeds.ssub),
+                 best AS (SELECT vec_id, sub, seed, d2,
+                                 row_number() OVER (PARTITION BY vec_id, sub
+                                                    ORDER BY d2, seed) AS rn
+                          FROM dist)
+            SELECT vec_id,
+                   CAST(max(CASE WHEN sub=0 THEN seed END) AS BIGINT) AS code_0,
+                   CAST(max(CASE WHEN sub=1 THEN seed END) AS BIGINT) AS code_1,
+                   CAST(max(CASE WHEN sub=2 THEN seed END) AS BIGINT) AS code_2,
+                   CAST(max(CASE WHEN sub=3 THEN seed END) AS BIGINT) AS code_3,
+                   round(max(CASE WHEN sub=0 THEN d2 END) + max(CASE WHEN sub=1 THEN d2 END)
+                       + max(CASE WHEN sub=2 THEN d2 END) + max(CASE WHEN sub=3 THEN d2 END), 6) AS pq_err
+            FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
-    vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats)
+    vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
+    vecPqQuantize)
 }

@@ -150,4 +150,33 @@ class Round5OpsSpec extends SparkSpec {
       assert(byRank.sliding(2).forall(p => p.length < 2 || p.head >= p.last))
     }
   }
+
+  test("vec_pq_quantize: seeds self-code with zero error; codes in codebook range") {
+    val out = Vectors.vecPqQuantize.build(spark, sf0001).collect()
+    assert(out.length == graft.util.Tables.embeddings(spark, sf0001).count())
+    out.foreach { r =>
+      val codes = (1 to 4).map(r.getLong)
+      assert(codes.forall(c => c >= 0 && c < 16), s"code out of range: $r")
+      assert(r.getDouble(5) >= 0.0, s"negative reconstruction error: $r")
+    }
+    // the codebook vectors must reconstruct themselves exactly
+    out.filter(_.getLong(0) < 16).foreach { r =>
+      assert((1 to 4).forall(i => r.getLong(i) == r.getLong(0)), s"seed mis-coded: $r")
+      assert(r.getDouble(5) == 0.0, s"seed with nonzero error: $r")
+    }
+    // encoding must beat (or tie) a FIXED arbitrary codeword assignment:
+    // per-subspace argmin error <= distance to codeword 0 everywhere
+    import org.apache.spark.sql.functions._
+    graft.functions.L2Sq.register(spark)
+    val v = graft.util.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), graft.util.V.dbl(col("embedding")).as("e"))
+    val c0 = v.filter(col("vec_id") === 0).select(col("e").as("cw"))
+    val fixedErr = v.crossJoin(broadcast(c0))
+      .select(col("vec_id"), expr("l2sq_native(e, cw)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(5) <= fixedErr(r.getLong(0)) + 1e-9,
+        s"PQ error exceeds trivial single-codeword assignment: $r")
+    }
+  }
 }
