@@ -95,27 +95,40 @@ object Multimodal {
       .cast("binary")
 
   /** The REAL decoder on the mapPartitions seam: parses the P5 header
-    * (magic, width, height, maxval), validates the sample-section length,
-    * and normalizes each sample by the PARSED maxval — malformed payloads
-    * fail loudly instead of decoding garbage. */
+    * per the Netpbm spec — magic then width/height/maxval separated by
+    * arbitrary whitespace runs (space/newline/tab — ImageMagick emits
+    * newlines, our encoder single spaces; '#' comments not supported),
+    * raster starting after EXACTLY ONE whitespace byte past maxval —
+    * validates the sample-section length, and normalizes each sample by
+    * the PARSED maxval. Malformed payloads fail loudly instead of
+    * decoding garbage. */
   def decodePgm(payload: Array[Byte]): PgmImage = {
-    val nl = payload.indexOf('\n'.toByte)
-    require(nl > 0, "PGM: missing header terminator")
-    val header = new String(payload, 0, nl, "US-ASCII").split(" ")
-    require(header.length == 4 && header(0) == "P5",
-      s"PGM: bad magic/header '${header.mkString(" ")}'")
-    val w = header(1).toInt
-    val h = header(2).toInt
-    val maxval = header(3).toInt
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    var pos = 0
+    def token(): String = {
+      while (pos < payload.length && isWs(payload(pos))) pos += 1
+      val start = pos
+      while (pos < payload.length && !isWs(payload(pos))) pos += 1
+      require(pos > start, "PGM: truncated header")
+      new String(payload, start, pos - start, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P5", s"PGM: bad magic '$magic'")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
     require(w > 0 && h >= 0, s"PGM: bad dimensions ${w}x$h")
     require(maxval > 0 && maxval < 256, s"PGM: maxval $maxval out of range")
+    require(pos < payload.length && isWs(payload(pos)),
+      "PGM: missing raster separator")
+    pos += 1 // exactly one whitespace byte before the raster (the spec)
     val n = w * h
-    require(payload.length - nl - 1 == n,
-      s"PGM: sample section ${payload.length - nl - 1} bytes, expected $n")
+    require(payload.length - pos == n,
+      s"PGM: sample section ${payload.length - pos} bytes, expected $n")
     val px = new Array[Double](n)
     var i = 0
     while (i < n) {
-      px(i) = (payload(nl + 1 + i) & 0xff).toDouble / maxval
+      px(i) = (payload(pos + i) & 0xff).toDouble / maxval
       i += 1
     }
     PgmImage(w, h, maxval, px)
@@ -145,26 +158,31 @@ object Multimodal {
     * decode: pixel count (16 × floor(len/16)) and mean intensity over all
     * decoded samples. The oracle replays the container's header arithmetic
     * directly on the text — same left-to-right fold over ascii codes
-    * (fixtures are ASCII, so string positions == byte positions; min doc
-    * is 19 chars, so height >= 1 always). */
+    * (fixtures are ASCII, so string positions == byte positions); a
+    * zero-pixel raster yields NULL mean on both sides (guard below). */
   val mmDecodeStats = Q(
     "mm_decode_stats",
     (spark, sfDir) =>
       decodeFeatures(Tables.documents(spark, sfDir), 16)
         .select(col("doc_id"),
           size(col("features")).cast("bigint").as("dim"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x)
-            / size(col("features")).cast("double"), 6)
+          // empty-raster guard (a doc shorter than the row width decodes
+          // to 0 pixels): Spark's 0.0/0 is NaN but DuckDB's empty-list sum
+          // is NULL — null on BOTH sides, not a fixture assumption
+          when(size(col("features")) > 0,
+            round(aggregate(col("features"), lit(0.0), (a, x) => a + x)
+              / size(col("features")).cast("double"), 6))
             .as("mean_intensity"))
         .orderBy("doc_id"),
     Some("""WITH d AS (SELECT doc_id, text,
                               16 * CAST(floor(length(text) / 16) AS INT) AS n
                        FROM documents)
             SELECT doc_id, CAST(n AS BIGINT) AS dim,
-                   round(list_aggregate(
-                           list_transform(generate_series(1, n),
-                             i -> ascii(substring(text, i, 1)) / CAST(255 AS DOUBLE)),
-                           'sum') / n, 6) AS mean_intensity
+                   CASE WHEN n > 0 THEN
+                     round(list_aggregate(
+                             list_transform(generate_series(1, n),
+                               i -> ascii(substring(text, i, 1)) / CAST(255 AS DOUBLE)),
+                             'sum') / n, 6) END AS mean_intensity
             FROM d ORDER BY doc_id"""))
 
   /** Exact payload dedup: group binary payloads by content hash — the

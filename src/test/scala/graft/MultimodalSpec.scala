@@ -23,6 +23,13 @@ class MultimodalSpec extends SparkSpec {
     assert(img.pixels.forall(v => v >= 0.0))
   }
 
+  test("decodePgm accepts the standard newline-separated header dialect") {
+    // what ImageMagick/Netpbm tools actually emit: P5\n<w> <h>\n<maxval>\n
+    val img = Multimodal.decodePgm("P5\n2 2\n255\nHell".getBytes("US-ASCII"))
+    assert((img.width, img.height, img.maxval) == (2, 2, 255))
+    assert(img.pixels(0) == 'H'.toInt / 255.0)
+  }
+
   test("decodePgm rejects malformed containers loudly") {
     // wrong magic
     intercept[IllegalArgumentException] {

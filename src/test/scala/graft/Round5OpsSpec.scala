@@ -174,8 +174,10 @@ class Round5OpsSpec extends SparkSpec {
     val fixedErr = v.crossJoin(broadcast(c0))
       .select(col("vec_id"), expr("l2sq_native(e, cw)").as("d"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // tolerance covers pq_err's round(...,6) granularity (5e-7), which can
+    // push an exact-tie case above the unrounded reference
     out.foreach { r =>
-      assert(r.getDouble(5) <= fixedErr(r.getLong(0)) + 1e-9,
+      assert(r.getDouble(5) <= fixedErr(r.getLong(0)) + 1e-6,
         s"PQ error exceeds trivial single-codeword assignment: $r")
     }
   }

@@ -219,14 +219,19 @@ class StreamingParitySpec extends SparkSpec {
             .write.mode("append").parquet(outDir)
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming query did not finish")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("batch_id").desc)
+      // compare BOTH state slots: count exactly; the running double sum at
+      // 4 dp (arrival-order accumulation vs batch partition-order sum are
+      // IEEE-reassociated — ~1e-11 apart at these magnitudes, far inside
+      // the rounding)
       val finalState = spark.read.parquet(outDir)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("n"))
+        .select(col("user_id"), col("n"), round(col("sum_value"), 4).as("s"))
       val batchCounts = spark.read.parquet(dir)
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("s"))
       assert(finalState.except(batchCounts).count() == 0)
       assert(batchCounts.except(finalState).count() == 0)
     } finally {

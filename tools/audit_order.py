@@ -29,15 +29,29 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 flagged, skipped = [], []
 for name, sql in oracle.items():
     idx = sql.upper().rfind("ORDER BY")
-    if idx < 0:
-        skipped.append((name, "no-order-by"))  # fine iff result is 1 row
-        continue
-    tail = re.sub(r"\b(LIMIT|OFFSET)\s+\d+", "",
-                  sql[idx + 8:], flags=re.I).strip()
+    # rfind can land on a window/subquery ORDER BY when the query has no
+    # FINAL one — the identifier regex then rejects the garbage tail, so
+    # both "no ORDER BY at all" and "unparseable tail" fall through to the
+    # multi-row check below instead of silently passing
+    tail = "" if idx < 0 else re.sub(
+        r"\b(LIMIT|OFFSET)\s+\d+", "", sql[idx + 8:], flags=re.I).strip()
     cols = [re.sub(r"\s+(DESC|ASC|NULLS\s+FIRST|NULLS\s+LAST)\b", "", c,
-                   flags=re.I).strip() for c in tail.split(",")]
-    if not all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", c) for c in cols):
-        skipped.append((name, "expression-order: " + tail[:60]))
+                   flags=re.I).strip() for c in tail.split(",")] if tail else []
+    if not cols or not all(
+            re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", c) for c in cols):
+        why = "no-order-by" if not cols else "expression-order: " + tail[:60]
+        try:
+            nrows = d.sql(f"WITH q AS ({sql}) SELECT count(*) FROM q").fetchone()[0]
+        except Exception as e:  # noqa: BLE001
+            nrows = -1
+            why += " | count-err: " + str(e)[:60]
+        if nrows == 1 and idx < 0:
+            skipped.append((name, why + " (single row — fine)"))
+        else:
+            # a multi-row result whose final ordering we could not prove
+            # total is a FLAG, not a skip — the audit must not exit 0 on
+            # exactly the class it exists to catch
+            flagged.append((name, -1, [why + f" ({nrows} rows)"]))
         continue
     cols = [c.split(".")[-1] for c in cols]
     try:
