@@ -491,8 +491,76 @@ object Vectors {
                        + max(CASE WHEN sub=2 THEN d2 END) + max(CASE WHEN sub=3 THEN d2 END), 6) AS pq_err
             FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** PQ search via asymmetric distance computation (ADC) — how PQ codes
+    * are actually queried: the query vector (vec_id 0) precomputes a
+    * 4×16 lookup table of subspace distances to every codeword, and each
+    * candidate's approximate distance is the FIXED-ORDER sum of 4 LUT
+    * entries selected by its codes. ADC distance ≡ the exact squared L2
+    * between the query and the candidate's PQ RECONSTRUCTION (pinned in
+    * Round5OpsSpec), so accuracy is exactly the quantization error.
+    *
+    * 100-TB shape: the LUT is M·k doubles (tiny, broadcast); per
+    * candidate the scan does 4 lookups + 3 adds — no vector arithmetic
+    * at query time, which is the entire point of PQ search. Top-k cut is
+    * total (unrounded identical-bits distance, vec_id tiebreak). */
+  val vecPqAdcTopk = Q(
+    "vec_pq_adc_topk",
+    (spark, sfDir) => {
+      graft.functions.L2Sq.register(spark)
+      val v = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val subs = v.select(col("vec_id"),
+        posexplode(array((0 until 4).map(s =>
+          slice(col("e"), s * 16 + 1, 16)): _*)).as(Seq("sub", "sv")))
+      val seeds = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("seed"), col("sub").as("ssub"),
+          col("sv").as("cw"))
+      val dist = subs.join(broadcast(seeds), col("sub") === col("ssub"))
+        .select(col("vec_id"), col("sub"), col("seed"),
+          expr("l2sq_native(sv, cw)").as("d2"))
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2"), col("seed"))
+      val best = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("sub"), col("seed").as("code"))
+      val lut = dist.filter(col("vec_id") === 0)
+        .select(col("sub").as("lsub"), col("seed").as("lseed"),
+          col("d2").as("qd2"))
+      def term(s: Int) = max(when(col("sub") === s, col("qd2")))
+      best.join(broadcast(lut),
+          col("sub") === col("lsub") && col("code") === col("lseed"))
+        .groupBy("vec_id")
+        .agg((term(0) + term(1) + term(2) + term(3)).as("adc_raw"))
+        .orderBy(col("adc_raw"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("adc_raw"), 6).as("adc_d2"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+                 subs AS (SELECT vec_id, s.sub, v.e[(16*s.sub+1):(16*s.sub+16)] AS sv
+                          FROM v, (SELECT unnest(generate_series(0,3)) AS sub) s),
+                 seeds AS (SELECT vec_id AS seed, sub AS ssub, sv AS cw
+                           FROM subs WHERE vec_id < 16),
+                 dist AS (SELECT subs.vec_id, subs.sub, seeds.seed,
+                                 list_aggregate(list_transform(list_zip(subs.sv, seeds.cw),
+                                   p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d2
+                          FROM subs JOIN seeds ON subs.sub = seeds.ssub),
+                 best AS (SELECT vec_id, sub, seed AS code, d2,
+                                 row_number() OVER (PARTITION BY vec_id, sub
+                                                    ORDER BY d2, seed) AS rn
+                          FROM dist),
+                 lut AS (SELECT sub, seed, d2 AS qd2 FROM dist WHERE vec_id = 0),
+                 adc AS (SELECT b.vec_id,
+                                max(CASE WHEN b.sub=0 THEN l.qd2 END) + max(CASE WHEN b.sub=1 THEN l.qd2 END)
+                              + max(CASE WHEN b.sub=2 THEN l.qd2 END) + max(CASE WHEN b.sub=3 THEN l.qd2 END) AS adc_raw
+                         FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.seed
+                         WHERE b.rn = 1 AND b.vec_id != 0
+                         GROUP BY b.vec_id)
+            SELECT vec_id, round(adc_raw, 6) AS adc_d2
+            FROM adc ORDER BY adc.adc_raw, vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
-    vecPqQuantize)
+    vecPqQuantize, vecPqAdcTopk)
 }

@@ -181,4 +181,30 @@ class Round5OpsSpec extends SparkSpec {
         s"PQ error exceeds trivial single-codeword assignment: $r")
     }
   }
+
+  test("vec_pq_adc_topk: ADC distance equals L2² to the PQ reconstruction") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .toMap
+    val q = emb(0L)
+    val codes = Vectors.vecPqQuantize.build(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toArray).toMap
+    val top = Vectors.vecPqAdcTopk.build(spark, sf0001).collect()
+    assert(top.length == 10)
+    // non-decreasing distances and the identity: adc_d2 == |q - recon|²
+    // where recon concatenates the coded codeword sub-vectors
+    val ds = top.map(_.getDouble(1))
+    assert(ds.sliding(2).forall(p => p.length < 2 || p.head <= p.last))
+    top.foreach { r =>
+      val (vid, adc) = (r.getLong(0), r.getDouble(1))
+      val recon = (0 until 4).flatMap { s =>
+        emb(codes(vid)(s)).slice(s * 16, s * 16 + 16)
+      }
+      val exact = q.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(adc - exact) < 1e-5,
+        s"vec $vid: adc $adc vs reconstruction L2² $exact")
+    }
+  }
 }
