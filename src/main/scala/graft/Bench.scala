@@ -24,26 +24,44 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Process CPU time: with N worker threads, cpu/wall ≈ effective
+    // parallelism. A query whose wall doubles while its cpu stays flat was
+    // descheduled by the HOST (contention); one whose cpu doubles too is
+    // doing more work (regression). -1 when the platform bean is absent.
+    def procCpuMillis: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+    // 1-min system load average (all processes on the host, not just this
+    // JVM): the direct co-running-load reading the r4/r5 verdicts had to
+    // infer from inflation patterns.
+    def loadAvg: Double = osBean.getSystemLoadAverage
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // SPARK_GRAFT_BENCH_TELEMETRY=1 → a second JSON line with per-query GC
-    // time and cache occupancy: the r4 driver run showed three late-running
-    // queries inflated 5-6x with no way to tell WHY from the timings alone
-    // (root cause: transient host contention — see BASELINE.md round 5)
-    val telemetry = sys.env.get("SPARK_GRAFT_BENCH_TELEMETRY").contains("1")
+    // Per-query self-diagnosis, UNCONDITIONAL (round-5 verdict #1: the
+    // env-gated variant left BENCH_r05.json unable to attribute a 2.2×
+    // suite-wide inflation to contention vs regression for a second round).
+    // Everything rides in the one contract JSON line as parallel maps.
+    val t0Run = System.currentTimeMillis()
+    val startSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val gcPer = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val cachedPer = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val cpuPer = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val loadPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val gc0 = gcMillis
+    val cpu0 = procCpuMillis
+    val load0 = loadAvg
     val results = SparkEntry.queries.map { case (name, fn) =>
       val g0 = gcMillis
+      val c0 = procCpuMillis
+      startSec(name) = (System.currentTimeMillis() - t0Run) / 1000.0
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
-      if (telemetry) {
-        gcPer(name) = gcMillis - g0
-        cachedPer(name) = spark.sparkContext.getPersistentRDDs.size
-      }
+      gcPer(name) = gcMillis - g0
+      cpuPer(name) = if (c0 < 0) -1L else procCpuMillis - c0
+      loadPer(name) = loadAvg
       // ANY failed rep marks the query failed (-1): sorting would
       // otherwise hide an intermittent crash behind a healthy median,
       // and a -1 summed into the total would make a BROKEN query look
@@ -51,9 +69,17 @@ object Bench {
       name -> (if (ts.head < 0) -1.0 else ts(ts.size / 2))
     }
     val gcSec = (gcMillis - gc0) / 1000.0
+    val cpuSec = if (cpu0 < 0) -1.0 else (procCpuMillis - cpu0) / 1000.0
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap[T](m: collection.Map[String, T])(fmt: T => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = jmap(results)(_.toString)
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val tele = Seq(
+      "\"t_start\":" + jmap(startSec)(v => r3(v).toString),
+      "\"gc_ms\":" + jmap(gcPer)(_.toString),
+      "\"cpu_ms\":" + jmap(cpuPer)(_.toString),
+      "\"load_1m\":" + jmap(loadPer)(v => r3(v).toString)).mkString(",")
     // A run with a crashed query has no honest total: summing the healthy
     // rest would read as a speedup in naive run-over-run comparison
     // (ADVICE r4). value:-1 + valid:false make the invalidity visible to
@@ -61,14 +87,7 @@ object Bench {
     val valid = failed.isEmpty
     val total = if (valid) results.values.sum else -1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"gc_sec":$gcSec,"sf":"$sfDir","reps":$reps}""")
-    if (telemetry) {
-      val gcJson = gcPer.map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val cJson = cachedPer.map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      println(s"""{"telemetry":true,"gc_ms":$gcJson,"persistent_rdds":$cJson}""")
-    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"gc_sec":$gcSec,"cpu_sec":$cpuSec,"load_start":${r3(load0)},$tele,"sf":"$sfDir","reps":$reps}""")
     Graft.freeCaches(spark)
     spark.stop()
   }

@@ -84,15 +84,20 @@ object Multimodal {
   /** Synthesize a valid Netpbm P5 container around the text payload:
     * ASCII header `P5 <w> <h> <maxval>\n` followed by exactly w*h
     * single-byte samples (maxval < 256 per the spec). Height is
-    * floor(len/width) so the sample section always holds whole rows. */
-  def encodePgmPayload(text: Column, width: Int): Column =
+    * floor(len/width) so the sample section always holds whole rows.
+    * All arithmetic is on BYTES (cast to binary first): the raster is
+    * the UTF-8 encoding, so char-count math would declare a header
+    * shorter than the sample section for any non-ASCII text and
+    * decodePgm would rightly reject the container. */
+  def encodePgmPayload(text: Column, width: Int): Column = {
+    val bytes = text.cast("binary")
+    val height = floor(length(bytes) / width).cast("int")
     concat(
-      lit(s"P5 $width "),
-      floor(length(text) / width).cast("int").cast("string"),
-      lit(" 255\n"),
-      text.substr(lit(1), (floor(length(text) / width).cast("int") * width)
-        .cast("int")))
-      .cast("binary")
+      lit(s"P5 $width ").cast("binary"),
+      height.cast("string").cast("binary"),
+      lit(" 255\n").cast("binary"),
+      bytes.substr(lit(1), (height * width).cast("int")))
+  }
 
   /** The REAL decoder on the mapPartitions seam: parses the P5 header
     * per the Netpbm spec — magic then width/height/maxval separated by

@@ -440,18 +440,39 @@ object Vectors {
     * pq_err sums the 4 subspace minima in FIXED order (conditional picks,
     * not an agg over arbitrary partition order) — IEEE addition is not
     * associative, the oracle adds in the same order. */
+  /** Fail-loud PQ contract guards (ADVICE r5): the codebook construction
+    * assumes every embedding is exactly `dim`-wide and that all `k` seed
+    * vectors exist. On a mis-sized corpus the old plan silently returned
+    * truncated/empty results; these in-plan `assert_true` guards error at
+    * runtime instead (like decodePgm), cost nothing when valid, and leave
+    * the result rows unchanged, so the oracles need no mirror. */
+  private def requirePqDim(v: org.apache.spark.sql.DataFrame, dim: Int)
+      : org.apache.spark.sql.DataFrame =
+    v.where(coalesce(assert_true(size(col("e")) === dim,
+      lit(s"pq: embedding dim != $dim")), lit(true)))
+
+  private def requirePqSeeds(seeds: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val n = seeds.select(countDistinct(col("seed")).as("n_seeds"))
+    seeds.crossJoin(broadcast(n))
+      .where(coalesce(assert_true(col("n_seeds") === k,
+        lit(s"pq: seed codebook incomplete (need $k distinct seed vectors)")),
+        lit(true)))
+      .drop("n_seeds")
+  }
+
   val vecPqQuantize = Q(
     "vec_pq_quantize",
     (spark, sfDir) => {
       graft.functions.L2Sq.register(spark)
-      val v = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val v = requirePqDim(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), 64)
       val subs = v.select(col("vec_id"),
         posexplode(array((0 until 4).map(s =>
           slice(col("e"), s * 16 + 1, 16)): _*)).as(Seq("sub", "sv")))
-      val seeds = subs.filter(col("vec_id") < 16)
+      val seeds = requirePqSeeds(subs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("seed"), col("sub").as("ssub"),
-          col("sv").as("cw"))
+          col("sv").as("cw")), 16)
       val w = Window.partitionBy("vec_id", "sub")
         .orderBy(col("d2"), col("seed"))
       val best = subs.join(broadcast(seeds), col("sub") === col("ssub"))
@@ -507,14 +528,14 @@ object Vectors {
     "vec_pq_adc_topk",
     (spark, sfDir) => {
       graft.functions.L2Sq.register(spark)
-      val v = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val v = requirePqDim(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), 64)
       val subs = v.select(col("vec_id"),
         posexplode(array((0 until 4).map(s =>
           slice(col("e"), s * 16 + 1, 16)): _*)).as(Seq("sub", "sv")))
-      val seeds = subs.filter(col("vec_id") < 16)
+      val seeds = requirePqSeeds(subs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("seed"), col("sub").as("ssub"),
-          col("sv").as("cw"))
+          col("sv").as("cw")), 16)
       val dist = subs.join(broadcast(seeds), col("sub") === col("ssub"))
         .select(col("vec_id"), col("sub"), col("seed"),
           expr("l2sq_native(sv, cw)").as("d2"))

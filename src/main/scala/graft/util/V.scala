@@ -69,23 +69,30 @@ object Memo {
     }
   }
 
-  /** Dispose and drop one entry (no-op when absent). */
-  def evict(spark: SparkSession, key: String): Unit = {
-    val m = mapFor(spark)
-    m.synchronized { m.remove(key) }.foreach(_.dispose())
-  }
+  /** Dispose and drop one entry (pure no-op when the session has no map —
+    * must not insert one, or clears on unused sessions would mutate the
+    * registry and pin map churn under the perSession lock). */
+  def evict(spark: SparkSession, key: String): Unit =
+    existingMapFor(spark).foreach { m =>
+      m.synchronized { m.remove(key) }.foreach(_.dispose())
+    }
 
   /** Dispose and drop every entry of this session — unpersists all memoized
     * cached frames. Safe to call mid-session: the next invocation simply
-    * rebuilds. */
-  def clear(spark: SparkSession): Unit = {
-    val m = mapFor(spark)
-    val entries = m.synchronized { val es = m.values.toList; m.clear(); es }
-    entries.foreach(_.dispose())
-  }
+    * rebuilds. Pure no-op for sessions that never memoized. */
+  def clear(spark: SparkSession): Unit =
+    existingMapFor(spark).foreach { m =>
+      val entries = m.synchronized { val es = m.values.toList; m.clear(); es }
+      entries.foreach(_.dispose())
+    }
 
   /** Live entry count (test/telemetry hook for bounded-cache assertions). */
-  def entryCount(spark: SparkSession): Int = mapFor(spark).size
+  def entryCount(spark: SparkSession): Int =
+    existingMapFor(spark).fold(0)(_.size)
+
+  private def existingMapFor(spark: SparkSession)
+      : Option[scala.collection.concurrent.TrieMap[String, Entry]] =
+    perSession.synchronized { Option(perSession.get(spark)) }
 
   private def mapFor(spark: SparkSession) = perSession.synchronized {
     var inner = perSession.get(spark)

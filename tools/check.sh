@@ -5,11 +5,12 @@ set -eo pipefail
 SF=${1:-sf0.01}
 ONLY=${2:-}
 # driver fixtures live at /root/testdata; rehearsal SFs (tools/gen_sf.py)
-# under the repo's own testdata/ — sf1 resolves there, paths pass through
+# under the repo's own testdata/ — any sfN generated there wins, paths pass
+# through unchanged
 case "$SF" in
   /*)  SFDIR=$SF; SF=$(basename "$SF");;
-  sf1) SFDIR=/root/repo/testdata/sf1;;
-  *)   SFDIR=/root/testdata/$SF;;
+  *)   if [ -d "/root/repo/testdata/$SF" ]; then SFDIR=/root/repo/testdata/$SF
+       else SFDIR=/root/testdata/$SF; fi;;
 esac
 OUT=/tmp/verify_$SF
 rm -rf "$OUT"
