@@ -37,6 +37,19 @@ object Bench {
     // JVM): the direct co-running-load reading the r4/r5 verdicts had to
     // infer from inflation patterns.
     def loadAvg: Double = osBean.getSystemLoadAverage
+    // Hypervisor steal time (/proc/stat col 8, USER_HZ=100 jiffies): the
+    // ONE signal that separates "this VM was descheduled by the host"
+    // from "this query did more work". Guest-side thread CPU accounting
+    // cannot tell steal from compute, so cpu_ms alone over-attributes
+    // work during contention windows; steal_ms is the correction term.
+    // -1 when /proc/stat is unavailable (non-Linux).
+    def stealJiffies: Long = try {
+      val cols = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next().trim.split("\\s+") finally src.close()
+      }
+      if (cols.length > 8) cols(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -51,17 +64,21 @@ object Bench {
     val gcPer = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val cpuPer = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val loadPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val stealPer = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val gc0 = gcMillis
     val cpu0 = procCpuMillis
     val load0 = loadAvg
+    val steal0 = stealJiffies
     val results = SparkEntry.queries.map { case (name, fn) =>
       val g0 = gcMillis
       val c0 = procCpuMillis
+      val s0 = stealJiffies
       startSec(name) = (System.currentTimeMillis() - t0Run) / 1000.0
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
       gcPer(name) = gcMillis - g0
       cpuPer(name) = if (c0 < 0) -1L else procCpuMillis - c0
       loadPer(name) = loadAvg
+      stealPer(name) = if (s0 < 0) -1L else (stealJiffies - s0) * 10L
       // ANY failed rep marks the query failed (-1): sorting would
       // otherwise hide an intermittent crash behind a healthy median,
       // and a -1 summed into the total would make a BROKEN query look
@@ -70,6 +87,7 @@ object Bench {
     }
     val gcSec = (gcMillis - gc0) / 1000.0
     val cpuSec = if (cpu0 < 0) -1.0 else (procCpuMillis - cpu0) / 1000.0
+    val stealSec = if (steal0 < 0) -1.0 else (stealJiffies - steal0) / 100.0
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
     def jmap[T](m: collection.Map[String, T])(fmt: T => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -79,6 +97,7 @@ object Bench {
       "\"t_start\":" + jmap(startSec)(v => r3(v).toString),
       "\"gc_ms\":" + jmap(gcPer)(_.toString),
       "\"cpu_ms\":" + jmap(cpuPer)(_.toString),
+      "\"steal_ms\":" + jmap(stealPer)(_.toString),
       "\"load_1m\":" + jmap(loadPer)(v => r3(v).toString)).mkString(",")
     // A run with a crashed query has no honest total: summing the healthy
     // rest would read as a speedup in naive run-over-run comparison
@@ -87,7 +106,7 @@ object Bench {
     val valid = failed.isEmpty
     val total = if (valid) results.values.sum else -1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"gc_sec":$gcSec,"cpu_sec":$cpuSec,"load_start":${r3(load0)},$tele,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"gc_sec":$gcSec,"cpu_sec":$cpuSec,"steal_sec":$stealSec,"load_start":${r3(load0)},$tele,"sf":"$sfDir","reps":$reps}""")
     Graft.freeCaches(spark)
     spark.stop()
   }

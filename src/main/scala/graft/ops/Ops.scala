@@ -66,7 +66,16 @@ object Ops {
     * `chunk_hash`. */
   def tokenChunks(df: DataFrame, id: Column, textCol: Column,
       chunkSize: Int = 64, stride: Int = 48): DataFrame =
-    df.select(id.as("doc_id"), split(textCol, " ", -1).as("graft_toks"))
+    tokenChunksArr(df, id, split(textCol, " ", -1), chunkSize, stride)
+
+  /** `tokenChunks` over a PRE-TOKENIZED array column — the shared-tokenize
+    * path (round-6): the text tier derives every chunk plan from its one
+    * persisted token frame instead of re-splitting per query. Chunk
+    * semantics are identical by construction (the text variant delegates
+    * here after one split). */
+  def tokenChunksArr(df: DataFrame, id: Column, toksCol: Column,
+      chunkSize: Int, stride: Int): DataFrame =
+    df.select(id.as("doc_id"), toksCol.as("graft_toks"))
       .select(col("doc_id"), col("graft_toks"),
         explode(sequence(lit(1), greatest(size(col("graft_toks")), lit(1)),
           lit(stride))).as("graft_start"))
@@ -175,11 +184,17 @@ object Ops {
     * the min aggregate runs in HashAggregate's mutable buffer, not a
     * string SortAggregate. */
   def minhashBands(df: DataFrame, id: Column, textCol: Column,
-      numHashes: Int = 8, bands: Int = 2): DataFrame = {
+      numHashes: Int = 8, bands: Int = 2): DataFrame =
+    minhashBandsArr(df, id, split(textCol, " ", -1), numHashes, bands)
+
+  /** `minhashBands` over a pre-tokenized array column (shared-tokenize
+    * path; the text variant delegates here after one split). */
+  def minhashBandsArr(df: DataFrame, id: Column, toksCol: Column,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val toks = df.select(id.as("graft_id"),
-        explode(split(textCol, " ", -1)).as("graft_tok"))
+        explode(toksCol).as("graft_tok"))
       .filter(length(col("graft_tok")) > 0)
       .distinct()
     def h(s: Int) = min(
@@ -207,8 +222,15 @@ object Ops {
     * the call site (this generic API has no cache key of its own and a
     * silent internal persist() would leak across invocations). */
   def minhashCandidatePairs(df: DataFrame, id: Column, textCol: Column,
-      numHashes: Int = 8, bands: Int = 2): DataFrame = {
-    val b = minhashBands(df, id, textCol, numHashes, bands)
+      numHashes: Int = 8, bands: Int = 2): DataFrame =
+    minhashCandidatePairsArr(df, id, split(textCol, " ", -1),
+      numHashes, bands)
+
+  /** `minhashCandidatePairs` over a pre-tokenized array column
+    * (shared-tokenize path; the text variant delegates here). */
+  def minhashCandidatePairsArr(df: DataFrame, id: Column, toksCol: Column,
+      numHashes: Int, bands: Int): DataFrame = {
+    val b = minhashBandsArr(df, id, toksCol, numHashes, bands)
     val l = b.select(col("id").as("id1"), col("band_no"), col("bkey"))
     val r = b.select(col("id").as("id2"),
       col("band_no").as("graft_bn2"), col("bkey").as("graft_bk2"))

@@ -142,15 +142,19 @@ object Approx {
     * all-pairs cap — is the shape that scales to 100 TB: candidates meet
     * only within matching hash bands.
     *
-    * Output is (d1, d2, approx_jaccard = 1 - lsh_distance), pairs with
-    * distance <= 0.9, ordered. */
+    * Output is (d1, d2, approx_jaccard = 1 - lsh_distance, exact_jaccard)
+    * for pairs with distance <= 0.9, ordered. The exact token-set Jaccard
+    * rides IN THE ROW (round-5 verdict #3: the driver's rows-only check
+    * becomes a real correctness signal — a drifting sketch is visibly
+    * wrong next to its exact companion), computed on the CANDIDATE pairs
+    * only, which is exactly the LSH-verify cost model that scales. */
   val minhashLshJaccard = Q(
     "minhash_lsh_jaccard",
     (spark, sfDir) => {
       val vecs = memo(spark, sfDir, "minhash-vecs") {
-        val docs = Tables.documents(spark, sfDir)
+        val docs = TextOps.docToks(spark, sfDir)
           .filter(col("doc_id") < 50)
-          .select(col("doc_id"), split(col("text"), " ", -1).as("tokens"))
+          .select(col("doc_id"), col("tk").as("tokens"))
         val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
           .setNumFeatures(1 << 18).setBinary(true)
         tf.transform(docs).select("doc_id", "features").persist()
@@ -159,10 +163,26 @@ object Approx {
         new MinHashLSH().setInputCol("features").setOutputCol("hashes")
           .setNumHashTables(8).setSeed(42L).fit(vecs)
       }
-      model.approxSimilarityJoin(vecs, vecs, 0.9, "dist")
+      val cand = model.approxSimilarityJoin(vecs, vecs, 0.9, "dist")
         .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
           round(lit(1.0) - col("dist"), 4).as("approx_jaccard"))
         .filter(col("d1") < col("d2"))
+      val sets = TextOps.docToks(spark, sfDir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .distinct()
+        .groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("ts"))
+      cand
+        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
+          col("d1") === col("sd1"))
+        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
+          col("d2") === col("sd2"))
+        .withColumn("inter",
+          size(filter(col("t1"), x => array_contains(col("t2"), x))))
+        .select(col("d1"), col("d2"), col("approx_jaccard"),
+          round(col("inter").cast("double")
+            / (size(col("t1")) + size(col("t2")) - col("inter")), 4)
+            .as("exact_jaccard"))
         .orderBy("d1", "d2")
     },
     None)
@@ -173,21 +193,44 @@ object Approx {
     * distance is monotone in cosine (d² = 2 − 2·cos), hashed into seeded
     * random-projection buckets, and only bucket-mates are compared.
     * Returns the approximate top-10 neighbors of vec_id=0 with the cosine
-    * recovered from the bucketed euclidean distance. Recall vs the exact
-    * top-10 is pinned by AnnRecallSpec. */
+    * recovered from the bucketed euclidean distance, plus an in-row
+    * `in_exact_top10` flag (round-5 verdict #3): for LSH ANN the SCORE of
+    * a returned candidate is exact — the approximation is RECALL — so the
+    * honest in-row invariant is membership in the brute-force top-10. A
+    * broken index shows as a mostly-false column in the driver's dump.
+    * Recall is also pinned by AnnRecallSpec. */
   val vecAnnLsh = Q(
     "vec_ann_lsh",
     (spark, sfDir) => {
       val vecs = normalizedVecs(spark, sfDir)
       val idx = lshIndex(spark, sfDir)
-      idx.model
+      graft.functions.DotProduct.register(spark)
+      val ann = idx.model
         .approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), idx.qv,
           10, "dist")
         .select(col("vec_id"),
           round(lit(1.0) - col("dist") * col("dist") / 2.0, 4).as("approx_cos"))
+      ann.join(broadcast(exactTop10(idx.qv, vecs)
+            .select(col("vec_id"), lit(true).as("hit"))),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("approx_cos"),
+          coalesce(col("hit"), lit(false)).as("in_exact_top10"))
         .orderBy(col("approx_cos").desc, col("vec_id"))
     },
     None)
+
+  /** Brute-force exact cosine top-10 of `qv` over the normalized corpus —
+    * the in-row recall witness both ANN queries join against. One linear
+    * scan through the codegen'd native dot; 10-row output, broadcast at
+    * the join site. */
+  private def exactTop10(qv: Vector, vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("v")).as("varr"),
+        array(qv.toArray.toSeq.map(lit): _*).as("qarr"))
+      .select(col("vec_id"), expr("dot_native(varr, qarr)").as("ec"))
+      .orderBy(col("ec").desc, col("vec_id"))
+      .limit(10)
 
   /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the
     * normalized vectors into 8 cells; the query probes its 3 nearest
@@ -195,7 +238,10 @@ object Approx {
     * members — the inverted-file pattern that bounds comparisons to
     * nProbe/nCells of the corpus at any scale. Complements vec_ann_lsh
     * (the brief's "IVF or LSH-bucketed variant"). Oracle-less (cluster
-    * assignments are model-specific); recall pinned in AnnRecallSpec. */
+    * assignments are model-specific); recall pinned in AnnRecallSpec and
+    * witnessed in-row by `in_exact_top10` (round-5 verdict #3 — the probe
+    * restriction is the approximation, so membership in the brute-force
+    * top-10 is the honest per-row signal). */
   val vecAnnIvf = Q(
     "vec_ann_ivf",
     (spark, sfDir) => {
@@ -204,7 +250,7 @@ object Approx {
       // driver-side closure / no UDF): the query vector is a literal array,
       // the candidate vector comes back from MLlib as array<double>.
       graft.functions.DotProduct.register(spark)
-      idx.assigned
+      val ann = idx.assigned
         .filter(col("vec_id") =!= 0 &&
           col("cell").isin(idx.probes.map(Integer.valueOf): _*))
         .select(col("vec_id"),
@@ -214,6 +260,13 @@ object Approx {
           round(expr("dot_native(varr, qarr)"), 4).as("approx_cos"))
         .orderBy(col("approx_cos").desc, col("vec_id"))
         .limit(10)
+      ann.join(broadcast(exactTop10(idx.qv,
+              idx.assigned.select(col("vec_id"), col("v")))
+            .select(col("vec_id"), lit(true).as("hit"))),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("approx_cos"),
+          coalesce(col("hit"), lit(false)).as("in_exact_top10"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
     },
     None)
 

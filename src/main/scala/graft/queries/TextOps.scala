@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables
@@ -14,13 +15,35 @@ import graft.util.Tables
   */
 object TextOps {
 
+  /** The text tier's SINGLE tokenize pass (round-5 verdict #2): documents
+    * plus its whitespace token array `tk`, spread on doc_id to the
+    * session's shuffle parallelism, persisted, memoized per (session,
+    * sfDir). Every text plan derives from this frame, so the parquet scan
+    * + split regex run once per session instead of once per query — the
+    * session-cache form of the materialized "tokenized" intermediate a
+    * production pipeline would write between its scan and analysis stages
+    * (at 100 TB: a bucketed parquet table, same shape). The doc_id spread
+    * also retires the per-query `repartition(32, ...)` constants (verdict
+    * #7): downstream explode blow-ups inherit full parallelism from the
+    * cache. `lower()` is applied per token where a query needs folded
+    * terms — whitespace lowercases to itself, so split∘lower ≡ lower∘split
+    * token-for-token. */
+  def docToks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo(spark, s"$sfDir:doctoks") {
+      Tables.documents(spark, sfDir)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+        .withColumn("tk", split(col("text"), " ", -1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Exact duplicate-text removal: keep the lowest doc_id per md5(text).
     * The fixture corpus has no exact dups, so output == input — still a
     * graded identity that exercises the full dedup plan. */
   val textExactDedup = Q(
     "text_exact_dedup",
     (spark, sfDir) =>
-      graft.ops.Ops.exactDedup(Tables.documents(spark, sfDir),
+      graft.ops.Ops.exactDedup(docToks(spark, sfDir),
           md5(col("text")), col("doc_id"))
         .select("doc_id", "h")
         .orderBy("doc_id"),
@@ -35,9 +58,9 @@ object TextOps {
   val textJaccardPairs = Q(
     "text_jaccard_pairs",
     (spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
+      val toks = docToks(spark, sfDir)
         .filter(col("doc_id") < 50)
-        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
         .distinct()
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = toks.select(col("doc_id").as("d1"), col("tok"))
@@ -74,13 +97,13 @@ object TextOps {
   val textStats = Q(
     "text_stats",
     (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
+      docToks(spark, sfDir)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           sum(when(length(col("text")) === col("n_chars"), 1).otherwise(0))
             .as("n_len_ok"),
-          round(avg(size(split(col("text"), " ", -1))), 4).as("avg_tokens"))
+          round(avg(size(col("tk"))), 4).as("avg_tokens"))
         .orderBy("lang", "source"),
     Some("""SELECT lang, source, count(*) AS n_docs,
             CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -95,9 +118,9 @@ object TextOps {
     "text_ngram_jaccard",
     (spark, sfDir) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      val shingles = Tables.documents(spark, sfDir)
+      val shingles = docToks(spark, sfDir)
         .filter(col("doc_id") < 50)
-        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+        .select(col("doc_id"), posexplode(col("tk")))
         .withColumn("nxt", lead(col("col"), 1).over(w))
         .filter(col("nxt").isNotNull)
         .select(col("doc_id"), concat_ws(" ", col("col"), col("nxt")).as("sh"))
@@ -144,8 +167,8 @@ object TextOps {
   val textSimhash = Q(
     "text_simhash",
     (spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      val toks = docToks(spark, sfDir)
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
         .distinct()
       toks
         .select(col("doc_id"), substring(md5(col("tok")), 1, 4).as("h4"))
@@ -181,13 +204,13 @@ object TextOps {
   val textQuality = Q(
     "text_quality",
     (spark, sfDir) => {
-      val tokens = split(col("text"), " ", -1)
+      val tokens = col("tk")
       val nToks = size(tokens).cast("bigint")
       val stop = size(filter(tokens, t =>
         t.isin("the", "a", "of", "and", "to"))).cast("bigint")
       val punct = (length(col("text")) -
         length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
-      Tables.documents(spark, sfDir)
+      docToks(spark, sfDir)
         .select(col("doc_id"), nToks.as("n_tokens"),
           round((length(col("text")) - (nToks - 1)).cast("double") / nToks, 4)
             .as("avg_tok_len"),
@@ -221,10 +244,10 @@ object TextOps {
   val textLangid = Q(
     "text_langid",
     (spark, sfDir) => {
-      val tokens = split(col("text"), " ", -1)
+      val tokens = col("tk")
       def score(ms: String*) =
         round(size(filter(tokens, t => t.isin(ms: _*))).cast("double") / size(tokens), 4)
-      Tables.documents(spark, sfDir)
+      docToks(spark, sfDir)
         .select(col("doc_id"), col("lang"),
           score("the", "a", "and", "of").as("s_en"),
           score("der", "und", "die", "das").as("s_de"),
@@ -262,9 +285,9 @@ object TextOps {
     "text_token_count",
     (spark, sfDir) => {
       val re = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-      Tables.documents(spark, sfDir)
+      docToks(spark, sfDir)
         .select(col("doc_id"),
-          size(split(col("text"), " ", -1)).cast("bigint").as("n_ws"),
+          size(col("tk")).cast("bigint").as("n_ws"),
           size(expr(s"regexp_extract_all(text, '$re', 0)")).cast("bigint").as("n_re"),
           size(array_distinct(expr(s"regexp_extract_all(text, '$re', 0)")))
             .cast("bigint").as("n_re_unique"))
@@ -284,7 +307,7 @@ object TextOps {
   val textWinnowFingerprint = Q(
     "text_winnow_fingerprint",
     (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
+      docToks(spark, sfDir)
         // greatest(...,1) pins the sequence ASCENDING for docs shorter
         // than the 8-char window (sequence(1, n<1) would infer step -1
         // and emit bogus descending positions — at len==7 a greatest(0)
@@ -318,9 +341,9 @@ object TextOps {
   val textTfidf = Q(
     "text_tfidf",
     (spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
+      val toks = docToks(spark, sfDir)
         .select(col("doc_id"),
-          explode(split(lower(col("text")), " ", -1)).as("term"))
+          explode(transform(col("tk"), t => lower(t))).as("term"))
         .filter(length(col("term")) > 0)
       // df = count(*) OVER (PARTITION BY term) on the tf aggregate (#docs
       // with tf>0 == #docs containing the term). A window — not a
@@ -333,7 +356,7 @@ object TextOps {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val withDf = tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy("term")))
-      val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      val tot = docToks(spark, sfDir).agg(count(lit(1)).as("n_docs"))
       withDf.filter(col("doc_id") < 100)
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -369,9 +392,9 @@ object TextOps {
   val textMinhashBandPairs = Q(
     "text_minhash_band_pairs",
     (spark, sfDir) =>
-      graft.ops.Ops.minhashCandidatePairs(
-          Tables.documents(spark, sfDir).filter(col("doc_id") < 200),
-          col("doc_id"), col("text"), numHashes = 8, bands = 2)
+      graft.ops.Ops.minhashCandidatePairsArr(
+          docToks(spark, sfDir).filter(col("doc_id") < 200),
+          col("doc_id"), col("tk"), numHashes = 8, bands = 2)
         .withColumnRenamed("id1", "d1").withColumnRenamed("id2", "d2")
         .orderBy("d1", "d2"),
     Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
@@ -413,16 +436,16 @@ object TextOps {
   val textLshDedupVerified = Q(
     "text_lsh_dedup_verified",
     (spark, sfDir) => {
-      val docsF = Tables.documents(spark, sfDir).filter(col("doc_id") < 200)
+      val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
       val toks = docsF
-        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
         .filter(length(col("tok")) > 0)
         .distinct()
       // candidate generation through the ONE banding implementation
       // (Ops.minhashBands / minhashCandidatePairs) — a hash-family or
       // band-layout change lands in every LSH consumer at once
       val cand = graft.ops.Ops
-        .minhashCandidatePairs(docsF, col("doc_id"), col("text"),
+        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"),
           numHashes = 8, bands = 2)
         .select(col("id1").as("d1"), col("id2").as("d2"))
       // verify stage: exact Jaccard over sorted token sets, candidates only
@@ -508,9 +531,9 @@ object TextOps {
       // of the band self-join; the memo keeps bench reps from stacking a
       // fresh persisted copy per invocation
       val sig = graft.util.Memo(spark, s"$sfDir:simhash_sig") {
-        Tables.documents(spark, sfDir)
+        docToks(spark, sfDir)
           .filter(col("doc_id") < 300)
-          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+          .select(col("doc_id"), explode(col("tk")).as("tok"))
           .filter(length(col("tok")) > 0)
           .distinct()
           .select(col("doc_id"), substring(md5(col("tok")), 1, 8).as("h8"))
@@ -575,7 +598,7 @@ object TextOps {
   val textEditDistancePairs = Q(
     "text_edit_distance_pairs",
     (spark, sfDir) => {
-      val d = Tables.documents(spark, sfDir).filter(col("doc_id") < 40)
+      val d = docToks(spark, sfDir).filter(col("doc_id") < 40)
       val a = d.select(col("doc_id").as("d1"), col("text").as("t1"))
       val b = d.select(col("doc_id").as("d2"), col("text").as("t2"))
       a.join(b, col("d1") < col("d2"))
@@ -610,15 +633,12 @@ object TextOps {
     (spark, sfDir) => {
       val w = Window.partitionBy("lang")
         .orderBy(col("n").desc, col("tri"))
-      Tables.documents(spark, sfDir)
-        // the fixture corpus is one parquet split, so without a spread the
-        // 1.5M-trigram explode+partial-agg runs in a single task; the
-        // EXPLICIT partition count matters — a bare repartition(col) is a
-        // tiny shuffle by bytes, so AQE would coalesce it straight back to
-        // one partition (the explode blow-up happens after the exchange,
-        // where AQE can't see it). At production scale the many input
-        // splits make this a no-op cost-wise.
-        .repartition(32, col("doc_id"))
+      docToks(spark, sfDir)
+        // the doc_id spread lives in the shared docToks cache (built at
+        // the session's shuffle parallelism): the 1.5M-trigram
+        // explode+partial-agg runs across the full parallelism without a
+        // per-query repartition constant. At production scale the many
+        // input splits make the spread a no-op cost-wise.
         // build the trigram ARRAY first and explode that: exploding raw
         // positions would emit one row per position CARRYING THE FULL TEXT
         // (len × ~300 B per doc through the shuffle); the array form emits
@@ -656,19 +676,18 @@ object TextOps {
   val textBlocklistFilter = Q(
     "text_blocklist_filter",
     (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
-        .withColumn("n_tokens",
-          size(split(col("text"), " ", -1)).cast("bigint"))
+      docToks(spark, sfDir)
+        .withColumn("n_tokens", size(col("tk")).cast("bigint"))
         .withColumn("n_hits",
           size(expr(
-            "filter(split(text, ' ', -1), t -> t IN ('slow','error','big'))"))
+            "filter(tk, t -> t IN ('slow','error','big'))"))
             .cast("bigint"))
         .withColumn("hit_ratio",
           col("n_hits").cast("double") / col("n_tokens").cast("double"))
         .select(col("doc_id"), col("n_tokens"), col("n_hits"),
           round(col("hit_ratio"), 4).as("hit_ratio"),
           (col("hit_ratio") > 0.1).as("flagged"),
-          expr("""array_join(transform(split(text, ' ', -1),
+          expr("""array_join(transform(tk,
                     t -> CASE WHEN t IN ('slow','error','big')
                               THEN '[X]' ELSE t END), ' ')""")
             .as("redacted"))
@@ -697,8 +716,8 @@ object TextOps {
     "text_repetition_stats",
     (spark, sfDir) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+      docToks(spark, sfDir)
+        .select(col("doc_id"), posexplode(col("tk")))
         .withColumnRenamed("col", "tok")
         .select(col("doc_id"),
           concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("bigram"),
@@ -739,14 +758,14 @@ object TextOps {
   val textKeywordTopk = Q(
     "text_keyword_topk",
     (spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
+      val toks = docToks(spark, sfDir)
         .select(col("doc_id"),
-          explode(split(lower(col("text")), " ", -1)).as("term"))
+          explode(transform(col("tk"), t => lower(t))).as("term"))
         .filter(length(col("term")) > 0)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val withDf = tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy("term")))
-      val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      val tot = docToks(spark, sfDir).agg(count(lit(1)).as("n_docs"))
       val wk = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
       withDf.filter(col("doc_id") < 100)
@@ -791,9 +810,10 @@ object TextOps {
     "text_ngram_topk",
     (spark, sfDir) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      Tables.documents(spark, sfDir)
-        .repartition(32, col("doc_id"))
-        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+      // the doc_id spread comes from the shared docToks cache — no
+      // per-query repartition constant (round-5 verdict #7)
+      docToks(spark, sfDir)
+        .select(col("doc_id"), posexplode(col("tk")))
         .withColumnRenamed("col", "tok")
         .select(
           concat_ws(" ", col("tok"), lead("tok", 1).over(w),
@@ -831,9 +851,8 @@ object TextOps {
       // computes the shingles once. (With a SEPARATE benchmark corpus —
       // the production decontamination shape — broadcast its shingle set
       // into an equi-join instead; the eval-suite side is always tiny.)
-      val sh = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("source"),
-          split(col("text"), " ", -1).as("tk"))
+      val sh = docToks(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("tk"))
         // sequence(1, greatest(n-7, 1)) + a p <= n-7 filter: the bare
         // greatest(n-7, 0) form would make sequence(1, 0) STEP BACKWARD
         // ([1,0]) and emit a bogus position for docs under 8 tokens
@@ -882,12 +901,13 @@ object TextOps {
     * the dedup decision stays a shuffle on the chunk hash, never a pair
     * comparison. */
   /** Full 8-token chunks at stride 4, shared by text_chunk_dedup and
-    * text_dedup_pipeline — ONE implementation via Ops.tokenChunks (the
-    * n_chunk_tokens = 8 filter keeps exactly the full windows; short tail
-    * chunks and sub-8-token docs drop out, equivalent to the explicit
-    * (size-8) div 4 + 1 bound). */
+    * text_dedup_pipeline — ONE implementation via Ops.tokenChunksArr over
+    * a `tk`-bearing frame from docToks (the n_chunk_tokens = 8 filter
+    * keeps exactly the full windows; short tail chunks and sub-8-token
+    * docs drop out, equivalent to the explicit (size-8) div 4 + 1
+    * bound). */
   private def chunkShingles(docs: org.apache.spark.sql.DataFrame) =
-    graft.ops.Ops.tokenChunks(docs, col("doc_id"), col("text"),
+    graft.ops.Ops.tokenChunksArr(docs, col("doc_id"), col("tk"),
         chunkSize = 8, stride = 4)
       .filter(col("n_chunk_tokens") === 8)
       .select(col("doc_id"), col("chunk_hash").as("h"))
@@ -895,7 +915,7 @@ object TextOps {
   val textChunkDedup = Q(
     "text_chunk_dedup",
     (spark, sfDir) =>
-      chunkShingles(Tables.documents(spark, sfDir))
+      chunkShingles(docToks(spark, sfDir))
         .groupBy(col("h").as("chunk_hash"))
         .agg(count(lit(1)).as("n_total"),
           countDistinct("doc_id").as("n_docs"),
@@ -922,12 +942,12 @@ object TextOps {
   val textStopwordDiscovery = Q(
     "text_stopword_discovery",
     (spark, sfDir) => {
-      val toks = Tables.documents(spark, sfDir)
+      val toks = docToks(spark, sfDir)
         .select(col("doc_id"),
-          explode(split(lower(col("text")), " ", -1)).as("term"))
+          explode(transform(col("tk"), t => lower(t))).as("term"))
         .filter(length(col("term")) > 0)
         .distinct()
-      val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      val n = docToks(spark, sfDir).agg(count(lit(1)).as("n_docs"))
       toks.groupBy("term").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .filter(col("df").cast("double") / col("n_docs") > 0.6)
@@ -955,10 +975,10 @@ object TextOps {
   val textDedupPipeline = Q(
     "text_dedup_pipeline",
     (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
+      val docs = docToks(spark, sfDir)
       val survivors = graft.ops.Ops
         .exactDedup(docs, md5(col("text")), col("doc_id"))
-        .select("doc_id", "text")
+        .select("doc_id", "tk")
       // owner via a window on the chunk hash, NOT a groupBy+self-join: the
       // join formulation makes the tokenize→explode subtree appear three
       // times in the plan and Catalyst recomputes it per occurrence (the
@@ -1021,8 +1041,8 @@ object TextOps {
     (spark, sfDir) => {
       val w = Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(spark, sfDir)
-        .select(expr("size(split(text, ' ', -1)) div 10").cast("bigint")
+      docToks(spark, sfDir)
+        .select(expr("size(tk) div 10").cast("bigint")
           .as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .withColumn("cum_n", sum("n").over(w).cast("bigint"))
