@@ -302,31 +302,16 @@ object Vectors {
     * array column: the driver's compare hashes scalars only. */
   val vecKmeansStep = Q(
     "vec_kmeans_step",
-    (spark, sfDir) => {
-      graft.functions.L2Sq.register(spark)
-      val v = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
-      val cent = v.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("e").as("c"))
-      // codegen'd fused loop, bit-identical to the zip_with/aggregate fold
-      // (NativeDotSpec) — the lambda formulation runs interpreted
-      val d2 = expr("l2sq_native(e, c)")
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-      val assigned = v.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cid")
-      assigned.join(v, Seq("vec_id"))
-        .select(col("cid"), posexplode(col("e")))
-        .groupBy(col("cid").as("cluster"), (col("pos") + 1).cast("bigint").as("dim"))
-        // + 0.0 canonicalizes IEEE -0.0 (round(-1e-9, 4) differs in SIGN
-        // between engines' string reprs; adding +0.0 is the identity on
-        // every other value) — mirrored in the oracle
-        .agg(count(lit(1)).as("n_members"),
-          (round(avg(col("col")), 4) + 0.0).as("centroid_val"))
-        .orderBy("cluster", "dim")
-    },
+    // fixed instantiation of the parameterized Ops.kmeansStep (round-5
+    // verdict #4): k = 8, centroids seeded from vec_id < 8. The API
+    // returns the raw per-(cluster, dim) mean; the 4-dp round + the
+    // -0.0-canonicalizing +0.0 (see the oracle) stay presentation-side.
+    (spark, sfDir) =>
+      graft.ops.Ops.kmeansStep(Tables.embeddings(spark, sfDir),
+          col("vec_id"), col("embedding"), k = 8)
+        .select(col("cluster"), col("dim"), col("n_members"),
+          (round(col("centroid_mean"), 4) + 0.0).as("centroid_val"))
+        .orderBy("cluster", "dim"),
     Some("""WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
               FROM embeddings),
@@ -440,55 +425,18 @@ object Vectors {
     * pq_err sums the 4 subspace minima in FIXED order (conditional picks,
     * not an agg over arbitrary partition order) — IEEE addition is not
     * associative, the oracle adds in the same order. */
-  /** Fail-loud PQ contract guards (ADVICE r5): the codebook construction
-    * assumes every embedding is exactly `dim`-wide and that all `k` seed
-    * vectors exist. On a mis-sized corpus the old plan silently returned
-    * truncated/empty results; these in-plan `assert_true` guards error at
-    * runtime instead (like decodePgm), cost nothing when valid, and leave
-    * the result rows unchanged, so the oracles need no mirror. */
-  private def requirePqDim(v: org.apache.spark.sql.DataFrame, dim: Int)
-      : org.apache.spark.sql.DataFrame =
-    v.where(coalesce(assert_true(size(col("e")) === dim,
-      lit(s"pq: embedding dim != $dim")), lit(true)))
-
-  private def requirePqSeeds(seeds: org.apache.spark.sql.DataFrame, k: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val n = seeds.select(countDistinct(col("seed")).as("n_seeds"))
-    seeds.crossJoin(broadcast(n))
-      .where(coalesce(assert_true(col("n_seeds") === k,
-        lit(s"pq: seed codebook incomplete (need $k distinct seed vectors)")),
-        lit(true)))
-      .drop("n_seeds")
-  }
-
   val vecPqQuantize = Q(
     "vec_pq_quantize",
-    (spark, sfDir) => {
-      graft.functions.L2Sq.register(spark)
-      val v = requirePqDim(Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), dbl(col("embedding")).as("e")), 64)
-      val subs = v.select(col("vec_id"),
-        posexplode(array((0 until 4).map(s =>
-          slice(col("e"), s * 16 + 1, 16)): _*)).as(Seq("sub", "sv")))
-      val seeds = requirePqSeeds(subs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("seed"), col("sub").as("ssub"),
-          col("sv").as("cw")), 16)
-      val w = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("d2"), col("seed"))
-      val best = subs.join(broadcast(seeds), col("sub") === col("ssub"))
-        .select(col("vec_id"), col("sub"), col("seed"),
-          expr("l2sq_native(sv, cw)").as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-      def codeOf(s: Int) =
-        max(when(col("sub") === s, col("seed"))).cast("bigint")
-      def errOf(s: Int) = max(when(col("sub") === s, col("d2")))
-      best.groupBy("vec_id")
-        .agg(codeOf(0).as("code_0"), codeOf(1).as("code_1"),
-          codeOf(2).as("code_2"), codeOf(3).as("code_3"),
-          round(errOf(0) + errOf(1) + errOf(2) + errOf(3), 6).as("pq_err"))
-        .orderBy("vec_id")
-    },
+    // fixed instantiation of the parameterized Ops.pqQuantize (round-5
+    // verdict #4): M=4 subspaces × 16 dims, 16-seed codebook. The in-plan
+    // dim/seed guards live in Ops.pqDistances (ADVICE r5); rounding stays
+    // here — the API returns the raw fixed-order error sum.
+    (spark, sfDir) =>
+      graft.ops.Ops.pqQuantize(Tables.embeddings(spark, sfDir),
+          col("vec_id"), col("embedding"), m = 4, subDim = 16, numSeeds = 16)
+        .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"),
+          col("code_3"), round(col("pq_err"), 6).as("pq_err"))
+        .orderBy("vec_id"),
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                        FROM embeddings),
                  subs AS (SELECT vec_id, s.sub, v.e[(16*s.sub+1):(16*s.sub+16)] AS sv
@@ -526,36 +474,14 @@ object Vectors {
     * total (unrounded identical-bits distance, vec_id tiebreak). */
   val vecPqAdcTopk = Q(
     "vec_pq_adc_topk",
-    (spark, sfDir) => {
-      graft.functions.L2Sq.register(spark)
-      val v = requirePqDim(Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), dbl(col("embedding")).as("e")), 64)
-      val subs = v.select(col("vec_id"),
-        posexplode(array((0 until 4).map(s =>
-          slice(col("e"), s * 16 + 1, 16)): _*)).as(Seq("sub", "sv")))
-      val seeds = requirePqSeeds(subs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("seed"), col("sub").as("ssub"),
-          col("sv").as("cw")), 16)
-      val dist = subs.join(broadcast(seeds), col("sub") === col("ssub"))
-        .select(col("vec_id"), col("sub"), col("seed"),
-          expr("l2sq_native(sv, cw)").as("d2"))
-      val w = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("d2"), col("seed"))
-      val best = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("vec_id") =!= 0)
-        .select(col("vec_id"), col("sub"), col("seed").as("code"))
-      val lut = dist.filter(col("vec_id") === 0)
-        .select(col("sub").as("lsub"), col("seed").as("lseed"),
-          col("d2").as("qd2"))
-      def term(s: Int) = max(when(col("sub") === s, col("qd2")))
-      best.join(broadcast(lut),
-          col("sub") === col("lsub") && col("code") === col("lseed"))
-        .groupBy("vec_id")
-        .agg((term(0) + term(1) + term(2) + term(3)).as("adc_raw"))
+    // fixed instantiation of the parameterized Ops.pqAdcTopK (round-5
+    // verdict #4): query vec_id 0, top-10, M=4 × 16 dims, 16 seeds.
+    (spark, sfDir) =>
+      graft.ops.Ops.pqAdcTopK(Tables.embeddings(spark, sfDir),
+          col("vec_id"), col("embedding"), queryId = 0, k = 10,
+          m = 4, subDim = 16, numSeeds = 16)
         .orderBy(col("adc_raw"), col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("adc_raw"), 6).as("adc_d2"))
-    },
+        .select(col("vec_id"), round(col("adc_raw"), 6).as("adc_d2")),
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                        FROM embeddings),
                  subs AS (SELECT vec_id, s.sub, v.e[(16*s.sub+1):(16*s.sub+16)] AS sv

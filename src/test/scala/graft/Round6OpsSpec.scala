@@ -236,4 +236,87 @@ class Round6OpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- parameterized vector tier, second parameter points (r5 verdict #4)
+
+  test("pqQuantize: finer subspaces (m=8) never increase reconstruction error vs m=4") {
+    // per-block argmin over the SAME 16 codewords is more flexible on
+    // smaller blocks: err_8 <= err_4 holds per vector, mathematically
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def errs(m: Int, subDim: Int) =
+      graft.ops.Ops.pqQuantize(emb, col("vec_id"), col("embedding"),
+          m = m, subDim = subDim, numSeeds = 16)
+        .select("vec_id", "pq_err").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e4 = errs(4, 16)
+    val e8 = errs(8, 8)
+    assert(e4.keySet == e8.keySet)
+    e8.foreach { case (id, e) =>
+      assert(e <= e4(id) + 1e-9, s"vec $id: err m=8 $e > err m=4 ${e4(id)}")
+    }
+  }
+
+  test("pqAdcTopK: finer codebook (m=8) recalls at least as much of the exact L2 top-10 as m=4") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // exact squared-L2 top-10 of query 0, brute-forced in test code
+    val vecs = emb
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = vecs(0L)
+    def l2(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val exact = vecs.view.filterKeys(_ != 0L).toSeq
+      .map { case (id, v) => (id, l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    def top(m: Int, subDim: Int) =
+      graft.ops.Ops.pqAdcTopK(emb, col("vec_id"), col("embedding"),
+        queryId = 0, k = 10, m = m, subDim = subDim, numSeeds = 16).collect()
+    val t8 = top(8, 8)
+    assert(t8.length == 10)
+    val d8 = t8.map(_.getDouble(1))
+    assert(d8.sameElements(d8.sorted), "ADC top-10 not ascending by distance")
+    assert(d8.forall(_ >= 0.0), "squared ADC distance must be non-negative")
+    val r8 = (t8.map(_.getLong(0)).toSet intersect exact).size
+    val r4 = (top(4, 16).map(_.getLong(0)).toSet intersect exact).size
+    // deterministic fixture: measured recall@10 is 4 (m=8) vs 2 (m=4) —
+    // halving the subspace width with the same 16 codewords tightens the
+    // ADC metric, and the floor below catches a broken LUT/codes join
+    assert(r8 >= r4, s"finer codebook recall $r8 < coarser $r4")
+    assert(r8 >= 3, s"m=8 recall@10 $r8 < 3")
+  }
+
+  test("ivfTopK probing ALL cells recovers the exact cosine top-10") {
+    val exact = graft.queries.Registry.byName("vec_cosine_topk")
+      .build(spark, sf0001).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val all = graft.queries.Approx
+      .ivfTopK(spark, sf0001, nCells = 8, nProbes = 8, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect all).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"probe-all IVF recall $recall < 0.9 (exact=$exact ivf=$all)")
+  }
+
+  test("kmeansStep at k=4: membership conserves the corpus and clusters are seeded ids") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count()
+    val out = graft.ops.Ops.kmeansStep(emb, col("vec_id"), col("embedding"),
+      k = 4).collect()
+    val clusters = out.map(_.getLong(0)).toSet
+    assert(clusters.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // every (cluster, dim) cell exists for dims 1..64 and n_members is
+    // constant within a cluster
+    val byCluster = out.groupBy(_.getLong(0))
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.map(_.getLong(1)).toSet == (1L to 64L).toSet)
+      assert(rows.map(_.getLong(2)).distinct.length == 1,
+        s"cluster $c has varying n_members across dims")
+    }
+    // fixing any dim, the cluster member counts partition the corpus
+    val dim1 = out.filter(_.getLong(1) == 1L)
+    assert(dim1.map(_.getLong(2)).sum == n)
+  }
 }
