@@ -1,0 +1,94 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
+/** Plan-shape regression gate (round-5 verdict #5): the load-bearing
+  * physical-plan properties of the heaviest queries, asserted so a future
+  * edit that silently de-optimizes a plan fails the build instead of only
+  * showing up as a bench regression. Checks run on the INITIAL physical
+  * plan (pre-AQE finalization) — broadcast selection, top-k operators,
+  * pushed filters and cache usage are all decided there.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).build(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  private def pushedNonEmpty(p: String): Boolean =
+    "PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined
+
+  test("no graded plan contains a CartesianProduct") {
+    // crossJoin sites in the suite are all broadcast-1-row/tiny frames,
+    // which plan as BroadcastNestedLoopJoin — an unbounded cartesian
+    // anywhere is a scale bug, with no exceptions
+    Registry.all.foreach { q =>
+      val p = q.build(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan on dated/selective scans") {
+    Seq("scan_filter_pushdown", "join_star_flagship", "join_bcast_chain")
+      .foreach { n =>
+        assert(pushedNonEmpty(plan(n)), s"$n: no non-empty PushedFilters")
+      }
+  }
+
+  test("dimension joins broadcast — no sort-merge join in the star/chain plans") {
+    Seq("join_bcast_chain", "join_star_flagship").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: no BroadcastHashJoin")
+      assert(!p.contains("SortMergeJoin"),
+        s"$n: SortMergeJoin crept into a broadcast-dim plan")
+    }
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    Seq("sort_limit_topk", "text_ngram_topk", "vec_cosine_topk_native")
+      .foreach { n =>
+        assert(plan(n).contains("TakeOrderedAndProject"),
+          s"$n: top-k lost TakeOrderedAndProject")
+      }
+  }
+
+  test("aggregations keep the partial (map-side) phase") {
+    Seq("agg_q1_pricing", "agg_twophase_salted", "ts_tumbling").foreach { n =>
+      val c = "HashAggregate".r.findAllIn(plan(n)).length
+      assert(c >= 2, s"$n: $c HashAggregate nodes — partial agg missing")
+    }
+  }
+
+  test("LSH banding pairs broadcast the tiny signature side") {
+    Seq("text_simhash_band_pairs", "text_minhash_band_pairs",
+      "text_lsh_dedup_verified").foreach { n =>
+      assert(plan(n).contains("BroadcastHashJoin"),
+        s"$n: band self-join no longer broadcasts")
+    }
+  }
+
+  test("text plans derive every documents leaf from the shared tokenized cache") {
+    // the single-tokenize property (round-5 verdict #2): after docToks,
+    // a text plan re-scanning documents.parquet directly means a code
+    // path skipped the shared frame and pays its own tokenize
+    val textHeavy = Seq("text_chunk_dedup", "text_stopword_discovery",
+      "text_dedup_pipeline", "text_tfidf", "text_keyword_topk",
+      "text_contamination", "text_trigram_profile", "text_ngram_topk",
+      "text_repetition_stats", "text_simhash_band_pairs",
+      "text_minhash_band_pairs", "text_lsh_dedup_verified",
+      "text_length_histogram", "text_stats", "text_quality")
+    textHeavy.foreach { n =>
+      val df = Registry.byName(n).build(spark, sf0001)
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty)
+      val stray = leaves.filterNot(l => l.isInstanceOf[InMemoryRelation]
+        || l.getClass.getSimpleName.contains("OneRowRelation")
+        || l.getClass.getSimpleName.contains("LocalRelation"))
+      assert(stray.isEmpty,
+        s"$n: leaves outside the shared cache: " +
+          stray.map(_.getClass.getSimpleName).mkString(","))
+    }
+  }
+}
