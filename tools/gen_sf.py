@@ -9,7 +9,14 @@ embeddings), value domains, and the measured sf0.1 distributions
 bytes on every run. Dev-tooling only (like parity.py) — the engine itself
 never reads or needs this script.
 
-Usage: gen_sf.py [sf] [outdir]     (default: 1 /root/repo/testdata/sf1)
+Usage: gen_sf.py [sf] [outdir] [--skew SHARE]
+       (default: 1 /root/repo/testdata/sf1)
+
+--skew SHARE (r5 verdict #6: skewed-fixture rehearsal): give ONE hot key
+a SHARE fraction of the probe rows — l_orderkey 0 owns SHARE of lineitem
+and user_id 0 owns SHARE of events, remaining rows uniform as before.
+This is the adversarial shape salting/AQE exist for: a single shuffle
+partition would otherwise receive SHARE of the fact table.
 
 Verified divergences from the driver generator (irrelevant to parity —
 Spark and DuckDB read the SAME files): exact PRNG stream, parquet
@@ -21,9 +28,22 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata/sf1"
+args = [a for a in sys.argv[1:] if not a.startswith("--skew")]
+SKEW = 0.0
+if "--skew" in sys.argv:
+    SKEW = float(sys.argv[sys.argv.index("--skew") + 1])
+    args = [a for a in args if a != str(SKEW)]
+SF = float(args[0]) if len(args) > 0 else 1.0
+OUT = args[1] if len(args) > 1 else "/root/repo/testdata/sf1"
 K = SF / 0.1  # scale vs the measured sf0.1 fixture
+
+
+def skewed(uniform_draw, n):
+    """Route a SKEW fraction of rows to hot key 0, rest stay uniform."""
+    if SKEW <= 0.0:
+        return uniform_draw
+    hot = rng.random(n) < SKEW
+    return np.where(hot, 0, uniform_draw)
 
 rng = np.random.default_rng(42)
 import os
@@ -113,7 +133,8 @@ sdates = (np.datetime64("1995-01-02")
           + rng.integers(0, 2499, N_LI).astype("timedelta64[D]")) \
     .astype("datetime64[ms]")
 write("lineitem", pa.table({
-    "l_orderkey": pa.array(np.sort(rng.integers(0, N_ORD, N_LI)), pa.int64()),
+    "l_orderkey": pa.array(np.sort(skewed(rng.integers(0, N_ORD, N_LI), N_LI)),
+                           pa.int64()),
     "l_partkey": pa.array(rng.integers(0, N_PART, N_LI), pa.int64()),
     "l_suppkey": pa.array(rng.integers(0, N_SUPP, N_LI), pa.int64()),
     "l_linenumber": pa.array(rng.integers(1, 8, N_LI), pa.int32()),
@@ -135,7 +156,8 @@ ets = np.sort(rng.integers(T0, T1, N_EV)).astype("datetime64[ns]")
 write("events", pa.table({
     "event_id": pa.array(range(N_EV), pa.int64()),
     "ts": pa.array(ets, pa.timestamp("ns")),
-    "user_id": pa.array(rng.integers(0, max(1, N_CUST // 10), N_EV), pa.int64()),
+    "user_id": pa.array(skewed(rng.integers(0, max(1, N_CUST // 10), N_EV),
+                               N_EV), pa.int64()),
     "event_type": pa.array(np.array(["click", "error", "purchase", "signup",
                                      "view"])[rng.integers(0, 5, N_EV)]),
     "value": np.round(rng.exponential(50.0, N_EV), 2),
