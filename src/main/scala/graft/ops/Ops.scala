@@ -494,6 +494,49 @@ object Ops {
       .agg(codeCols.head, (codeCols.tail :+ err): _*)
   }
 
+  /** SemDeDup-shaped semantic dedup census (round-5 verdict #8): cluster
+    * the vectors with `k` seeded centroids (`id < k`, the kmeansStep
+    * assignment), compare pairs WITHIN each cluster only, flag the
+    * higher-id member of any pair whose cosine ≥ `simThreshold` as a
+    * semantic duplicate, and emit the per-cluster census
+    * (cluster, n_members, n_dups, n_survivors).
+    *
+    * 100-TB shape: this is exactly why SemDeDup clusters first — the
+    * quadratic pair stage is bounded to cluster granularity (the
+    * within-cluster self-join is an EQUI-join on the cluster id, and
+    * production picks k ∝ n so cluster sizes stay constant); the census
+    * aggregates shuffle on ids only. Cosine runs through the codegen'd
+    * `cosine_native` (bit-identical to the HOF fold, NativeDotSpec). */
+  def semanticDedupCensus(df: DataFrame, id: Column, vec: Column,
+      k: Int, simThreshold: Double): DataFrame = {
+    graft.functions.L2Sq.register(df.sparkSession)
+    graft.functions.CosineSim.register(df.sparkSession)
+    val v = df.select(id.as("vec_id"), graft.util.V.dbl(vec).as("e"))
+    val cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select("vec_id", "cid")
+    val members = assigned.join(v, Seq("vec_id"))
+    val l = members.select(col("cid").as("c1"), col("vec_id").as("v1"),
+      col("e").as("e1"))
+    val r = members.select(col("cid").as("c2"), col("vec_id").as("v2"),
+      col("e").as("e2"))
+    val dups = l.join(r, col("c1") === col("c2") && col("v1") < col("v2"))
+      .filter(expr("cosine_native(e1, e2)") >= simThreshold)
+      .select(col("v2").as("vec_id")).distinct()
+      .withColumn("graft_dup", lit(1L))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .groupBy(col("cid").cast("bigint").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("graft_dup"), lit(0L))).as("n_dups"))
+      .select(col("cluster"), col("n_members"), col("n_dups"),
+        (col("n_members") - col("n_dups")).as("n_survivors"))
+  }
+
   /** PQ search via asymmetric distance computation: the query's
     * subspace-distance lookup table (m·numSeeds doubles, broadcast) is
     * joined to every candidate's codes; the approximate distance is the
