@@ -76,9 +76,14 @@ object Bench {
       startSec(name) = (System.currentTimeMillis() - t0Run) / 1000.0
       val ts = (1 to reps).map(_ => timeOnce(fn)).sorted
       gcPer(name) = gcMillis - g0
-      cpuPer(name) = if (c0 < 0) -1L else procCpuMillis - c0
+      val c1 = procCpuMillis
+      cpuPer(name) = if (c0 < 0 || c1 < 0) -1L else c1 - c0
       loadPer(name) = loadAvg
-      stealPer(name) = if (s0 < 0) -1L else (stealJiffies - s0) * 10L
+      // Guard BOTH endpoints: a -1 end reading after a good start would
+      // otherwise yield (-1 - s0) * 10 — large negative garbage instead
+      // of the unavailable sentinel (ADVICE r6).
+      val s1 = stealJiffies
+      stealPer(name) = if (s0 < 0 || s1 < 0) -1L else (s1 - s0) * 10L
       // ANY failed rep marks the query failed (-1): sorting would
       // otherwise hide an intermittent crash behind a healthy median,
       // and a -1 summed into the total would make a BROKEN query look
@@ -86,8 +91,10 @@ object Bench {
       name -> (if (ts.head < 0) -1.0 else ts(ts.size / 2))
     }
     val gcSec = (gcMillis - gc0) / 1000.0
-    val cpuSec = if (cpu0 < 0) -1.0 else (procCpuMillis - cpu0) / 1000.0
-    val stealSec = if (steal0 < 0) -1.0 else (stealJiffies - steal0) / 100.0
+    val cpuEnd = procCpuMillis
+    val cpuSec = if (cpu0 < 0 || cpuEnd < 0) -1.0 else (cpuEnd - cpu0) / 1000.0
+    val stealEnd = stealJiffies
+    val stealSec = if (steal0 < 0 || stealEnd < 0) -1.0 else (stealEnd - steal0) / 100.0
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
     def jmap[T](m: collection.Map[String, T])(fmt: T => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -107,6 +114,15 @@ object Bench {
     val total = if (valid) results.values.sum else -1.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failedJson,"gc_sec":$gcSec,"cpu_sec":$cpuSec,"steal_sec":$stealSec,"load_start":${r3(load0)},$tele,"sf":"$sfDir","reps":$reps}""")
+    // Second, SHORT summary line (≤200 bytes) AFTER the big telemetry line:
+    // the driver captures only the output tail, and for six rounds the
+    // headline metric at the FRONT of the big line fell outside the captured
+    // window (BENCH_r01..r06 all "parsed":null). Any tail capture now ends
+    // with a self-contained parseable headline.
+    val maxQ = results.filter(_._2 >= 0).foldLeft(("", -1.0)) {
+      case (acc, kv) => if (kv._2 > acc._2) kv else acc
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"n_queries":${results.size},"failed":$failedJson,"max_query":"${maxQ._1}","max_query_sec":${r3(maxQ._2)},"sf":"$sfDir"}""")
     Graft.freeCaches(spark)
     spark.stop()
   }

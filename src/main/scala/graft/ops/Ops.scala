@@ -459,16 +459,23 @@ object Ops {
     val subs = v.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("e"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
-    val seeds0 = subs.filter(col("vec_id") < numSeeds)
+    val seeds = subs.filter(col("vec_id") < numSeeds)
       .select(col("vec_id").as("seed"), col("sub").as("ssub"),
         col("sv").as("cw"))
-    val nSeeds = seeds0.select(countDistinct(col("seed")).as("graft_ns"))
-    val seeds = seeds0.crossJoin(broadcast(nSeeds))
+    // The completeness guard rides on the MAIN path, not the seed frame:
+    // an assertion attached to seeds rows never evaluates when the
+    // codebook is entirely missing (empty frame → no rows → no check),
+    // which is the exact worst case it exists for (ADVICE r6). An
+    // ungrouped countDistinct always yields one row (0 for empty), so the
+    // broadcast crossJoin tags every subs row and the assert fires even
+    // on a fully absent codebook.
+    val nSeeds = seeds.select(countDistinct(col("seed")).as("graft_ns"))
+    val subsChecked = subs.crossJoin(broadcast(nSeeds))
       .where(coalesce(assert_true(col("graft_ns") === numSeeds,
         lit(s"pq: seed codebook incomplete (need $numSeeds distinct seed " +
           "vectors)")), lit(true)))
       .drop("graft_ns")
-    subs.join(broadcast(seeds), col("sub") === col("ssub"))
+    subsChecked.join(broadcast(seeds), col("sub") === col("ssub"))
       .select(col("vec_id"), col("sub"), col("seed"),
         expr("l2sq_native(sv, cw)").as("d2"))
   }

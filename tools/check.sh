@@ -5,13 +5,21 @@ set -eo pipefail
 SF=${1:-sf0.01}
 ONLY=${2:-}
 # driver fixtures live at /root/testdata; rehearsal SFs (tools/gen_sf.py)
-# under the repo's own testdata/ — any sfN generated there wins, paths pass
-# through unchanged
+# under the repo's own testdata/ — a repo-local dir only wins when the
+# driver has NO fixture of that name (ADVICE r6: silent shadowing of a
+# driver fixture would validate against synthetic data and mask real
+# failures). If both exist, the driver fixture wins and we warn loudly.
 case "$SF" in
   /*)  SFDIR=$SF; SF=$(basename "$SF");;
-  *)   if [ -d "/root/repo/testdata/$SF" ]; then SFDIR=/root/repo/testdata/$SF
+  *)   if [ -d "/root/testdata/$SF" ]; then
+         SFDIR=/root/testdata/$SF
+         if [ -d "/root/repo/testdata/$SF" ]; then
+           echo "WARNING: both /root/testdata/$SF (driver) and /root/repo/testdata/$SF (rehearsal) exist — using the DRIVER fixture. Rename the rehearsal dir to use it." >&2
+         fi
+       elif [ -d "/root/repo/testdata/$SF" ]; then SFDIR=/root/repo/testdata/$SF
        else SFDIR=/root/testdata/$SF; fi;;
 esac
+echo "check.sh: SF=$SF SFDIR=$SFDIR" >&2
 OUT=/tmp/verify_$SF
 rm -rf "$OUT"
 ADD_OPENS=""

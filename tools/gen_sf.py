@@ -9,7 +9,7 @@ embeddings), value domains, and the measured sf0.1 distributions
 bytes on every run. Dev-tooling only (like parity.py) — the engine itself
 never reads or needs this script.
 
-Usage: gen_sf.py [sf] [outdir] [--skew SHARE]
+Usage: gen_sf.py [sf] [outdir] [--skew SHARE] [--clusters C]
        (default: 1 /root/repo/testdata/sf1)
 
 --skew SHARE (r5 verdict #6: skewed-fixture rehearsal): give ONE hot key
@@ -18,23 +18,35 @@ and user_id 0 owns SHARE of events, remaining rows uniform as before.
 This is the adversarial shape salting/AQE exist for: a single shuffle
 partition would otherwise receive SHARE of the fact table.
 
+--clusters C (r6 verdict #4: ANN recall on non-adversarial data): draw
+embeddings from a C-center Gaussian mixture (centers ~N(0,1) normalized,
+per-vector noise sigma=0.05) instead of isotropic N(0,0.15). Real
+embedding corpora are clustered — the uniform-random default is the
+documented adversarial case where IVF probe-pruning and PQ codebooks
+cannot beat chance. C=0 keeps the isotropic default.
+
 Verified divergences from the driver generator (irrelevant to parity —
 Spark and DuckDB read the SAME files): exact PRNG stream, parquet
 row-group layout (we use 512k-row groups so a 6M-row lineitem yields
 enough splits for 32 threads).
 """
-import sys
+import argparse
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-args = [a for a in sys.argv[1:] if not a.startswith("--skew")]
-SKEW = 0.0
-if "--skew" in sys.argv:
-    SKEW = float(sys.argv[sys.argv.index("--skew") + 1])
-    args = [a for a in args if a != str(SKEW)]
-SF = float(args[0]) if len(args) > 0 else 1.0
-OUT = args[1] if len(args) > 1 else "/root/repo/testdata/sf1"
+# argparse instead of hand-rolled filtering (ADVICE r6: the string-equality
+# filter crashed on `--skew 0.3` when a positional equalled "0.3", silently
+# ignored `--skew=0.3`, and misparsed `--skew 0.30` before positionals).
+_p = argparse.ArgumentParser(description=__doc__)
+_p.add_argument("sf", nargs="?", type=float, default=1.0)
+_p.add_argument("outdir", nargs="?", default="/root/repo/testdata/sf1")
+_p.add_argument("--skew", type=float, default=0.0,
+                help="fraction of probe rows routed to hot key 0")
+_p.add_argument("--clusters", type=int, default=0,
+                help="Gaussian-mixture centers for embeddings (0 = isotropic)")
+_a = _p.parse_args()
+SKEW, SF, OUT, CLUSTERS = _a.skew, _a.sf, _a.outdir, _a.clusters
 K = SF / 0.1  # scale vs the measured sf0.1 fixture
 
 
@@ -191,8 +203,17 @@ write("documents", pa.table({
 }))
 
 # embeddings: 64-dim float32, ~N(0, 0.15) then L2-normalized per vector
-# (measured norms == 1.0 ± 1e-7), label uniform 0..9
-emb = rng.normal(0, 0.15, (N_EMB, 64)).astype(np.float32)
+# (measured norms == 1.0 ± 1e-7), label uniform 0..9. With --clusters C:
+# C-center Gaussian mixture (tight sigma=0.05 noise around unit-norm
+# centers) — the clustered shape real embedding corpora have, where IVF
+# cell-pruning and PQ codebooks recover recall (r6 verdict #4).
+if CLUSTERS > 0:
+    centers = rng.normal(0, 1.0, (CLUSTERS, 64))
+    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, CLUSTERS, N_EMB)
+    emb = (centers[assign] + rng.normal(0, 0.05, (N_EMB, 64))).astype(np.float32)
+else:
+    emb = rng.normal(0, 0.15, (N_EMB, 64)).astype(np.float32)
 emb = emb / np.linalg.norm(emb.astype(np.float64), axis=1,
                            keepdims=True).astype(np.float32)
 write("embeddings", pa.table({

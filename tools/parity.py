@@ -21,12 +21,41 @@ This is deliberately STRICTER and chattier than the driver: on mismatch it
 prints the first few differing rows so the failure is debuggable.
 Dev-tooling only — the engine itself is pure Scala/Spark.
 """
-import duckdb, json, sys, glob
+import duckdb, json, os, re, sys, glob
 import pandas as pd
 import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def survey2_keys(path="/root/repo/SURVEY.md"):
+    """SURVEY §2 operator keys, same extraction as SurveyContractSpec."""
+    txt = open(path, encoding="utf-8").read()
+    start, end = txt.index("## §2."), txt.index("## §3.")
+    return set(re.findall(r"(?m)^\| `([a-z0-9_]+)` \|", txt[start:end]))
+
+
+def declare_order_check(out):
+    """r6 verdict #6: the doc-drift that broke round 6's sbt test must be
+    caught by the LOCAL gate too. Three sets must coincide on a full run:
+    SURVEY §2 keys, Verify's dumped query dirs (== SparkEntry.queries
+    keys), and oracle_sql.json keys ∪ the declared no-oracle set (dirs
+    without an oracle are the P3 sketch tier — they must still be dumped).
+    Returns a list of human-readable problems (empty == green)."""
+    probs = []
+    doc = survey2_keys()
+    dirs = {d for d in os.listdir(out)
+            if os.path.isdir(os.path.join(out, d))}
+    oracles = set(json.load(open(f"{out}/oracle_sql.json")))
+    if dirs != doc:
+        if doc - dirs:
+            probs.append(f"documented-but-not-dumped: {sorted(doc - dirs)}")
+        if dirs - doc:
+            probs.append(f"dumped-but-undocumented: {sorted(dirs - doc)}")
+    if oracles - dirs:
+        probs.append(f"oracle-without-query-output: {sorted(oracles - dirs)}")
+    return probs
 
 
 def norm(v):
@@ -139,9 +168,12 @@ def main():
             print(f"PASS {name} ({len(sdf)} rows)")
         else:
             fails.append(name)
+    contract = [] if only is not None else declare_order_check(out)
+    for p in contract:
+        print(f"FAIL declare-order: {p}")
     print(f"== {len(names) - len(fails)}/{len(names)} pass" +
           (f"; FAILING: {', '.join(fails)}" if fails else ""))
-    sys.exit(1 if fails else 0)
+    sys.exit(1 if fails or contract else 0)
 
 
 if __name__ == "__main__":
