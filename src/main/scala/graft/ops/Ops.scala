@@ -462,20 +462,29 @@ object Ops {
     val seeds = subs.filter(col("vec_id") < numSeeds)
       .select(col("vec_id").as("seed"), col("sub").as("ssub"),
         col("sv").as("cw"))
-    // The completeness guard rides on the MAIN path, not the seed frame:
+    // The completeness guards ride on the MAIN path, not the seed frame:
     // an assertion attached to seeds rows never evaluates when the
     // codebook is entirely missing (empty frame → no rows → no check),
-    // which is the exact worst case it exists for (ADVICE r6). An
-    // ungrouped countDistinct always yields one row (0 for empty), so the
-    // broadcast crossJoin tags every subs row and the assert fires even
-    // on a fully absent codebook.
+    // which is the exact worst case it exists for (ADVICE r6). Two layers
+    // because AQE empty-relation propagation prunes an INNER join's
+    // stream side when the broadcast side turns out empty — any in-plan
+    // check below that join would be skipped with it:
+    //  1. partial codebook: ungrouped countDistinct always yields one row,
+    //     the broadcast crossJoin tags every subs row, assert fires;
+    //  2. fully absent codebook: the seed join is LEFT (same row
+    //     multiplicity as inner when complete — every subs row matches
+    //     its subspace's codewords), so an empty seed side keeps subs
+    //     rows with a null codeword and the null-assert fires instead of
+    //     the whole subtree being optimized away.
     val nSeeds = seeds.select(countDistinct(col("seed")).as("graft_ns"))
     val subsChecked = subs.crossJoin(broadcast(nSeeds))
       .where(coalesce(assert_true(col("graft_ns") === numSeeds,
         lit(s"pq: seed codebook incomplete (need $numSeeds distinct seed " +
           "vectors)")), lit(true)))
       .drop("graft_ns")
-    subsChecked.join(broadcast(seeds), col("sub") === col("ssub"))
+    subsChecked.join(broadcast(seeds), col("sub") === col("ssub"), "left")
+      .where(coalesce(assert_true(col("cw").isNotNull,
+        lit("pq: seed codebook empty")), lit(true)))
       .select(col("vec_id"), col("sub"), col("seed"),
         expr("l2sq_native(sv, cw)").as("d2"))
   }
