@@ -580,4 +580,81 @@ object Ops {
       .orderBy(col("adc_raw"), col("vec_id"))
       .limit(k)
   }
+
+  /** The full ANN serving stack as ONE deterministic plan — the
+    * composition the round-7 clustered-recall measurement (BASELINE.md)
+    * showed is the production shape: IVF probe restriction bounds the
+    * candidate set (recall mechanism), PQ-ADC coarse-ranks candidates to
+    * a `shortlist` with 4 LUT lookups each (no vector math), and exact
+    * cosine re-ranks only the shortlist (PQ's within-cluster resolution
+    * limit never reaches the output). Centroids are the SEEDED rule
+    * (`id < kCent`, same as kmeansStep/semanticDedupCensus) so the whole
+    * pipeline is engine-independent and oracle-exact — unlike the
+    * KMeans-fitted `vec_ann_ivf`, this one has a DuckDB oracle.
+    *
+    * 100-TB shape: centroids, probe set, LUT, and shortlist are all tiny
+    * broadcasts; the only full-corpus work is one argmin assignment scan
+    * and one code scan (both linear, shuffle only on ids); the exact
+    * re-rank touches `shortlist` rows. Distances through the codegen'd
+    * `l2sq_native` / `cosine_native` (bit-identical across engines,
+    * NativeDotSpec).
+    * Output: top-`k` of the shortlist as (vec_id, adc_d2, cos_sim),
+    * ranked by unrounded exact cosine (vec_id tiebreak). */
+  def ivfPqRerank(df: DataFrame, id: Column, vec: Column, queryId: Any,
+      kCent: Int, nProbes: Int, m: Int, subDim: Int, numSeeds: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    graft.functions.L2Sq.register(df.sparkSession)
+    graft.functions.CosineSim.register(df.sparkSession)
+    val v = df.select(id.as("vec_id"), graft.util.V.dbl(vec).as("e"))
+    val cent = v.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    val q = v.filter(col("vec_id") === lit(queryId))
+      .select(col("e").as("qe"))
+    // probe set: the query's nProbes nearest seeded centroids
+    val wp = Window.orderBy(col("qd2"), col("cid"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cid"), expr("l2sq_native(c, qe)").as("qd2"))
+      .withColumn("graft_rn", row_number().over(wp))
+      .filter(col("graft_rn") <= nProbes)
+      .select("cid")
+    // assignment: every vector to its nearest centroid (argmin window)
+    val wa = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))
+      .withColumn("graft_rn", row_number().over(wa))
+      .filter(col("graft_rn") === 1)
+      .select("vec_id", "cid")
+    val cand = assigned.join(broadcast(probes), Seq("cid"), "semi")
+      .filter(col("vec_id") =!= lit(queryId))
+      .select("vec_id")
+    // PQ-ADC coarse rank over the candidates only (codes still come from
+    // the full-corpus seed rule so the codebook is probe-independent)
+    val dist = pqDistances(df, id, vec, m, subDim, numSeeds)
+    val wb = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2"), col("seed"))
+    val codes = dist.join(broadcast(cand), Seq("vec_id"), "semi")
+      .withColumn("graft_rn", row_number().over(wb))
+      .filter(col("graft_rn") === 1)
+      .select(col("vec_id"), col("sub"), col("seed").as("code"))
+    val lut = dist.filter(col("vec_id") === lit(queryId))
+      .select(col("sub").as("lsub"), col("seed").as("lseed"),
+        col("d2").as("qd2"))
+    def term(s: Int) = max(when(col("sub") === s, col("qd2")))
+    val adcSum = (0 until m).map(term).reduceLeft(_ + _).as("adc_raw")
+    val short = codes.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("lseed"))
+      .groupBy("vec_id")
+      .agg(adcSum)
+      .orderBy(col("adc_raw"), col("vec_id"))
+      .limit(shortlist)
+    // exact re-rank of the shortlist (broadcast-sized by construction)
+    short.join(v, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc_raw"),
+        expr("cosine_native(e, qe)").as("graft_cos"))
+      .orderBy(col("graft_cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("adc_raw"), 6).as("adc_d2"),
+        round(col("graft_cos"), 4).as("cos_sim"))
+  }
 }

@@ -556,8 +556,80 @@ object Vectors {
                    CAST(n_members - n_dups AS BIGINT) AS n_survivors
             FROM c ORDER BY cluster"""))
 
+  /** The composed ANN serving stack — IVF probe restriction → PQ-ADC
+    * coarse rank → exact cosine re-rank — as ONE oracle-exact query
+    * (Ops.ivfPqRerank; round-7 addition). The round-7 clustered-recall
+    * measurement (BASELINE.md) showed the pieces' roles: IVF probing is
+    * the recall mechanism, PQ alone cannot rank within-cluster near-ties,
+    * and the exact re-rank of a small shortlist erases that limit — this
+    * query grades the composition end-to-end. Seeded centroids (vec_id <
+    * 8, the kmeans_step rule) keep it deterministic and DuckDB-expressible
+    * where the KMeans-fitted vec_ann_ivf cannot be; every distance runs
+    * through the codegen'd l2sq/cosine natives (bit-identical to the
+    * oracle's folds, NativeDotSpec), and every cut is total-ordered
+    * (unrounded key + vec_id tiebreak). */
+  val vecIvfPqRerank = Q(
+    "vec_ivf_pq_rerank",
+    (spark, sfDir) =>
+      graft.ops.Ops.ivfPqRerank(Tables.embeddings(spark, sfDir),
+          col("vec_id"), col("embedding"), queryId = 0L,
+          kCent = 8, nProbes = 3, m = 4, subDim = 16, numSeeds = 16,
+          shortlist = 50, k = 10)
+        .orderBy(col("cos_sim").desc, col("vec_id")),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+                 cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8),
+                 q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+                 probes AS (SELECT cid FROM (
+                              SELECT cid, row_number() OVER (ORDER BY
+                                list_aggregate(list_transform(list_zip(c, qe),
+                                  p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cid) AS rn
+                              FROM cent CROSS JOIN q)
+                            WHERE rn <= 3),
+                 assign AS (SELECT vec_id, cid FROM (
+                              SELECT v.vec_id, cent.cid,
+                                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                                       list_aggregate(list_transform(list_zip(v.e, cent.c),
+                                         p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cent.cid) AS rn
+                              FROM v CROSS JOIN cent)
+                            WHERE rn = 1),
+                 cand AS (SELECT vec_id FROM assign
+                          WHERE cid IN (SELECT cid FROM probes) AND vec_id != 0),
+                 subs AS (SELECT vec_id, s.sub, v.e[(16*s.sub+1):(16*s.sub+16)] AS sv
+                          FROM v, (SELECT unnest(generate_series(0,3)) AS sub) s),
+                 seeds AS (SELECT vec_id AS seed, sub AS ssub, sv AS cw
+                           FROM subs WHERE vec_id < 16),
+                 dist AS (SELECT subs.vec_id, subs.sub, seeds.seed,
+                                 list_aggregate(list_transform(list_zip(subs.sv, seeds.cw),
+                                   p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d2
+                          FROM subs JOIN seeds ON subs.sub = seeds.ssub),
+                 best AS (SELECT vec_id, sub, seed, d2,
+                                 row_number() OVER (PARTITION BY vec_id, sub
+                                                    ORDER BY d2, seed) AS rn
+                          FROM dist
+                          WHERE vec_id IN (SELECT vec_id FROM cand)),
+                 lut AS (SELECT sub AS lsub, seed AS lseed, d2 AS qd2
+                         FROM dist WHERE vec_id = 0),
+                 adc AS (SELECT b.vec_id,
+                                max(CASE WHEN b.sub=0 THEN l.qd2 END) + max(CASE WHEN b.sub=1 THEN l.qd2 END)
+                              + max(CASE WHEN b.sub=2 THEN l.qd2 END) + max(CASE WHEN b.sub=3 THEN l.qd2 END) AS adc_raw
+                         FROM best b JOIN lut l ON b.sub = l.lsub AND b.seed = l.lseed
+                         WHERE b.rn = 1
+                         GROUP BY b.vec_id),
+                 short AS (SELECT vec_id, adc_raw FROM adc
+                           ORDER BY adc_raw, vec_id LIMIT 50),
+                 rerank AS (SELECT s.vec_id, s.adc_raw,
+                                   list_aggregate(list_transform(list_zip(v.e, q.qe),
+                                     p -> p[1]*p[2]), 'sum')
+                                   / (sqrt(list_aggregate(list_transform(v.e, t -> t*t), 'sum'))
+                                      * sqrt(list_aggregate(list_transform(q.qe, t -> t*t), 'sum'))) AS cos_raw
+                            FROM short s JOIN v ON s.vec_id = v.vec_id
+                            CROSS JOIN q)
+            SELECT vec_id, round(adc_raw, 6) AS adc_d2, round(cos_raw, 4) AS cos_sim
+            FROM rerank ORDER BY cos_raw DESC, vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
-    vecPqQuantize, vecPqAdcTopk, vecSemanticDedup)
+    vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank)
 }
