@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.util.Tables
 
 /** Library facade: exposes the fixture star schema to SQL-text users.
-  * `registerViews` makes every table (including the nanosecond-recipe
+  * `registerViews` makes every table (including the schema-adaptive
   * events reader) available as a temp view, so `spark.sql("SELECT ...")`
   * works against the same data the DataFrame operators see. */
 object Graft {
@@ -12,10 +12,26 @@ object Graft {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** Register each table as a temp view, independently: a table whose read
+    * or recipe fails (missing file, drifted physical type, ...) degrades
+    * ONLY queries that reference it. Its stale view (if any) is dropped, so
+    * such queries fail with TABLE_OR_VIEW_NOT_FOUND naming the culprit,
+    * while the other nine tables stay queryable. (Round-7 lesson: an events
+    * schema drift killed the four `sub_*` queries that never touch events,
+    * purely because this method was all-or-nothing.) */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach {
-      case "events" => Tables.events(spark, sfDir).createOrReplaceTempView("events")
-      case t => Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    tableNames.foreach { t =>
+      try {
+        val df =
+          if (t == "events") Tables.events(spark, sfDir)
+          else Tables(spark, sfDir, t)
+        df.createOrReplaceTempView(t)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          spark.catalog.dropTempView(t)
+          System.err.println(
+            s"[graft] WARN: view '$t' unavailable under $sfDir: ${e.getMessage.linesIterator.next()}")
+      }
     }
 
   /** Convenience: register views and run one SQL text query. */

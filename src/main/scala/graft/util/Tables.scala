@@ -15,20 +15,33 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4.x cannot read as a
-    * timestamp (scan-time error). Recipe (SURVEY §1.4, verified):
-    *   1. read nanos as Long via `spark.sql.legacy.parquet.nanosAsLong`
-    *      (runtime-settable; repeated sets are no-ops);
-    *   2. integer-divide by 1000 (`div`, never `/` — epoch nanos exceed a
-    *      double's 53-bit mantissa, so float division can flip a microsecond);
-    *   3. `timestamp_micros` then cast to `timestamp_ntz` so outputs are
-    *      type-identical with the DuckDB oracle's naive TIMESTAMP (session TZ
-    *      is UTC, so the cast is the identity on values).
+  /** Schema-adaptive `events` reader. The fixture generator has shipped
+    * `events.ts` as BOTH parquet `timestamp[ns]` (through 2026-08-12) and
+    * `timestamp[us]` (regenerated 2026-08-13), so we sniff the read schema
+    * instead of hard-coding either physical type:
+    *
+    *   - `timestamp[ns]`: Spark 4.x cannot read ns as a timestamp (scan-time
+    *     error), so `spark.sql.legacy.parquet.nanosAsLong` (runtime-settable;
+    *     repeated sets are no-ops) surfaces the column as LongType epoch
+    *     nanos. We integer-divide by 1000 (`div`, never `/` — epoch nanos
+    *     exceed a double's 53-bit mantissa, so float division can flip a
+    *     microsecond) and rebuild via `timestamp_micros`.
+    *   - `timestamp[us]`: reads natively as a timestamp type; no arithmetic.
+    *
+    * Both branches end in `cast("timestamp_ntz")` so outputs are
+    * type-identical with the DuckDB oracle's naive TIMESTAMP (session TZ is
+    * UTC, so the cast is the identity on values).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+      case _ => // TimestampType / TimestampNTZType — µs fixtures
+        col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")

@@ -2,9 +2,11 @@
 """Deterministic fixture generator for scale-factor rehearsal ABOVE the
 driver-provided sf0.1 (SURVEY §6; r4 verdict next-round #2).
 
-Matches FIXTURES.md exactly: schemas (incl. the timestamp[ms] order/ship
-dates, timestamp[ns] events.ts, list<float> 64-dim L2-normalized
-embeddings), value domains, and the measured sf0.1 distributions
+Matches FIXTURES.md exactly: schemas (timestamp[us] order/ship dates and
+events.ts per the 2026-08-13 driver regeneration — `--ts-unit ns`
+reproduces the pre-drift ns/ms shape to rehearse the legacy reader path,
+list<float> 64-dim L2-normalized embeddings), value domains, and the
+measured sf0.1 distributions
 (documented per column below), scaled by sf/0.1. Seed fixed → identical
 bytes on every run. Dev-tooling only (like parity.py) — the engine itself
 never reads or needs this script.
@@ -45,8 +47,15 @@ _p.add_argument("--skew", type=float, default=0.0,
                 help="fraction of probe rows routed to hot key 0")
 _p.add_argument("--clusters", type=int, default=0,
                 help="Gaussian-mixture centers for embeddings (0 = isotropic)")
+_p.add_argument("--ts-unit", choices=["us", "ns"], default="us",
+                help="events.ts physical type: us = current driver shape "
+                     "(orders/lineitem us too); ns = pre-2026-08-13 shape "
+                     "(events ns, orders/lineitem ms) to rehearse the "
+                     "legacy nanosAsLong reader path")
 _a = _p.parse_args()
 SKEW, SF, OUT, CLUSTERS = _a.skew, _a.sf, _a.outdir, _a.clusters
+TS_UNIT = _a.ts_unit
+DATE_UNIT = "us" if TS_UNIT == "us" else "ms"  # order/ship dates drifted with events
 K = SF / 0.1  # scale vs the measured sf0.1 fixture
 
 
@@ -117,19 +126,19 @@ write("part", pa.table({
     "p_retailprice": np.round(rng.uniform(900, 1000, N_PART), 2),
 }))
 
-# orders: day-granular timestamp[ms] uniform 1995-01-01..2001-08-01
+# orders: day-granular timestamp[DATE_UNIT] uniform 1995-01-01..2001-08-01
 # (2405 distinct days, as measured), totalprice U(1000, 500000),
 # custkey uniform, status {F,O,P} and priority uniform
 DAY0 = np.datetime64("1995-01-01")
 N_DAYS = 2405
 odates = (DAY0 + rng.integers(0, N_DAYS, N_ORD).astype("timedelta64[D]")) \
-    .astype("datetime64[ms]")
+    .astype(f"datetime64[{DATE_UNIT}]")
 write("orders", pa.table({
     "o_orderkey": pa.array(range(N_ORD), pa.int64()),
     "o_custkey": pa.array(rng.integers(0, N_CUST, N_ORD), pa.int64()),
     "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, N_ORD)]),
     "o_totalprice": np.round(rng.uniform(1000, 500000, N_ORD), 2),
-    "o_orderdate": pa.array(odates, pa.timestamp("ms")),
+    "o_orderdate": pa.array(odates, pa.timestamp(DATE_UNIT)),
     "o_orderpriority": pa.array(np.array(
         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])[
         rng.integers(0, 5, N_ORD)]),
@@ -143,7 +152,7 @@ write("orders", pa.table({
 # INDEPENDENT of o_orderdate (measured deltas span ±2400 days)
 sdates = (np.datetime64("1995-01-02")
           + rng.integers(0, 2499, N_LI).astype("timedelta64[D]")) \
-    .astype("datetime64[ms]")
+    .astype(f"datetime64[{DATE_UNIT}]")
 write("lineitem", pa.table({
     "l_orderkey": pa.array(np.sort(skewed(rng.integers(0, N_ORD, N_LI), N_LI)),
                            pa.int64()),
@@ -156,18 +165,22 @@ write("lineitem", pa.table({
     "l_tax": np.round(rng.integers(0, 9, N_LI) / 100.0, 2),
     "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, N_LI)]),
     "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, N_LI)]),
-    "l_shipdate": pa.array(sdates, pa.timestamp("ms")),
+    "l_shipdate": pa.array(sdates, pa.timestamp(DATE_UNIT)),
 }))
 
-# events: ts timestamp[ns] uniform over 2024-01 (sub-second precision,
-# as measured), user_id over N_CUST/10 users, value ~ Exp(50) (measured
-# p50=34.8/p90=114/avg=49.9), props single-key JSON
+# events: ts timestamp[TS_UNIT] uniform over 2024-01 (sub-second
+# precision, as measured), user_id over N_CUST/10 users, value ~ Exp(50)
+# (measured p50=34.8/p90=114/avg=49.9), props single-key JSON. Draw at ns
+# then truncate for us so the two units produce value-identical µs rows
+# (same PRNG stream; DuckDB truncates ns→µs the same way).
 T0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
 T1 = np.datetime64("2024-01-31T00:00:00", "ns").astype(np.int64)
-ets = np.sort(rng.integers(T0, T1, N_EV)).astype("datetime64[ns]")
+ets_ns = np.sort(rng.integers(T0, T1, N_EV))
+ets = (ets_ns.astype("datetime64[ns]") if TS_UNIT == "ns"
+       else (ets_ns // 1000).astype("datetime64[us]"))
 write("events", pa.table({
     "event_id": pa.array(range(N_EV), pa.int64()),
-    "ts": pa.array(ets, pa.timestamp("ns")),
+    "ts": pa.array(ets, pa.timestamp(TS_UNIT)),
     "user_id": pa.array(skewed(rng.integers(0, max(1, N_CUST // 10), N_EV),
                                N_EV), pa.int64()),
     "event_type": pa.array(np.array(["click", "error", "purchase", "signup",
