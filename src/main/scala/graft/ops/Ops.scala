@@ -581,6 +581,102 @@ object Ops {
       .limit(k)
   }
 
+  /** IVF + residual-PQ top-k (the standard IVF-PQ of Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+    * §IV — public method, re-derived here): vectors are PQ-encoded on
+    * their RESIDUAL to the assigned IVF centroid rather than on the raw
+    * vector. Within a cluster the centroid carries the coarse position,
+    * so the codebook only has to resolve the (much smaller) residual
+    * displacement — the round-7 measurement showed plain PQ collapses on
+    * within-cluster near-ties (1–3/10 recall on clustered fixtures)
+    * precisely because cluster structure eats its quantization budget.
+    *
+    * Mechanics: one shared residual codebook (sub-vector slices of the
+    * first `numSeeds` vectors' residuals — the same seeded rule as every
+    * other vector op here, so the whole thing stays deterministic and
+    * engine-independent); each probed cluster gets its OWN query LUT
+    * from the query's residual to THAT centroid (`q − c_cid`), and a
+    * candidate's ADC distance sums LUT entries keyed by (its cluster,
+    * subspace, code). ADC distance ≡ exact squared L2 between q and the
+    * candidate's reconstruction c_cid + r̂ (pinned in Round8OpsSpec).
+    *
+    * 100-TB shape: centroids, probe set, residual codebook, and the
+    * nProbes·m·numSeeds LUT are all tiny broadcasts; full-corpus work is
+    * one assignment scan + one residual-encode scan (both linear,
+    * shuffle on ids only); ADC per candidate is m lookups + m−1 adds.
+    * Returns (vec_id, cid, adc_raw), the `k` nearest by residual-ADC
+    * (unrounded distance, vec_id tiebreak — total order). */
+  def ivfResidualPqTopK(df: DataFrame, id: Column, vec: Column,
+      queryId: Any, kCent: Int, nProbes: Int, k: Int,
+      m: Int, subDim: Int, numSeeds: Int): DataFrame = {
+    graft.functions.L2Sq.register(df.sparkSession)
+    val dim = m * subDim
+    val v = df.select(id.as("vec_id"), graft.util.V.dbl(vec).as("e"))
+      .where(coalesce(assert_true(size(col("e")) === dim,
+        lit(s"respq: embedding dim != $dim")), lit(true)))
+    val cent = v.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    val q = v.filter(col("vec_id") === lit(queryId)).select(col("e").as("qe"))
+    // assignment (argmin window over broadcast centroids) + residual e − c
+    val wa = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), col("e"), col("c"),
+        expr("l2sq_native(e, c)").as("d2"))
+      .withColumn("graft_rn", row_number().over(wa))
+      .filter(col("graft_rn") === 1)
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("e"), col("c"), (a, b) => a - b).as("r"))
+    // shared residual codebook: subspace slices of the first numSeeds
+    // vectors' residuals (broadcast; the same two-layer completeness
+    // guards as pqDistances are unnecessary here — the seed filter rides
+    // on `assigned`, which is total by construction)
+    val rsubs = assigned.select(col("vec_id"), col("cid"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("r"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+    val seeds = rsubs.filter(col("vec_id") < numSeeds)
+      .select(col("sub").as("ssub"), col("vec_id").as("seed"),
+        col("sv").as("cw"))
+    // encode: per (vector, subspace) the nearest residual codeword
+    val wb = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("cd2"), col("seed"))
+    val codes = rsubs.join(broadcast(seeds), col("sub") === col("ssub"))
+      .select(col("vec_id"), col("cid"), col("sub"), col("seed"),
+        expr("l2sq_native(sv, cw)").as("cd2"))
+      .withColumn("graft_rn", row_number().over(wb))
+      .filter(col("graft_rn") === 1)
+      .select(col("vec_id"), col("cid"), col("sub"),
+        col("seed").as("code"))
+    // probe set: the query's nProbes nearest centroids
+    val wp = Window.orderBy(col("qd2"), col("cid"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cid"), col("c"), expr("l2sq_native(c, qe)").as("qd2"))
+      .withColumn("graft_rn", row_number().over(wp))
+      .filter(col("graft_rn") <= nProbes)
+      .select(col("cid"), col("c"))
+    // per-probe LUT: slices of the query's residual to THAT centroid vs
+    // every codeword — nProbes·m·numSeeds rows, broadcast
+    val qres = probes.crossJoin(broadcast(q))
+      .select(col("cid").as("lcid"),
+        posexplode(array((0 until m).map(s =>
+          slice(zip_with(col("qe"), col("c"), (a, b) => a - b),
+            s * subDim + 1, subDim)): _*)).as(Seq("lsub", "qs")))
+    val lut = qres.join(broadcast(seeds), col("lsub") === col("ssub"))
+      .select(col("lcid"), col("lsub"), col("seed").as("lseed"),
+        expr("l2sq_native(qs, cw)").as("qd2"))
+    // candidates: members of probed clusters; ADC = fixed-order LUT sum
+    def term(s: Int) = max(when(col("sub") === s, col("qd2")))
+    val adcSum = (0 until m).map(term).reduceLeft(_ + _).as("adc_raw")
+    codes.filter(col("vec_id") =!= lit(queryId))
+      .join(broadcast(lut),
+        col("cid") === col("lcid") && col("sub") === col("lsub") &&
+          col("code") === col("lseed"))
+      .groupBy("vec_id", "cid")
+      .agg(adcSum)
+      .orderBy(col("adc_raw"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cid"), col("adc_raw"))
+  }
+
   /** The full ANN serving stack as ONE deterministic plan — the
     * composition the round-7 clustered-recall measurement (BASELINE.md)
     * showed is the production shape: IVF probe restriction bounds the
