@@ -84,17 +84,19 @@ object VecBench {
     // residual-PQ (r7 verdict #7 stretch): same PQ budget, but codes
     // resolve the residual to the assigned IVF centroid — the standard
     // production fix for plain PQ's within-cluster near-tie collapse.
-    for ((cells, probes, seeds) <- Seq((32, 3, 16), (32, 3, 64),
-        (32, 8, 64), (8, 8, 64), (8, 8, 256), (8, 3, 256))) {
+    for ((cells, probes, seeds, fit) <- Seq((32, 3, 16, 0), (32, 3, 64, 0),
+        (32, 8, 64, 0), (8, 8, 64, 0), (8, 8, 256, 0), (8, 3, 256, 0),
+        (8, 8, 64, 2), (8, 8, 256, 2), (32, 3, 64, 2))) {
       val emb = util.Tables.embeddings(spark, sfDir)
       val (rpq, cold) = timed(ids(ops.Ops.ivfResidualPqTopK(emb,
         col("vec_id"), col("embedding"), 0L, cells, probes, 10, 4, 16,
-        seeds)))
+        seeds, fit)))
       val (_, warm) = timed(ids(ops.Ops.ivfResidualPqTopK(emb,
         col("vec_id"), col("embedding"), 0L, cells, probes, 10, 4, 16,
-        seeds)))
+        seeds, fit)))
       report("ivf_residual_pq",
-        s"$cells cells, probe $probes, M=4 x 16-dim, $seeds codewords",
+        s"$cells cells, probe $probes, M=4 x 16-dim, $seeds codewords" +
+          (if (fit > 0) s", $fit Lloyd-fit iters" else ""),
         cold, warm, rpq)
     }
   }

@@ -608,7 +608,7 @@ object Ops {
     * (unrounded distance, vec_id tiebreak — total order). */
   def ivfResidualPqTopK(df: DataFrame, id: Column, vec: Column,
       queryId: Any, kCent: Int, nProbes: Int, k: Int,
-      m: Int, subDim: Int, numSeeds: Int): DataFrame = {
+      m: Int, subDim: Int, numSeeds: Int, fitIters: Int = 0): DataFrame = {
     graft.functions.L2Sq.register(df.sparkSession)
     val dim = m * subDim
     val v = df.select(id.as("vec_id"), graft.util.V.dbl(vec).as("e"))
@@ -633,9 +633,40 @@ object Ops {
     val rsubs = assigned.select(col("vec_id"), col("cid"),
       posexplode(array((0 until m).map(s =>
         slice(col("r"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
-    val seeds = rsubs.filter(col("vec_id") < numSeeds)
+    val seeded = rsubs.filter(col("vec_id") < numSeeds)
       .select(col("sub").as("ssub"), col("vec_id").as("seed"),
         col("sv").as("cw"))
+    // Optional k-means FIT of the residual codebook (`fitIters` Lloyd
+    // steps per subspace, seeded init): assign every residual slice to
+    // its nearest codeword, replace each codeword with its members'
+    // elementwise mean (empty cells keep the old codeword). The mean is
+    // a float aggregation whose bits depend on partition order, so a
+    // fitted codebook is for the MEASUREMENT path (VecBench) only —
+    // graded oracle queries stay at fitIters=0 (seeded, deterministic).
+    // Distributed shape per step: one broadcast-join assignment scan +
+    // one (sub, seed, pos) hash agg — m·numSeeds·subDim cells of state.
+    val seeds = (0 until fitIters).foldLeft(seeded) { (cb, _) =>
+      val wf = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("cd2"), col("seed"))
+      val members = rsubs.join(broadcast(cb), col("sub") === col("ssub"))
+        .select(col("vec_id"), col("sub"), col("seed"), col("sv"),
+          expr("l2sq_native(sv, cw)").as("cd2"))
+        .withColumn("graft_rn", row_number().over(wf))
+        .filter(col("graft_rn") === 1)
+      val updated = members
+        .select(col("sub"), col("seed"), posexplode(col("sv")))
+        .groupBy("sub", "seed", "pos")
+        .agg(avg(col("col")).as("mv"))
+        .groupBy(col("sub").as("usub"), col("seed").as("useed"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+          .as("pm"))
+        .select(col("usub"), col("useed"),
+          expr("transform(pm, x -> x.mv)").as("ncw"))
+      cb.join(updated,
+          cb("ssub") === col("usub") && cb("seed") === col("useed"), "left")
+        .select(cb("ssub"), cb("seed"),
+          coalesce(col("ncw"), cb("cw")).as("cw"))
+    }
     // encode: per (vector, subspace) the nearest residual codeword
     val wb = Window.partitionBy("vec_id", "sub")
       .orderBy(col("cd2"), col("seed"))

@@ -69,6 +69,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("residual-PQ plans broadcast everything but the corpus scans") {
+    // centroids / probes / codebook / LUT are all tiny: any sort-merge
+    // join here means a broadcast hint was lost and a full shuffle of
+    // the corpus crept in; the final cut must stay a TakeOrdered top-k
+    val p = plan("vec_residual_pq_topk")
+    assert(!p.contains("SortMergeJoin"),
+      "vec_residual_pq_topk: SortMergeJoin crept into a broadcast-only plan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vec_residual_pq_topk: top-k cut lost TakeOrderedAndProject")
+  }
+
   test("text plans derive every documents leaf from the shared tokenized cache") {
     // the single-tokenize property (round-5 verdict #2): after docToks,
     // a text plan re-scanning documents.parquet directly means a code
