@@ -1057,11 +1057,72 @@ object TextOps {
                         AS BIGINT) AS cum_n
             FROM c ORDER BY bucket"""))
 
+  /** Token-rarity quality score (round-8 addition) — the CCNet-style
+    * LM-proxy filtering stage of a training-data pipeline, expressed in
+    * EXACT integer/rational arithmetic so both engines hash-match: where
+    * CCNet scores documents by reference-LM perplexity, the in-engine
+    * proxy scores each doc by its tokens' corpus frequencies — docs built
+    * from rare tokens (typos, noise, boilerplate IDs) score low and are
+    * the filter's catch. Per doc over instance-weighted tokens:
+    * avg corpus-count of its tokens, fraction of rare tokens, and its
+    * rarest token's count. "Rare" is SCALE-RELATIVE and integer-exact:
+    * corpus count ≤ 2 × the rarest term's corpus count (an absolute
+    * cutoff like ≤5 is dead on any corpus whose vocabulary is all-common,
+    * and a percentile cutoff would compare against an interpolated double
+    * whose last ulp may differ between engines). No logs anywhere — libm
+    * log2/ln are NOT bit-identical across engines (Math.log vs C libm),
+    * so a true log-prob sum could flip a rounded hash; integer counts,
+    * integer comparisons and integer-double division are (tf-idf's
+    * policy).
+    *
+    * 100-TB shape: corpus counts are one hash agg on the term key; the
+    * score join is an EQUI-join on term (vocabulary can be huge at
+    * corpus scale — never broadcast it a-priori, AQE may choose to);
+    * per-doc regroup shuffles on doc_id. All linear, no window over the
+    * corpus, derives from the shared docToks frame. */
+  val textRarityScore = Q(
+    "text_rarity_score",
+    (spark, sfDir) => {
+      val toks = docToks(spark, sfDir)
+        .select(col("doc_id"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+      val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val floor = cnt.agg(min(col("cnt")).as("min_corpus_cnt"))
+      toks.join(cnt, Seq("term"))
+        .crossJoin(broadcast(floor))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("cnt")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_tok_count"),
+          round(sum(when(col("cnt") <= lit(2) * col("min_corpus_cnt"), 1L)
+              .otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("rare_frac"),
+          min(col("cnt")).as("min_count"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, term
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(lower(text), ' ')) AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+                 f AS (SELECT min(cnt) AS min_corpus_cnt FROM c)
+            SELECT doc_id, count(*) AS n_toks,
+                   round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS avg_tok_count,
+                   round(CAST(sum(CASE WHEN cnt <= 2 * min_corpus_cnt
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS rare_frac,
+                   min(cnt) AS min_count
+            FROM toks JOIN c USING (term) CROSS JOIN f
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
     textLshDedupVerified, textSimhashBandPairs, textEditDistancePairs,
     textTrigramProfile, textBlocklistFilter, textRepetitionStats,
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
-    textStopwordDiscovery, textDedupPipeline, textLengthHistogram)
+    textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
+    textRarityScore)
 }
