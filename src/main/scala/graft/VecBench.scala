@@ -99,6 +99,13 @@ object VecBench {
           (if (fit > 0) s", $fit Lloyd-fit iters" else ""),
         cold, warm, rpq)
     }
+    // Matryoshka prefix-16 coarse rank + exact re-rank (r8): truncation
+    // as the coarse stage — no index build, 4x less arithmetic/candidate.
+    val (px, pxCold) =
+      timed(ids(Registry.byName("vec_prefix_rerank").build(spark, sfDir)))
+    val (_, pxWarm) =
+      timed(ids(Registry.byName("vec_prefix_rerank").build(spark, sfDir)))
+    report("prefix_rerank", "16-dim prefix, shortlist 50", pxCold, pxWarm, px)
   }
 
   /** SemDeDup pair-work census over the FULL corpus (no vec_id cap — the

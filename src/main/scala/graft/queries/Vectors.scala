@@ -705,9 +705,66 @@ object Vectors {
                    round(adc_raw, 6) AS adc_d2
             FROM adc ORDER BY adc_raw, vec_id LIMIT 10"""))
 
+  /** Matryoshka-style prefix retrieval (round-8 addition): coarse-rank
+    * the corpus by cosine over the FIRST 16 dims only (the "truncated
+    * embedding" an MRL-trained model makes meaningful — Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022; public method,
+    * re-derived), shortlist 50, then exact full-64-dim cosine re-ranks
+    * the shortlist to top-10 — the third coarse→refine serving stack in
+    * the tier beside IVF+PQ and residual-PQ, with a different coarse
+    * stage: dimension truncation costs 4× less arithmetic per candidate
+    * with NO index build at all.
+    *
+    * 100-TB shape: query prefix/full vectors broadcast (1 row); the
+    * corpus pass is one linear scan computing a 16-dim fused cosine;
+    * both cuts are TakeOrdered with unrounded keys + vec_id tiebreaks
+    * (total order); the exact re-rank touches 50 rows. Prefix slices are
+    * equal-length by construction, distances through the codegen'd
+    * `cosine_native` ≡ the oracle's list folds (NativeDotSpec). */
+  val vecPrefixRerank = Q(
+    "vec_prefix_rerank",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val v = emb.select(col("vec_id"), dbl(col("embedding")).as("e"),
+        slice(dbl(col("embedding")), 1, 16).as("p"))
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("p").as("qp"))
+      val short = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("e"), col("qe"),
+          expr("cosine_native(p, qp)").as("pcos_raw"))
+        .orderBy(col("pcos_raw").desc, col("vec_id"))
+        .limit(50)
+      short
+        .select(col("vec_id"), col("pcos_raw"),
+          expr("cosine_native(e, qe)").as("cos_raw"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("pcos_raw"), 4).as("prefix_cos"),
+          round(col("cos_raw"), 4).as("cos_sim"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                               (embedding::DOUBLE[])[1:16] AS p
+                        FROM embeddings),
+                 q AS (SELECT e AS qe, p AS qp FROM v WHERE vec_id = 0),
+                 short AS (SELECT v.vec_id, v.e, q.qe,
+                                  ${oDot("v.p", "q.qp")} /
+                                  (${oNorm("v.p")} * ${oNorm("q.qp")}) AS pcos_raw
+                           FROM v CROSS JOIN q
+                           WHERE vec_id != 0
+                           ORDER BY pcos_raw DESC, vec_id LIMIT 50),
+                 rr AS (SELECT vec_id, pcos_raw,
+                               ${oDot("e", "qe")} /
+                               (${oNorm("e")} * ${oNorm("qe")}) AS cos_raw
+                        FROM short)
+            SELECT vec_id, round(pcos_raw, 4) AS prefix_cos,
+                   round(cos_raw, 4) AS cos_sim
+            FROM rr ORDER BY cos_raw DESC, vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
-    vecResidualPqTopk)
+    vecResidualPqTopk, vecPrefixRerank)
 }
