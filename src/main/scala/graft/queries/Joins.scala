@@ -266,6 +266,35 @@ object Joins {
               ON a.user_id = b.user_id AND a.ts <= b.ts
             ORDER BY a.event_id"""))
 
+  /** Tolerance as-of (round-8 addition; pandas `merge_asof(tolerance=)` /
+    * kdb `wj` semantics): the most recent signup at or before each event,
+    * but only when it falls within the tolerance window (1 day) — older
+    * matches become NULL, exactly how a feature pipeline refuses stale
+    * joins. Reuses the asofLastSignup single-sort window formulation; the
+    * tolerance is a pure timestamp comparison applied AFTER the as-of
+    * resolution (`ts <= signup + INTERVAL`, exact at µs — no epoch
+    * truncation), so the plan cost is identical to join_asof: one
+    * per-user shuffle+sort, no extra join. */
+  val joinAsofTolerance = Q(
+    "join_asof_tolerance",
+    (spark, sfDir) =>
+      asofLastSignup(Tables.events(spark, sfDir))
+        .withColumn("signup_within_1d",
+          when(col("last_signup_ts").isNotNull &&
+            col("ts") <= col("last_signup_ts") + expr("INTERVAL 1 DAY"),
+            col("last_signup_ts")))
+        .select("event_id", "user_id", "ts", "signup_within_1d")
+        .orderBy("event_id"),
+    Some("""SELECT a.event_id, a.user_id, a.ts,
+                   CASE WHEN b.ts IS NOT NULL
+                         AND a.ts <= b.ts + INTERVAL 1 DAY
+                        THEN b.ts END AS signup_within_1d
+            FROM events a ASOF LEFT JOIN
+              (SELECT DISTINCT user_id, ts FROM events
+               WHERE event_type = 'signup') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+            ORDER BY a.event_id"""))
+
   /** Nearest as-of: the signup closest in time to each event, either
     * direction, inclusive both ways, ties (equidistant) to the earlier one.
     *
@@ -385,6 +414,6 @@ object Joins {
 
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
-    joinRange, joinAsof, joinAsofForward, joinAsofNearest, joinSkewSalted,
-    joinStarFlagship)
+    joinRange, joinAsof, joinAsofForward, joinAsofNearest, joinAsofTolerance,
+    joinSkewSalted, joinStarFlagship)
 }

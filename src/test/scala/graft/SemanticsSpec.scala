@@ -92,6 +92,31 @@ class SemanticsSpec extends SparkSpec {
     assert(sig(4).isEmpty)
   }
 
+  test("tolerance as-of: exactly 1 day old matches; 1 day + 1µs is refused as stale") {
+    val ev = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "click", 1.0),          // exactly +1 day → matches (closed)
+      (3L, "2024-01-02 10:00:00.000001", 1L, "click", 1.0),   // +1 day +1µs → NULL (stale)
+      (4L, "2024-01-01 10:00:00", 2L, "click", 1.0)))         // no signup for user → NULL
+    val out = graft.queries.Registry.byName("join_asof_tolerance")
+      .build(spark, sf0001)
+    // the graded query reads the fixture dir; drive the formulation
+    // directly on the boundary frame instead
+    val res = Joins.asofLastSignup(ev)
+      .withColumn("signup_within_1d",
+        when(col("last_signup_ts").isNotNull &&
+          col("ts") <= col("last_signup_ts") + expr("INTERVAL 1 DAY"),
+          col("last_signup_ts")))
+      .orderBy("event_id").collect()
+    def sig(i: Int) = Option(res(i).getAs[java.time.LocalDateTime]("signup_within_1d"))
+    assert(sig(0).map(_.toString).contains("2024-01-01T10:00")) // signup row matches itself
+    assert(sig(1).map(_.toString).contains("2024-01-01T10:00"))
+    assert(sig(2).isEmpty, "a match 1µs beyond tolerance must be refused")
+    assert(sig(3).isEmpty)
+    // and the graded build at least analyzes against the fixture schema
+    assert(out.schema.fieldNames.contains("signup_within_1d"))
+  }
+
   test("md5 split: boundary byte 'cc' goes to test, 'cb' to train; ratio ~80/20") {
     // engine-independent reference: JVM MD5 over the same salted key
     val md = java.security.MessageDigest.getInstance("MD5")
