@@ -553,22 +553,47 @@ object Ops {
         (col("n_members") - col("n_dups")).as("n_survivors"))
   }
 
+  /** Memoized, PERSISTED PQ codes for EVERY vector — the
+    * query-independent "index build" of the PQ family, shared by
+    * `pqAdcTopK` and `ivfPqRerank` (same memo key): built once per
+    * (session, corpus plan, params), reused by every query and bench rep.
+    * Without this, Spark re-evaluates the encode subtree per reference —
+    * the sf0.001 plans showed 18–24 separate corpus scans, invisible on a
+    * cached local file and an 18× corpus re-read at 100 TB. Keying by the
+    * ANALYZED plan's semanticHash ties the entry to the exact input
+    * relation (different sfDir ⇒ different scan ⇒ different hash);
+    * `Graft.freeCaches` disposes. n·m rows persisted — the materialized
+    * signature table a production index build writes anyway. */
+  def pqCodesAll(df: DataFrame, id: Column, vec: Column,
+      m: Int, subDim: Int, numSeeds: Int): DataFrame =
+    graft.util.Memo(df.sparkSession,
+        s"pqcodes:${df.queryExecution.analyzed.semanticHash()}:" +
+          s"$m:$subDim:$numSeeds") {
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2"), col("seed"))
+      pqDistances(df, id, vec, m, subDim, numSeeds)
+        .withColumn("graft_rn", row_number().over(w))
+        .filter(col("graft_rn") === 1)
+        .select(col("vec_id"), col("sub"), col("seed").as("code"))
+        .persist()
+    }
+
   /** PQ search via asymmetric distance computation: the query's
     * subspace-distance lookup table (m·numSeeds doubles, broadcast) is
     * joined to every candidate's codes; the approximate distance is the
     * fixed-order sum of m LUT entries — 4 lookups + 3 adds per candidate
-    * at the graded parameters, no vector math at query time. Returns the
-    * `k` nearest candidates as (vec_id, adc_raw), cut by the unrounded
-    * distance with id tiebreak (total order). */
+    * at the graded parameters, no vector math at query time. Candidate
+    * codes come from the memoized `pqCodesAll` frame; the per-query LUT
+    * re-derives only the query row's distances (Catalyst pushes the
+    * vec_id filter into the scan). Returns the `k` nearest candidates as
+    * (vec_id, adc_raw), cut by the unrounded distance with id tiebreak
+    * (total order). */
   def pqAdcTopK(df: DataFrame, id: Column, vec: Column, queryId: Any,
       k: Int, m: Int, subDim: Int, numSeeds: Int): DataFrame = {
-    val dist = pqDistances(df, id, vec, m, subDim, numSeeds)
-    val w = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("d2"), col("seed"))
-    val best = dist.withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1 && col("vec_id") =!= lit(queryId))
-      .select(col("vec_id"), col("sub"), col("seed").as("code"))
-    val lut = dist.filter(col("vec_id") === lit(queryId))
+    val best = pqCodesAll(df, id, vec, m, subDim, numSeeds)
+      .filter(col("vec_id") =!= lit(queryId))
+    val lut = pqDistances(df, id, vec, m, subDim, numSeeds)
+      .filter(col("vec_id") === lit(queryId))
       .select(col("sub").as("lsub"), col("seed").as("lseed"),
         col("d2").as("qd2"))
     def term(s: Int) = max(when(col("sub") === s, col("qd2")))
@@ -645,38 +670,54 @@ object Ops {
     // graded oracle queries stay at fitIters=0 (seeded, deterministic).
     // Distributed shape per step: one broadcast-join assignment scan +
     // one (sub, seed, pos) hash agg — m·numSeeds·subDim cells of state.
-    val seeds = (0 until fitIters).foldLeft(seeded) { (cb, _) =>
-      val wf = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("cd2"), col("seed"))
-      val members = rsubs.join(broadcast(cb), col("sub") === col("ssub"))
-        .select(col("vec_id"), col("sub"), col("seed"), col("sv"),
-          expr("l2sq_native(sv, cw)").as("cd2"))
-        .withColumn("graft_rn", row_number().over(wf))
-        .filter(col("graft_rn") === 1)
-      val updated = members
-        .select(col("sub"), col("seed"), posexplode(col("sv")))
-        .groupBy("sub", "seed", "pos")
-        .agg(avg(col("col")).as("mv"))
-        .groupBy(col("sub").as("usub"), col("seed").as("useed"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
-          .as("pm"))
-        .select(col("usub"), col("useed"),
-          expr("transform(pm, x -> x.mv)").as("ncw"))
-      cb.join(updated,
-          cb("ssub") === col("usub") && cb("seed") === col("useed"), "left")
-        .select(cb("ssub"), cb("seed"),
-          coalesce(col("ncw"), cb("cw")).as("cw"))
+    // The codebook is memoized + persisted: tiny (m·numSeeds rows), but
+    // deriving it re-walks the assignment subtree, and BOTH the encode
+    // and every per-probe LUT reference it.
+    val seeds = graft.util.Memo(df.sparkSession,
+        s"respq-codebook:${df.queryExecution.analyzed.semanticHash()}:" +
+          s"$kCent:$m:$subDim:$numSeeds:$fitIters") {
+      (0 until fitIters).foldLeft(seeded) { (cb, _) =>
+        val wf = Window.partitionBy("vec_id", "sub")
+          .orderBy(col("cd2"), col("seed"))
+        val members = rsubs.join(broadcast(cb), col("sub") === col("ssub"))
+          .select(col("vec_id"), col("sub"), col("seed"), col("sv"),
+            expr("l2sq_native(sv, cw)").as("cd2"))
+          .withColumn("graft_rn", row_number().over(wf))
+          .filter(col("graft_rn") === 1)
+        val updated = members
+          .select(col("sub"), col("seed"), posexplode(col("sv")))
+          .groupBy("sub", "seed", "pos")
+          .agg(avg(col("col")).as("mv"))
+          .groupBy(col("sub").as("usub"), col("seed").as("useed"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+            .as("pm"))
+          .select(col("usub"), col("useed"),
+            expr("transform(pm, x -> x.mv)").as("ncw"))
+        cb.join(updated,
+            cb("ssub") === col("usub") && cb("seed") === col("useed"), "left")
+          .select(cb("ssub"), cb("seed"),
+            coalesce(col("ncw"), cb("cw")).as("cw"))
+      }.persist()
     }
-    // encode: per (vector, subspace) the nearest residual codeword
-    val wb = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("cd2"), col("seed"))
-    val codes = rsubs.join(broadcast(seeds), col("sub") === col("ssub"))
-      .select(col("vec_id"), col("cid"), col("sub"), col("seed"),
-        expr("l2sq_native(sv, cw)").as("cd2"))
-      .withColumn("graft_rn", row_number().over(wb))
-      .filter(col("graft_rn") === 1)
-      .select(col("vec_id"), col("cid"), col("sub"),
-        col("seed").as("code"))
+    // encode: per (vector, subspace) the nearest residual codeword.
+    // Memoized + persisted like pqCodesAll — the query-independent index
+    // build (assignment + residuals + codebook + encode); without it the
+    // plan re-evaluated this subtree per reference (18 corpus scans at
+    // sf0.001 — an 18× corpus re-read at 100 TB).
+    val codes = graft.util.Memo(df.sparkSession,
+        s"respq-codes:${df.queryExecution.analyzed.semanticHash()}:" +
+          s"$kCent:$m:$subDim:$numSeeds:$fitIters") {
+      val wb = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("cd2"), col("seed"))
+      rsubs.join(broadcast(seeds), col("sub") === col("ssub"))
+        .select(col("vec_id"), col("cid"), col("sub"), col("seed"),
+          expr("l2sq_native(sv, cw)").as("cd2"))
+        .withColumn("graft_rn", row_number().over(wb))
+        .filter(col("graft_rn") === 1)
+        .select(col("vec_id"), col("cid"), col("sub"),
+          col("seed").as("code"))
+        .persist()
+    }
     // probe set: the query's nProbes nearest centroids
     val wp = Window.orderBy(col("qd2"), col("cid"))
     val probes = cent.crossJoin(broadcast(q))
@@ -744,26 +785,31 @@ object Ops {
       .withColumn("graft_rn", row_number().over(wp))
       .filter(col("graft_rn") <= nProbes)
       .select("cid")
-    // assignment: every vector to its nearest centroid (argmin window)
-    val wa = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))
-      .withColumn("graft_rn", row_number().over(wa))
-      .filter(col("graft_rn") === 1)
-      .select("vec_id", "cid")
+    // assignment: every vector to its nearest centroid (argmin window) —
+    // memoized + persisted: the one full-corpus pass of the query path,
+    // query-independent, shared across calls (n×2 longs cached)
+    val assigned = graft.util.Memo(df.sparkSession,
+        s"ivfassign:${df.queryExecution.analyzed.semanticHash()}:$kCent") {
+      val wa = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      v.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))
+        .withColumn("graft_rn", row_number().over(wa))
+        .filter(col("graft_rn") === 1)
+        .select("vec_id", "cid")
+        .persist()
+    }
     val cand = assigned.join(broadcast(probes), Seq("cid"), "semi")
       .filter(col("vec_id") =!= lit(queryId))
       .select("vec_id")
-    // PQ-ADC coarse rank over the candidates only (codes still come from
-    // the full-corpus seed rule so the codebook is probe-independent)
-    val dist = pqDistances(df, id, vec, m, subDim, numSeeds)
-    val wb = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("d2"), col("seed"))
-    val codes = dist.join(broadcast(cand), Seq("vec_id"), "semi")
-      .withColumn("graft_rn", row_number().over(wb))
-      .filter(col("graft_rn") === 1)
-      .select(col("vec_id"), col("sub"), col("seed").as("code"))
-    val lut = dist.filter(col("vec_id") === lit(queryId))
+    // PQ-ADC coarse rank over the candidates only. Codes come from the
+    // MEMOIZED full-corpus frame (pqCodesAll — same entry pqAdcTopK uses,
+    // codebook probe-independent by construction); restricting to
+    // candidates is a semi-join against the persisted frame, not a
+    // re-encode.
+    val codes = pqCodesAll(df, id, vec, m, subDim, numSeeds)
+      .join(broadcast(cand), Seq("vec_id"), "semi")
+    val lut = pqDistances(df, id, vec, m, subDim, numSeeds)
+      .filter(col("vec_id") === lit(queryId))
       .select(col("sub").as("lsub"), col("seed").as("lseed"),
         col("d2").as("qd2"))
     def term(s: Int) = max(when(col("sub") === s, col("qd2")))
