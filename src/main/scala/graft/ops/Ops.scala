@@ -530,12 +530,23 @@ object Ops {
     val v = df.select(id.as("vec_id"), graft.util.V.dbl(vec).as("e"))
     val cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e").as("c"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val assigned = v.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))
-      .withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
-      .select("vec_id", "cid")
+    // assignment memoized + persisted (vec_id, cid — 2 longs/row): the
+    // plan references it from BOTH self-join sides and the census agg,
+    // and without caching Spark recomputes the n×k argmin per reference
+    // (the round-8 plan sweep measured 16 corpus scans here). The vector
+    // payloads deliberately stay OUT of the cache — the self-join re-reads
+    // them from the columnar source, which at 100 TB is cheaper than
+    // pinning n·d doubles in executor memory.
+    val assigned = graft.util.Memo(df.sparkSession,
+        s"semdedup-assign:${df.queryExecution.analyzed.semanticHash()}:$k") {
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      v.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))
+        .withColumn("graft_rn", row_number().over(w))
+        .filter(col("graft_rn") === 1)
+        .select("vec_id", "cid")
+        .persist()
+    }
     val members = assigned.join(v, Seq("vec_id"))
     val l = members.select(col("cid").as("c1"), col("vec_id").as("v1"),
       col("e").as("e1"))
