@@ -80,6 +80,18 @@ class PlanShapeSpec extends SparkSpec {
       "vec_residual_pq_topk: top-k cut lost TakeOrderedAndProject")
   }
 
+  test("ANN index frames are served from the memoized cache, not re-encoded per reference") {
+    // round-8 fix: the PQ codes / IVF assignment / dedup assignment are
+    // query-independent and memoized+persisted; a plan without an
+    // InMemoryTableScan means a refactor dropped the Memo and the encode
+    // subtree re-runs per reference (measured 16-24 corpus scans)
+    Seq("vec_pq_adc_topk", "vec_ivf_pq_rerank", "vec_residual_pq_topk",
+      "vec_semantic_dedup").foreach { n =>
+      assert(plan(n).contains("InMemoryTableScan"),
+        s"$n: no InMemoryTableScan — index memoization lost")
+    }
+  }
+
   test("text plans derive every documents leaf from the shared tokenized cache") {
     // the single-tokenize property (round-5 verdict #2): after docToks,
     // a text plan re-scanning documents.parquet directly means a code
