@@ -1117,6 +1117,121 @@ object TextOps {
             FROM toks JOIN c USING (term) CROSS JOIN f
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** End-to-end dedup SURVIVOR list (round-8 addition) — the output a
+    * production dedup job actually writes: LSH banding generates
+    * candidates (the text_minhash_band_pairs shape), exact Jaccard ≥ 0.5
+    * verifies them (the text_lsh_dedup_verified stage), verified pairs
+    * become an undirected graph, two rounds of min-label propagation
+    * (the vec_dup_clusters CC formulation — fixed round count, mirrored
+    * exactly by the oracle, so convergence depth cannot diverge between
+    * engines) assign each doc a cluster, and the keep-lowest rule marks
+    * `cluster == doc_id` as the survivor. Per doc: (doc_id, cluster,
+    * is_survivor).
+    *
+    * 100-TB shape: banding → EQUI-joins only; verify touches candidates
+    * only; the edge frame is memoized + persisted (it feeds both
+    * propagation rounds); propagation shuffles on ids. The doc_id < 200
+    * cap matches the banding siblings (fixture-vocabulary bucket skew);
+    * every stage is the uncapped production shape. */
+  val textDedupSurvivors = Q(
+    "text_dedup_survivors",
+    (spark, sfDir) => {
+      val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
+      val toks = docsF
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      val cand = graft.ops.Ops
+        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"),
+          numHashes = 8, bands = 2)
+        .select(col("id1").as("d1"), col("id2").as("d2"))
+      val sets = toks.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      val dup = cand
+        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
+          col("d1") === col("sd1"))
+        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
+          col("d2") === col("sd2"))
+        .select(col("d1"), col("d2"),
+          size(filter(col("t1"), x => array_contains(col("t2"), x))).as("inter"),
+          size(col("t1")).as("n1"), size(col("t2")).as("n2"))
+        .filter(round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")), 4) >= 0.5)
+        .select("d1", "d2")
+      val edges = graft.util.Memo(spark, s"$sfDir:dedup_surv_edges") {
+        dup.unionByName(dup.select(col("d2").as("d1"), col("d1").as("d2")))
+          .persist()
+      }
+      def propagate(labels: org.apache.spark.sql.DataFrame) =
+        labels.join(
+          edges.join(labels.select(col("doc_id").as("dx"), col("lbl").as("nlbl")),
+            col("d2") === col("dx"))
+            .groupBy("d1").agg(min(col("nlbl")).as("mn")),
+          col("doc_id") === col("d1"), "left")
+          .select(col("doc_id"),
+            when(col("mn").isNull || col("lbl") < col("mn"), col("lbl"))
+              .otherwise(col("mn")).as("lbl"))
+      val l0 = docsF.select(col("doc_id"), col("doc_id").as("lbl"))
+      propagate(propagate(l0))
+        .select(col("doc_id"), col("lbl").as("cluster"),
+          (col("lbl") === col("doc_id")).as("is_survivor"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 200)
+                          WHERE length(tok) > 0),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                          FROM bands a JOIN bands b
+                            ON a.band_no = b.band_no AND a.bkey = b.bkey
+                          WHERE a.doc_id < b.doc_id),
+                 sets AS (SELECT doc_id, list_sort(list(tok)) AS ts
+                          FROM toks GROUP BY doc_id),
+                 dup AS (SELECT d1, d2 FROM cand
+                         JOIN sets s1 ON d1 = s1.doc_id
+                         JOIN sets s2 ON d2 = s2.doc_id
+                         WHERE round(CAST(len(list_filter(s1.ts, x -> list_contains(s2.ts, x))) AS DOUBLE)
+                                     / (len(s1.ts) + len(s2.ts)
+                                        - len(list_filter(s1.ts, x -> list_contains(s2.ts, x)))), 4) >= 0.5),
+                 edges AS (SELECT d1, d2 FROM dup
+                           UNION ALL SELECT d2 AS d1, d1 AS d2 FROM dup),
+                 l0 AS (SELECT doc_id, doc_id AS lbl FROM documents WHERE doc_id < 200),
+                 n1 AS (SELECT e.d1, min(l.lbl) AS mn FROM edges e
+                        JOIN l0 l ON e.d2 = l.doc_id GROUP BY e.d1),
+                 l1 AS (SELECT l0.doc_id,
+                               CASE WHEN n1.mn IS NULL OR l0.lbl < n1.mn
+                                    THEN l0.lbl ELSE n1.mn END AS lbl
+                        FROM l0 LEFT JOIN n1 ON l0.doc_id = n1.d1),
+                 n2 AS (SELECT e.d1, min(l.lbl) AS mn FROM edges e
+                        JOIN l1 l ON e.d2 = l.doc_id GROUP BY e.d1),
+                 l2 AS (SELECT l1.doc_id,
+                               CASE WHEN n2.mn IS NULL OR l1.lbl < n2.mn
+                                    THEN l1.lbl ELSE n2.mn END AS lbl
+                        FROM l1 LEFT JOIN n2 ON l1.doc_id = n2.d1)
+            SELECT doc_id, lbl AS cluster, lbl = doc_id AS is_survivor
+            FROM l2 ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1124,5 +1239,5 @@ object TextOps {
     textTrigramProfile, textBlocklistFilter, textRepetitionStats,
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
-    textRarityScore)
+    textRarityScore, textDedupSurvivors)
 }
