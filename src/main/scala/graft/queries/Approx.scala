@@ -305,6 +305,31 @@ object Approx {
         .orderBy("event_type"),
     None)
 
+  /** DataSketches frequent-items heavy hitters (round-8 addition;
+    * `approx_top_k`, new in Spark 4.x) — UNLIKE the other sketches here,
+    * this one is ORACLE-MATCHED: with capacity (default 104) ≫ the 20
+    * distinct sources the sketch never evicts, so every count is exact.
+    * The determinism hazard is the sketch's INTERNAL tie order (measured:
+    * near-uniform source counts tie at every SF, and which ties survive a
+    * k-cut inside the sketch is insertion-order-dependent) — so the query
+    * asks the sketch for MORE items than exist (k=25 > 20), explodes the
+    * full result, and applies its own total-ordered cut (est DESC, item).
+    * The sketch is mergeable (map-side partials) — the rollup-able
+    * heavy-hitters shape that replaces a full groupBy+sort at 100 TB when
+    * capacity < distinct count; at fixture cardinalities it doubles as an
+    * exactness check of the sketch itself. */
+  val aggApproxTopk = Q(
+    "agg_approx_topk",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .agg(expr("approx_top_k(source, 25)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("est"))
+        .orderBy(col("est").desc, col("item"))
+        .limit(5),
+    Some("""SELECT source AS item, count(*) AS est FROM documents
+            GROUP BY source ORDER BY est DESC, item LIMIT 5"""))
+
   def qs: Seq[Q] = Seq(aggApproxDistinct, minhashLshJaccard, vecAnnLsh,
-    vecAnnIvf, aggHllSketchMerge, aggApproxQuantile)
+    vecAnnIvf, aggHllSketchMerge, aggApproxQuantile, aggApproxTopk)
 }
