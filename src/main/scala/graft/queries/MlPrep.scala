@@ -408,8 +408,43 @@ object MlPrep {
                        AS BIGINT) < t.n_thr
             ORDER BY d.doc_id"""))
 
+  /** Pad-and-mask batch prep (round-8 addition) — the OTHER standard
+    * batch shape beside sequence packing (ml_pack_sequences): truncate
+    * each document's token sequence to a fixed context of 32, right-pad
+    * short ones with the `<pad>` sentinel, and emit the attention mask
+    * (1 for real tokens, 0 for padding) every trainer consumes. Pure
+    * per-row array algebra (slice / repeat / concat) — no explode, no
+    * shuffle beyond the presentation sort; arrays are space-/bit-joined
+    * to flat strings for the driver's hash compare (its contract forbids
+    * nested output columns), exact on both engines (no floats). */
+  val mlPadMask = Q(
+    "ml_pad_mask",
+    (spark, sfDir) => {
+      val tk = split(col("text"), " ", -1)
+      val nReal = least(size(tk), lit(32))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          nReal.cast("bigint").as("n_real"),
+          array_join(concat(slice(tk, 1, 32),
+            array_repeat(lit("<pad>"), lit(32) - nReal)), " ").as("tokens"),
+          array_join(concat(array_repeat(lit("1"), nReal),
+            array_repeat(lit("0"), lit(32) - nReal)), "").as("mask"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+                 s AS (SELECT doc_id, tk,
+                              least(len(tk), 32) AS n_real FROM t)
+            SELECT doc_id, CAST(n_real AS BIGINT) AS n_real,
+                   array_to_string(list_concat(tk[1:32],
+                     list_transform(range(32 - n_real), x -> '<pad>')), ' ') AS tokens,
+                   array_to_string(list_concat(
+                     list_transform(range(n_real), x -> '1'),
+                     list_transform(range(32 - n_real), x -> '0')), '') AS mask
+            FROM s ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
-    mlClassWeights, mlPackSequences, mlDatasetMix)
+    mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask)
 }
