@@ -663,8 +663,39 @@ object TimeSeries {
             FROM l WHERE pv IS NOT NULL AND us > pus
             ORDER BY user_id, ts, event_id"""))
 
+  /** Per-user lifetime summary (round-8 addition) — the base table every
+    * LTV / engagement / cohort analysis starts from: first and last
+    * activity, event count, distinct active days, calendar span, and
+    * events-per-active-day intensity. All integer/timestamp arithmetic
+    * (the one ratio is integer-double division — exact on both engines);
+    * one hash agg keyed on user_id, no windows, no self-joins. */
+  val tsUserLifetime = Q(
+    "ts_user_lifetime",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"),
+          countDistinct(to_date(col("ts"))).as("n_active_days"))
+        .withColumn("span_days",
+          (datediff(to_date(col("last_ts")), to_date(col("first_ts"))) + 1)
+            .cast("bigint"))
+        .withColumn("events_per_day",
+          round(col("n_events").cast("double") / col("n_active_days"), 4))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+                   count(*) AS n_events,
+                   count(DISTINCT ts::DATE) AS n_active_days,
+                   CAST(datediff('day', min(ts)::DATE, max(ts)::DATE) + 1
+                        AS BIGINT) AS span_days,
+                   round(CAST(count(*) AS DOUBLE)
+                         / count(DISTINCT ts::DATE), 4) AS events_per_day
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
-    tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative)
+    tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
+    tsUserLifetime)
 }
