@@ -11,6 +11,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Force the sort-based shuffle writer (threshold below our partition
+      // counts). The default bypass writer opens one file per reduce
+      // partition per map task — ~1024 file creates PER SHUFFLE at 32×32,
+      // measured (r9, jstack) as the dominant CPU sink on these small SFs
+      // (text_stats: 6.1→1.5 s process CPU per rep). A real cluster runs
+      // >200 shuffle partitions and therefore uses the sort writer anyway,
+      // so this also makes the local plan scale-faithful.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -122,7 +130,14 @@ object Bench {
     val maxQ = results.filter(_._2 >= 0).foldLeft(("", -1.0)) {
       case (acc, kv) => if (kv._2 > acc._2) kv else acc
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"n_queries":${results.size},"failed":$failedJson,"max_query":"${maxQ._1}","max_query_sec":${r3(maxQ._2)},"sf":"$sfDir"}""")
+    // slowest10 rides in the SHORT tail line (round-8 verdict #2): the
+    // driver keeps only the stdout tail, and the full durations map on the
+    // big line scrolls off — r8's regressions were attributable only via a
+    // local side file. Ten (name, sec) pairs keep the line well under the
+    // capture window while naming every plausible regressor.
+    val slowest10 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"n_queries":${results.size},"failed":$failedJson,"max_query":"${maxQ._1}","max_query_sec":${r3(maxQ._2)},"slowest10":$slowest10,"sf":"$sfDir"}""")
     Graft.freeCaches(spark)
     spark.stop()
   }

@@ -306,24 +306,22 @@ object TextOps {
     * fingerprint — is identical computed windowwise.) */
   val textWinnowFingerprint = Q(
     "text_winnow_fingerprint",
-    (spark, sfDir) =>
+    (spark, sfDir) => {
+      graft.functions.CharNgrams.register(spark)
       docToks(spark, sfDir)
-        // greatest(...,1) pins the sequence ASCENDING for docs shorter
-        // than the 8-char window (sequence(1, n<1) would infer step -1
-        // and emit bogus descending positions — at len==7 a greatest(0)
-        // bound leaks p=0, which substring treats as position 1); the
-        // p <= len-7 filter then drops the placeholder row entirely, so
-        // short docs emit zero windows on both engines.
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1),
-            greatest(length(col("text")) - 7, lit(1)))).as("p"))
-        .filter(col("p") <= length(col("text")) - 7)
+        // char_ngrams_native emits every 8-char window in one O(bytes)
+        // pass; docs shorter than the window yield an empty array and
+        // explode drops them — the same zero-window semantics the old
+        // explode(sequence)+filter scaffold enforced, without shipping
+        // the FULL text once per position through the explode.
         .select(col("doc_id"),
-          md5(expr("substring(text, p, 8)")).as("h"))
+          explode(expr("char_ngrams_native(text, 8)")).as("win"))
+        .select(col("doc_id"), md5(col("win")).as("h"))
         .groupBy("doc_id")
         .agg(min(col("h")).as("fingerprint"),
           countDistinct(col("h")).as("n_windows"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+    },
     Some("""SELECT doc_id, min(h) AS fingerprint,
                    count(DISTINCT h) AS n_windows
             FROM (SELECT doc_id, md5(substring(text, p, 8)) AS h
@@ -631,6 +629,7 @@ object TextOps {
   val textTrigramProfile = Q(
     "text_trigram_profile",
     (spark, sfDir) => {
+      graft.functions.CharNgrams.register(spark)
       val w = Window.partitionBy("lang")
         .orderBy(col("n").desc, col("tri"))
       docToks(spark, sfDir)
@@ -639,15 +638,14 @@ object TextOps {
         // explode+partial-agg runs across the full parallelism without a
         // per-query repartition constant. At production scale the many
         // input splits make the spread a no-op cost-wise.
-        // build the trigram ARRAY first and explode that: exploding raw
-        // positions would emit one row per position CARRYING THE FULL TEXT
-        // (len × ~300 B per doc through the shuffle); the array form emits
-        // 3-char strings only
+        // char_ngrams_native builds the trigram ARRAY in one O(bytes)
+        // pass (the r8→r9 fix: the transform(sequence, substring) form
+        // re-seeks codepoints from byte 0 per position — O(chars²) per
+        // doc — and was the suite's slowest query at 3.77 s median);
+        // exploding the array still emits 3-char strings only, never the
+        // full text per position
         .select(col("lang"),
-          explode(expr(
-            "transform(sequence(1, greatest(length(text) - 2, 1))," +
-              " p -> substring(text, p, 3))")).as("tri"))
-        .filter(length(col("tri")) === 3)
+          explode(expr("char_ngrams_native(text, 3)")).as("tri"))
         .groupBy("lang", "tri")
         .agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(w).cast("bigint"))
