@@ -23,6 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Memo-key prefix for the cached index frames (PQ codes, IVF/SemDeDup
+    * assignments, residual codebooks). Three ingredients, each closing a
+    * distinct staleness hole (ADVICE r8):
+    *   - the ANALYZED plan's semanticHash — ties the entry to the exact
+    *     input relation (different sfDir ⇒ different scan ⇒ different key);
+    *   - the id/vec column expression strings — two calls over the same
+    *     DataFrame but different columns must not share an entry (the
+    *     plan hash alone cannot see which columns the index reads). The
+    *     STRING form (Spark 4's Column hides the expression node) means
+    *     a differently-spelled-but-equal column misses the cache — a
+    *     rebuild, never a wrong hit;
+    *   - the input files' (name, size, mtime) footprint — semanticHash
+    *     covers the PATH but not the CONTENTS, and this project's driver
+    *     regenerates fixtures in place (r7/r9 both did); without the
+    *     footprint a mid-session regeneration would silently serve codes
+    *     built from the old bytes. Also adds entropy against the 32-bit
+    *     semanticHash colliding between two plans.
+    * Callers append their numeric params after this prefix. */
+  private[graft] def indexKey(df: DataFrame, cols: Column*): String = {
+    val fs = df.inputFiles.sorted.map { uri =>
+      val f = new java.io.File(new java.net.URI(uri).getPath)
+      s"${f.getName}:${f.length}:${f.lastModified}"
+    }.mkString(",")
+    val colSig = cols.map(_.toString).mkString("|")
+    s"${df.queryExecution.analyzed.semanticHash()}:" +
+      s"${colSig.hashCode}:${fs.hashCode}"
+  }
+
   /** Exact content dedup: keep the first row (by `keepOrder`) of each
     * `contentKey` group. One shuffle keyed on the content hash; pass
     * `md5(payload)` (16 bytes) rather than the payload itself so the
@@ -538,7 +566,7 @@ object Ops {
     // them from the columnar source, which at 100 TB is cheaper than
     // pinning n·d doubles in executor memory.
     val assigned = graft.util.Memo(df.sparkSession,
-        s"semdedup-assign:${df.queryExecution.analyzed.semanticHash()}:$k") {
+        s"semdedup-assign:${indexKey(df, id, vec)}:$k") {
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       v.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))
@@ -578,7 +606,7 @@ object Ops {
   def pqCodesAll(df: DataFrame, id: Column, vec: Column,
       m: Int, subDim: Int, numSeeds: Int): DataFrame =
     graft.util.Memo(df.sparkSession,
-        s"pqcodes:${df.queryExecution.analyzed.semanticHash()}:" +
+        s"pqcodes:${indexKey(df, id, vec)}:" +
           s"$m:$subDim:$numSeeds") {
       val w = Window.partitionBy("vec_id", "sub")
         .orderBy(col("d2"), col("seed"))
@@ -685,8 +713,19 @@ object Ops {
     // deriving it re-walks the assignment subtree, and BOTH the encode
     // and every per-probe LUT reference it.
     val seeds = graft.util.Memo(df.sparkSession,
-        s"respq-codebook:${df.queryExecution.analyzed.semanticHash()}:" +
+        s"respq-codebook:${indexKey(df, id, vec)}:" +
           s"$kCent:$m:$subDim:$numSeeds:$fitIters") {
+      // Seed-completeness guard (ADVICE r8): totality of `assigned` does
+      // NOT guarantee ids 0..numSeeds-1 all exist (corpus smaller than
+      // numSeeds, or low ids absent) — a short codebook would make every
+      // downstream inner join silently return a degraded/empty top-k, the
+      // failure mode pqDistances' guards exist for. One counted action,
+      // amortized: it runs once per memoized index build, not per query.
+      val nSeedVecs = seeded.select(countDistinct(col("seed")).as("n"))
+        .head.getLong(0)
+      require(nSeedVecs == numSeeds,
+        s"respq: residual codebook needs ids 0..${numSeeds - 1} present; " +
+          s"corpus provides $nSeedVecs of $numSeeds seed vectors")
       (0 until fitIters).foldLeft(seeded) { (cb, _) =>
         val wf = Window.partitionBy("vec_id", "sub")
           .orderBy(col("cd2"), col("seed"))
@@ -716,7 +755,7 @@ object Ops {
     // plan re-evaluated this subtree per reference (18 corpus scans at
     // sf0.001 — an 18× corpus re-read at 100 TB).
     val codes = graft.util.Memo(df.sparkSession,
-        s"respq-codes:${df.queryExecution.analyzed.semanticHash()}:" +
+        s"respq-codes:${indexKey(df, id, vec)}:" +
           s"$kCent:$m:$subDim:$numSeeds:$fitIters") {
       val wb = Window.partitionBy("vec_id", "sub")
         .orderBy(col("cd2"), col("seed"))
@@ -800,7 +839,7 @@ object Ops {
     // memoized + persisted: the one full-corpus pass of the query path,
     // query-independent, shared across calls (n×2 longs cached)
     val assigned = graft.util.Memo(df.sparkSession,
-        s"ivfassign:${df.queryExecution.analyzed.semanticHash()}:$kCent") {
+        s"ivfassign:${indexKey(df, id, vec)}:$kCent") {
       val wa = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       v.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"), expr("l2sq_native(e, c)").as("d2"))

@@ -162,15 +162,35 @@ class FixtureSpec extends SparkSpec {
         new java.io.File(dir, s"$t.parquet").toPath,
         new java.io.File(sf0001, s"$t.parquet").toPath)
     }
-    val sub = SparkEntry.queries("sub_scalar")(spark, dir.getAbsolutePath)
-    assert(sub.count() > 0, "sub_scalar must survive a broken events table")
-    // The events view itself must be absent (not stale), so events queries
-    // fail with TABLE_OR_VIEW_NOT_FOUND naming the culprit.
-    Graft.registerViews(spark, dir.getAbsolutePath)
-    assert(!spark.catalog.tableExists("events"))
-    val err = intercept[Exception](spark.sql("SELECT count(*) FROM events").collect())
-    assert(err.getMessage.contains("events"))
-    // Restore real views for any suite running after us in the shared session.
-    Graft.registerViews(spark, sf0001)
+    // try/finally (ADVICE r8): an assertion failure mid-section would
+    // otherwise leave the SHARED SparkSpec session with dropped/degraded
+    // temp views, and unrelated later suites would fail confusingly.
+    try {
+      val sub = SparkEntry.queries("sub_scalar")(spark, dir.getAbsolutePath)
+      assert(sub.count() > 0, "sub_scalar must survive a broken events table")
+      // The events view itself must be absent (not stale), so events queries
+      // fail with TABLE_OR_VIEW_NOT_FOUND naming the culprit.
+      Graft.registerViews(spark, dir.getAbsolutePath)
+      assert(!spark.catalog.tableExists("events"))
+      val err = intercept[Exception](spark.sql("SELECT count(*) FROM events").collect())
+      assert(err.getMessage.contains("events"))
+    } finally {
+      // Restore real views for any suite running after us in the shared session.
+      Graft.registerViews(spark, sf0001)
+    }
+  }
+
+  test("documents.source stays below agg_approx_topk's no-evict bound (k=25)") {
+    // agg_approx_topk's determinism rests on its sketch NEVER evicting:
+    // k=25 exceeds the fixture's source domain, so insertion order cannot
+    // matter. Pin the domain (ADVICE r8) so source-cardinality drift in a
+    // regenerated fixture fails HERE, loudly, before it turns the graded
+    // query nondeterministic across runs.
+    import org.apache.spark.sql.functions._
+    val nSources = Tables.documents(spark, sf0001)
+      .select(countDistinct(col("source")).as("n")).head.getLong(0)
+    assert(nSources == 20L,
+      s"documents.source domain drifted to $nSources (expected 20, " +
+        "and agg_approx_topk requires < 25)")
   }
 }
