@@ -114,4 +114,26 @@ class PlanShapeSpec extends SparkSpec {
           stray.map(_.getClass.getSimpleName).mkString(","))
     }
   }
+
+  test("vec_dup_clusters generates candidate pairs by EQUI-join, never all-pairs") {
+    // the r9 SemDeDup-shaped rewrite (r8 verdict #4): the only nested-loop
+    // join allowed in this plan is the 8-row broadcast centroid assignment;
+    // the pair stage must be a hash/sort-merge join keyed on the cluster
+    // id, so candidate work is bounded by cluster size at any corpus scale.
+    val p = plan("vec_dup_clusters")
+    val pairCut = "v1#\\d+L? < v2#\\d+".r // attribute refs carry #exprIds
+    val nested = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toList
+    assert(nested.nonEmpty, "expected the 8-row broadcast centroid joins")
+    nested.foreach { j =>
+      assert(pairCut.findFirstIn(j).isEmpty,
+        s"all-pairs nested-loop pair join crept back into vec_dup_clusters: $j")
+    }
+    // the v1 < v2 cut must ride on an equi-join (hash or SMJ) keyed on the
+    // cluster id, i.e. appear on a non-nested-loop join operator line
+    val equiPair = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && pairCut.findFirstIn(l).isDefined)
+    assert(equiPair,
+      "pair generation is not an equi-join with the v1<v2 cut as condition")
+  }
 }
