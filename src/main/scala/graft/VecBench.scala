@@ -71,8 +71,11 @@ object VecBench {
       val (_, warm) = timed(ids(Approx.ivfTopK(spark, sfDir, cells, probes, 10)))
       report("ivf", s"$cells cells, probe $probes", cold, warm, ivf)
     }
+    // (16, 4, *) rows: the r8 analysis concluded near-tie corpora need
+    // MORE SUBSPACES (finer quantization floor), not better codewords —
+    // M=16 × 4-dim is that measured point (r8 verdict #5).
     for ((m, subDim, seeds) <- Seq((4, 16, 16), (8, 8, 16), (4, 16, 64),
-        (8, 8, 64), (4, 16, 256))) {
+        (8, 8, 64), (4, 16, 256), (16, 4, 64), (16, 4, 256))) {
       val emb = util.Tables.embeddings(spark, sfDir)
       val (pq, cold) = timed(ids(ops.Ops.pqAdcTopK(emb, col("vec_id"),
         col("embedding"), 0L, 10, m, subDim, seeds)))
