@@ -412,8 +412,49 @@ object Joins {
             GROUP BY r.r_name, n.n_name
             ORDER BY r.r_name, n.n_name"""))
 
+  /** Binned (bucketed) range join — the scale-out rewrite of a pure
+    * range predicate with NO equi key: 30 daily maintenance windows
+    * [day, day+6h) against the events stream. The naive plan is a
+    * nested-loop over every (event, window) pair; the binned plan derives
+    * bin = date_trunc(day, ts) on the fact side and bin = window start on
+    * the window side, turning the range join into an EQUI-join on the bin
+    * plus a residual `ts < start + 6h` filter — a hash join that
+    * partitions on the bin key at any scale. Exact here because windows
+    * never cross a day boundary; multi-bin spans generalize by exploding
+    * each window into every bin it covers (the standard interval-binning
+    * trick). The oracle runs the NAIVE range join — value parity proves
+    * the rewrite. 2-dp values sum in exact decimal (D.sumDec). */
+  val joinRangeBucketed = Q(
+    "join_range_bucketed",
+    (spark, sfDir) => {
+      import graft.util.D
+      val win = spark.range(0, 30).select(col("id").as("win_id"),
+        expr("timestampadd(DAY, CAST(id AS INT), " +
+          "TIMESTAMP_NTZ '2024-01-01 00:00:00')").as("win_start"))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("ts"), col("value"),
+          date_trunc("DAY", col("ts")).cast("timestamp_ntz").as("bin"))
+      ev.join(broadcast(win), col("bin") === col("win_start") &&
+          col("ts") < col("win_start") + expr("INTERVAL 6 HOUR"))
+        .groupBy("win_id", "win_start")
+        .agg(count(lit(1)).as("n_events"),
+          D.sumDec(col("value")).as("sum_value"))
+        .orderBy("win_id")
+    },
+    Some(s"""WITH win AS (
+              SELECT d AS win_id,
+                     TIMESTAMP '2024-01-01 00:00:00' + d * INTERVAL 1 DAY AS win_start
+              FROM (SELECT unnest(generate_series(0, 29)) AS d))
+            SELECT w.win_id, w.win_start,
+                   count(*) AS n_events,
+                   ${graft.util.D.oSumDec("e.value")} AS sum_value
+            FROM win w JOIN events e
+              ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 6 HOUR
+            GROUP BY w.win_id, w.win_start
+            ORDER BY w.win_id"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
-    joinRange, joinAsof, joinAsofForward, joinAsofNearest, joinAsofTolerance,
-    joinSkewSalted, joinStarFlagship)
+    joinRange, joinRangeBucketed, joinAsof, joinAsofForward, joinAsofNearest,
+    joinAsofTolerance, joinSkewSalted, joinStarFlagship)
 }

@@ -443,8 +443,55 @@ object MlPrep {
                      list_transform(range(32 - n_real), x -> '0')), '') AS mask
             FROM s ORDER BY doc_id"""))
 
+  /** Smoothed target encoding — the classic high-cardinality categorical
+    * encoder (per-category mean of the target, shrunk toward the global
+    * prior with strength m=10: enc = (sum_cat + m·prior)/(n_cat + m)):
+    * rare categories collapse to the prior instead of memorizing noise.
+    * Determinism: the sums are EXACT decimal (2-dp acctbal → decimal(18,2),
+    * associative, partition-order-free); only the finished sums convert to
+    * double, and the remaining ops are single IEEE divisions/multiplies on
+    * identical operands — bit-identical across engines. round(4) on the
+    * emitted encodings only.
+    *
+    * 100-TB shape: one hash agg on the category key + a broadcast 1-row
+    * prior — the fit artifact (the encoder TABLE) is the output; applying
+    * it to rows is a broadcast join against this tiny frame. */
+  val mlTargetEncode = Q(
+    "ml_target_encode",
+    (spark, sfDir) => {
+      import graft.util.D
+      val cust = Tables.customer(spark, sfDir)
+      val tot = cust.agg(
+        D.dbl(sum(D.dec(col("c_acctbal"))).cast(D.Money)).as("sum_all"),
+        count(lit(1)).as("n_all"))
+      cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          D.dbl(sum(D.dec(col("c_acctbal"))).cast(D.Money)).as("sum_seg"))
+        .crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"), col("n"),
+          round(col("sum_seg") / col("n").cast("double"), 4).as("raw_mean"),
+          round((col("sum_seg") +
+              lit(10.0) * (col("sum_all") / col("n_all").cast("double"))) /
+            (col("n").cast("double") + lit(10.0)), 4).as("enc_smoothed"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""WITH tot AS (SELECT ${graft.util.D.oDbl(
+                 s"CAST(sum(${graft.util.D.oDec("c_acctbal")}) AS DECIMAL(18,2))")} AS sum_all,
+                        count(*) AS n_all
+                 FROM customer),
+             seg AS (SELECT c_mktsegment, count(*) AS n,
+                        ${graft.util.D.oDbl(
+                 s"CAST(sum(${graft.util.D.oDec("c_acctbal")}) AS DECIMAL(18,2))")} AS sum_seg
+                 FROM customer GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n,
+                   round(sum_seg / CAST(n AS DOUBLE), 4) AS raw_mean,
+                   round((sum_seg + 10.0 * (sum_all / CAST(n_all AS DOUBLE))) /
+                         (CAST(n AS DOUBLE) + 10.0), 4) AS enc_smoothed
+            FROM seg CROSS JOIN tot
+            ORDER BY c_mktsegment"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
-    mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask)
+    mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode)
 }

@@ -70,5 +70,122 @@ object Sinks {
             FROM orders
             GROUP BY 1 ORDER BY month"""))
 
-  def qs: Seq[Q] = Seq(sinkPartitionedManifest)
+  /** Bucketed write + co-located join: both fact tables are written
+    * `bucketBy(8, orderkey)` as catalog tables, and the join reads them
+    * back WITHOUT a shuffle — bucket layout satisfies the join's
+    * distribution requirement, so the only exchange in the plan feeds the
+    * final tiny aggregate. This is THE 100-TB join strategy for repeated
+    * joins on a stable key (pay the shuffle once at write time, never at
+    * read time); SinkSpec pins the no-exchange-under-join plan shape.
+    * Oracle: the same join + rollup recomputed from the source tables —
+    * value parity proves the bucketed roundtrip carries exactly the
+    * source rows. */
+  val sinkBucketedJoin = Q(
+    "sink_bucketed_join",
+    (spark, sfDir) => {
+      import graft.util.D
+      val tag = Integer.toHexString(sfDir.hashCode)
+      graft.util.Memo(spark, s"$sfDir:bucketed_tables") {
+        Tables.orders(spark, sfDir).write.mode("overwrite")
+          .format("parquet")
+          .option("path", s"/tmp/graft_sink/orders_b_$tag")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"graft_orders_b_$tag")
+        Tables.lineitem(spark, sfDir).write.mode("overwrite")
+          .format("parquet")
+          .option("path", s"/tmp/graft_sink/lineitem_b_$tag")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"graft_lineitem_b_$tag")
+        java.lang.Boolean.TRUE
+      }
+      // MERGE hint: at fixture scale Spark would broadcast the orders side
+      // (also shuffle-free, but it demonstrates nothing about bucketing);
+      // the hint forces the sort-merge strategy, and the bucket layout
+      // satisfies its distribution requirement with ZERO exchanges — the
+      // plan a 100-TB fact-fact join runs, where broadcast is impossible.
+      spark.table(s"graft_lineitem_b_$tag").hint("merge")
+        .join(spark.table(s"graft_orders_b_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          D.sumDec4(D.net(col("l_extendedprice"), col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   ${graft.util.D.oDbl(
+                     s"CAST(round(sum(${graft.util.D.oNet("l.l_extendedprice", "l.l_discount")}), 2) AS DECIMAL(18,2))")} AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority"""))
+
+  /** CSV roundtrip: write a projection of documents as headered CSV, read
+    * it back under an EXPLICIT schema (never inferSchema — schema
+    * inference is a full extra pass at 100 TB and type-guesses
+    * per-partition), aggregate the readback. Oracle recomputes from the
+    * SOURCE table, so any fidelity loss in the text format (quoting,
+    * header handling, type roundtrip) breaks value parity. Text payload
+    * stays OUT of the projection deliberately: CSV quoting of free text
+    * is the format's classic corruption point, and a production pipeline
+    * ships text in parquet — CSV is for small typed exports. */
+  val sinkCsvRoundtrip = Q(
+    "sink_csv_roundtrip",
+    (spark, sfDir) => {
+      val dir = s"/tmp/graft_sink/docs_csv_${Integer.toHexString(sfDir.hashCode)}"
+      graft.util.Memo(spark, s"$sfDir:csv_roundtrip") {
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartition(4) // a multi-file export, like any real extract
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        java.lang.Boolean.TRUE
+      }
+      spark.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .option("header", "true").csv(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** JSONL roundtrip: the interchange format LLM corpora actually ship in
+    * (one JSON object per line — splittable, schema-on-read). Write
+    * documents as JSONL including the free-text payload (JSON escaping
+    * handles it, unlike CSV), read back under an explicit schema,
+    * aggregate. Oracle recomputes from the source: a dropped row, mangled
+    * escape, or unicode mismatch breaks parity. md5(text) in the agg
+    * makes the check content-sensitive, not just count-sensitive. */
+  val sinkJsonlRoundtrip = Q(
+    "sink_jsonl_roundtrip",
+    (spark, sfDir) => {
+      val dir = s"/tmp/graft_sink/docs_jsonl_${Integer.toHexString(sfDir.hashCode)}"
+      graft.util.Memo(spark, s"$sfDir:jsonl_roundtrip") {
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .repartition(4)
+          .write.mode("overwrite").json(dir)
+        java.lang.Boolean.TRUE
+      }
+      spark.read
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .json(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(md5(col("text"))).as("min_text_md5"),
+          sum(length(col("text"))).as("total_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   min(md5(text)) AS min_text_md5,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  def qs: Seq[Q] = Seq(sinkPartitionedManifest, sinkBucketedJoin,
+    sinkCsvRoundtrip, sinkJsonlRoundtrip)
 }

@@ -1230,6 +1230,89 @@ object TextOps {
             SELECT doc_id, lbl AS cluster, lbl = doc_id AS is_survivor
             FROM l2 ORDER BY doc_id"""))
 
+  /** BM25 term ranking — the retrieval scoring function LLM data
+    * pipelines use for contamination search and quality-weighted
+    * sampling, in its engine-portable rational form: the saturation /
+    * length-normalization term is Robertson's exactly
+    * (k1=1.2, b=0.75 — the textbook constants), while the idf uses the
+    * same rational (N+1)/(df+1) as text_tfidf instead of the log form,
+    * because libm log is the one operation whose last ulp legally
+    * differs across engines (+,-,*,/ are IEEE-exact-rounded on identical
+    * operands, so spelling the arithmetic identically both sides makes
+    * scores bit-identical). Corpus statistics (df, N, avgdl) scan
+    * EVERYTHING; the doc_id < 50 cap bounds output only. Top-5 terms per
+    * doc under a total order (score desc, term asc).
+    *
+    * 100-TB shape: tf one (doc,term) hash agg; df a window over that
+    * aggregate (not a self-join — subtree would recompute, see
+    * text_tfidf); dl from the shared token cache; N/avgdl a broadcast
+    * 1-row frame; the per-doc top-k a bounded window. */
+  val textBm25Rank = Q(
+    "text_bm25_rank",
+    (spark, sfDir) => {
+      val toks = docToks(spark, sfDir)
+        .select(col("doc_id"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      val dl = docToks(spark, sfDir)
+        .select(col("doc_id"), size(col("tk")).cast("bigint").as("dl"))
+      val tot = docToks(spark, sfDir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("bigint")).as("sum_dl"))
+      val tfd = col("tf").cast("double")
+      val dld = col("dl").cast("double")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val tfn = (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + (lit(0.75) * dld) / avgdl))
+      val idf = (col("n_docs").cast("double") + lit(1.0)) /
+        (col("df").cast("double") + lit(1.0))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      withDf.filter(col("doc_id") < 50)
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(tfn * idf, 4).as("score"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH toks AS (SELECT doc_id, term
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(lower(text), ' ')) AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 t AS (SELECT doc_id, term, count(*) AS tf
+                       FROM toks GROUP BY doc_id, term),
+                 td AS (SELECT doc_id, term, tf,
+                               count(*) OVER (PARTITION BY term) AS df
+                        FROM t),
+                 dls AS (SELECT doc_id,
+                                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                         FROM documents),
+                 n AS (SELECT count(*) AS n_docs,
+                              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+                       FROM documents),
+                 scored AS (
+                   SELECT td.doc_id, td.term, td.tf, td.df,
+                          round((CAST(tf AS DOUBLE) * 2.2) /
+                                (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+                                  (0.75 * CAST(dl AS DOUBLE)) /
+                                  (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                                * ((CAST(n_docs AS DOUBLE) + 1.0) /
+                                   (CAST(df AS DOUBLE) + 1.0)), 4) AS score
+                   FROM td JOIN dls ON td.doc_id = dls.doc_id
+                   CROSS JOIN n
+                   WHERE td.doc_id < 50)
+            SELECT doc_id, term, tf, df, score, rk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS BIGINT) AS rk
+              FROM scored)
+            WHERE rk <= 5 ORDER BY doc_id, rk"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1237,5 +1320,5 @@ object TextOps {
     textTrigramProfile, textBlocklistFilter, textRepetitionStats,
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
-    textRarityScore, textDedupSurvivors)
+    textRarityScore, textDedupSurvivors, textBm25Rank)
 }

@@ -29,6 +29,37 @@ class SinkSpec extends SparkSpec {
     assert(m.exceptAll(src).count() == 0 && src.exceptAll(m).count() == 0)
   }
 
+  test("bucketed join runs with zero exchanges below the sort-merge join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Registry.byName("sink_bucketed_join").build(spark, sf001)
+    df.collect() // finalize the AQE plan so the final stages are visible
+    val tree = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }).treeString
+    // string analysis (node-level collect does not descend into AQE query
+    // stages): the join subtree prints AFTER the SortMergeJoin line, so
+    // "no Exchange after it" == "no shuffle below the join" — the only
+    // exchanges allowed are the final-aggregate ones ABOVE it
+    val at = tree.indexOf("SortMergeJoin")
+    assert(at >= 0, s"bucketed join did not run a SortMergeJoin:\n$tree")
+    val below = tree.substring(at)
+    assert(!below.contains("Exchange"),
+      s"a shuffle crept under the bucketed join:\n$tree")
+    assert(below.contains("Bucketed: true"),
+      s"scans under the join are not bucketed reads:\n$tree")
+  }
+
+  test("csv and jsonl roundtrips preserve every row (spot totals vs source)") {
+    val src = graft.util.Tables.documents(spark, sf001)
+    val nSrc = src.count()
+    val csv = Registry.byName("sink_csv_roundtrip").build(spark, sf001)
+      .agg(sum("n_docs")).head.getLong(0)
+    val jsonl = Registry.byName("sink_jsonl_roundtrip").build(spark, sf001)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(csv == nSrc && jsonl == nSrc)
+  }
+
   test("every source row landed in its correct partition directory") {
     // read back WITH the partition column and verify the routing itself:
     // each written row's dir value must equal the month derived from its
