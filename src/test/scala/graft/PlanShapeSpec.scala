@@ -101,7 +101,8 @@ class PlanShapeSpec extends SparkSpec {
       "text_contamination", "text_trigram_profile", "text_ngram_topk",
       "text_repetition_stats", "text_simhash_band_pairs",
       "text_minhash_band_pairs", "text_lsh_dedup_verified",
-      "text_length_histogram", "text_stats", "text_quality")
+      "text_length_histogram", "text_stats", "text_quality",
+      "text_bm25_rank")
     textHeavy.foreach { n =>
       val df = Registry.byName(n).build(spark, sf0001)
       val leaves = df.queryExecution.optimizedPlan.collectLeaves()

@@ -20,6 +20,13 @@ case "$SF" in
        else SFDIR=/root/testdata/$SF; fi;;
 esac
 echo "check.sh: SF=$SF SFDIR=$SFDIR" >&2
+# Contended-host tripwire (r8 verdict stretch #8): a graded/verification run
+# started under load > 2 produced the r8 bench artifact whose regressions
+# took a round to attribute — flag it in-stream BEFORE it happens.
+LOAD1=$(cut -d' ' -f1 /proc/loadavg)
+if [ "$(echo "$LOAD1 > 2" | bc 2>/dev/null || echo 0)" = "1" ]; then
+  echo "WARNING: host load_1m=$LOAD1 > 2 at start — timings from this run are contention-suspect (correctness unaffected)" >&2
+fi
 OUT=/tmp/verify_$SF
 rm -rf "$OUT"
 ADD_OPENS=""
