@@ -32,18 +32,28 @@ object Sinks {
   private def sinkDir(sfDir: String): String =
     s"/tmp/graft_sink/orders_month_${Integer.toHexString(sfDir.hashCode)}"
 
+  /** Write orders partitioned by month, once per (session, sfDir);
+    * returns the written dir. Shared by the manifest and the pruned-read
+    * queries — both audit the SAME layout, the build-once/read-many shape
+    * of a production sink. */
+  private def writeOrdersByMonth(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val dir = sinkDir(sfDir)
+    graft.util.Memo(spark, s"$sfDir:sink_orders_month") {
+      Tables.orders(spark, sfDir)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month")
+        .parquet(dir)
+      java.lang.Boolean.TRUE // memo value is just the "written" marker
+    }
+    dir
+  }
+
   val sinkPartitionedManifest = Q(
     "sink_partitioned_manifest",
     (spark, sfDir) => {
-      val dir = sinkDir(sfDir)
-      graft.util.Memo(spark, s"$sfDir:sink_orders_month") {
-        Tables.orders(spark, sfDir)
-          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
-          .repartition(col("month"))
-          .write.mode("overwrite").partitionBy("month")
-          .parquet(dir)
-        java.lang.Boolean.TRUE // memo value is just the "written" marker
-      }
+      val dir = writeOrdersByMonth(spark, sfDir)
       spark.read.parquet(dir)
         // project the file name BEFORE aggregating: Spark (correctly)
         // rejects nondeterministic expressions as aggregate arguments
@@ -186,6 +196,37 @@ object Sinks {
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Partition-pruned read over the month-partitioned sink: a one-year
+    * filter on the PARTITION column must touch only the 12 matching
+    * directories — the scan-cost mechanism partitioned layouts exist for
+    * (at 100 TB this is the difference between reading 12/80ths of the
+    * table and all of it). The pruning is asserted two ways: SinkSpec pins
+    * `PartitionFilters` in the plan, and the graded output itself carries
+    * `n_files_touched` (distinct input_file_name) = 12 — if pruning broke
+    * and the scan read all 80 directories while the month filter still
+    * ran as a post-filter, rows would match but the file count would
+    * jump to 80 and break parity. */
+  val sinkPartitionPrunedRead = Q(
+    "sink_partition_pruned_read",
+    (spark, sfDir) => {
+      val dir = writeOrdersByMonth(spark, sfDir)
+      spark.read.parquet(dir)
+        .filter(col("month") >= "1996-01" && col("month") <= "1996-12")
+        .withColumn("graft_file", input_file_name())
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("month").cast("string")).as("n_months"),
+          countDistinct(col("graft_file")).as("n_files_touched"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+                   count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+                   CAST(12 AS BIGINT) AS n_files_touched,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key
+            FROM orders
+            WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'"""))
+
   def qs: Seq[Q] = Seq(sinkPartitionedManifest, sinkBucketedJoin,
-    sinkCsvRoundtrip, sinkJsonlRoundtrip)
+    sinkCsvRoundtrip, sinkJsonlRoundtrip, sinkPartitionPrunedRead)
 }

@@ -50,6 +50,13 @@ class SinkSpec extends SparkSpec {
       s"scans under the join are not bucketed reads:\n$tree")
   }
 
+  test("pruned read pushes the month filter into PartitionFilters") {
+    val plan = Registry.byName("sink_partition_pruned_read")
+      .build(spark, sf001).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"month filter did not reach PartitionFilters:\n$plan")
+  }
+
   test("csv and jsonl roundtrips preserve every row (spot totals vs source)") {
     val src = graft.util.Tables.documents(spark, sf001)
     val nSrc = src.count()
