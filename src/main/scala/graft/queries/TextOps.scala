@@ -1313,6 +1313,205 @@ object TextOps {
               FROM scored)
             WHERE rk <= 5 ORDER BY doc_id, rk"""))
 
+  /** Unigram-LM document scoring (round-9) — the actual log-prob form of
+    * the perplexity-proxy quality filter (text_rarity_score is its
+    * integer-exact sibling): score each doc by the average log-probability
+    * of its tokens under the corpus unigram model, p(t) = cnt(t)/N.
+    *
+    * Determinism (extends the text-tier no-raw-logs policy): libm ln is
+    * NOT bit-identical across engines — measured this round, 24/1M integer
+    * inputs differ by 1 ulp between Math.log and DuckDB ln — so every log
+    * is QUANTIZED AT THE LEAF into an exact INTEGER of 1e-6 units
+    * (round((ln(cnt) − ln(N))·1e6) as BIGINT) and only integers are
+    * aggregated. A 1-2 ulp disagreement (~4e-15 absolute) flips the leaf's
+    * 0-decimal boundary with probability ~1e-8 per distinct count value;
+    * past the leaf everything is exact integer arithmetic plus ONE
+    * deterministic division — no sum-order noise exists to absorb. (The
+    * first draft summed leaf-rounded DOUBLES: their 1e-6 decimal grid
+    * resonates with the final .5e-4 rounding boundaries, parking ~1% of
+    * docs exactly on one, where partial-agg order decided the hash — the
+    * measured failure integer-micro arithmetic removes.)
+    *
+    * 100-TB shape: corpus counts one hash agg on term; the single (cnt,N)
+    * → logprob join is an EQUI-join on term (vocabulary-sized, never
+    * a-priori broadcast); the 1-row N frame broadcast; per-doc regroup
+    * shuffles on doc_id. Derives from shared docToks. */
+  val textUnigramLmScore = Q(
+    "text_unigram_lm_score",
+    (spark, sfDir) => {
+      val toks = docToks(spark, sfDir)
+        .select(col("doc_id"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+      val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val n = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(cnt, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          // integer-micro leaf: quantized log-prob in 1e-6 units as an
+          // exact BIGINT. Summing DOUBLES that sit on a 1e-6 decimal grid
+          // resonates with downstream .5e-4 rounding boundaries (measured:
+          // 1% of docs land exactly on one, where sum-order ulp noise
+          // flips the hash) — integer sums are order-free and exact.
+          round((log(col("cnt").cast("double"))
+            - log(col("n_total").cast("double"))) * lit(1e6), 0)
+            .cast("bigint").as("lp_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("lp_micro")).as("slp"),
+          min(col("lp_micro")).as("mlp"))
+        .select(col("doc_id"), col("n_toks"),
+          // NO final round: slp/mlp are bit-identical integers in both
+          // engines, so one IEEE division chain yields bit-identical
+          // doubles — while round() here would re-enter the half-boundary
+          // zone (micro sums ending in ...50 divide to exact x.xxxx5,
+          // where Spark's BigDecimal round and DuckDB's scaled-multiply
+          // round disagree on the same double; measured on text_entropy).
+          (col("slp").cast("double")
+            / col("n_toks").cast("double") / lit(1e6)).as("avg_logprob"),
+          (col("mlp").cast("double") / lit(1e6)).as("min_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, term
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(lower(text), ' ')) AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+                 n AS (SELECT count(*) AS n_total FROM toks),
+                 lp AS (SELECT doc_id,
+                               CAST(round((ln(CAST(cnt AS DOUBLE))
+                                     - ln(CAST(n_total AS DOUBLE))) * 1e6, 0)
+                                 AS BIGINT) AS lp_micro
+                        FROM toks JOIN c USING (term) CROSS JOIN n),
+                 g AS (SELECT doc_id, count(*) AS n_toks,
+                              CAST(sum(lp_micro) AS BIGINT) AS slp,
+                              min(lp_micro) AS mlp
+                       FROM lp GROUP BY doc_id)
+            SELECT doc_id, n_toks,
+                   CAST(slp AS DOUBLE) / CAST(n_toks AS DOUBLE) / 1e6
+                     AS avg_logprob,
+                   CAST(mlp AS DOUBLE) / 1e6 AS min_logprob
+            FROM g ORDER BY doc_id"""))
+
+  /** Per-document token Shannon entropy + type-token ratio (round-9) —
+    * the repetitiveness/diversity axis of quality filtering (a doc whose
+    * tokens are all one word has H=0; machine-generated boilerplate sits
+    * low). p(t|doc) = k/n is an IEEE-exact division of two integers; the
+    * per-term entropy contribution is quantized at the leaf
+    * (round(-p*ln(p), 6), same measured-ulp-risk policy as
+    * text_unigram_lm_score) and only then summed per doc.
+    *
+    * 100-TB shape: one hash agg on (doc_id, term), the per-doc total via
+    * a second agg joined back on doc_id (equi-join, no corpus window),
+    * final regroup on doc_id — all linear, derives from docToks. */
+  val textEntropy = Q(
+    "text_entropy",
+    (spark, sfDir) => {
+      val tf = docToks(spark, sfDir)
+        .select(col("doc_id"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+      val dl = tf.groupBy("doc_id").agg(sum(col("k")).as("n"),
+        count(lit(1)).as("n_types"))
+      tf.join(dl, Seq("doc_id"))
+        .select(col("doc_id"), col("n"), col("n_types"),
+          // integer-micro leaf (see text_unigram_lm_score): exact BIGINT
+          // sums dodge the 1e-6-grid × .5e-4-boundary rounding resonance
+          // that flipped 1% of doubles-summed docs.
+          round(-(col("k").cast("double") / col("n").cast("double"))
+            * log(col("k").cast("double") / col("n").cast("double"))
+            * lit(1e6), 0).cast("bigint").as("he_micro"))
+        .groupBy("doc_id")
+        .agg(first(col("n")).as("n_toks"),
+          first(col("n_types")).as("n_types"),
+          sum(col("he_micro")).as("se"))
+        .select(col("doc_id"), col("n_toks"), col("n_types"),
+          // NO final round (see text_unigram_lm_score): micro sums ending
+          // in ...50 divide to exact half-boundary decimals where the two
+          // engines' round() implementations disagree on the same double.
+          (col("se").cast("double") / lit(1e6)).as("entropy"),
+          (col("n_types").cast("double")
+            / col("n_toks").cast("double")).as("ttr"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tf AS (SELECT doc_id, term, count(*) AS k
+                        FROM (SELECT doc_id,
+                                     unnest(string_split(lower(text), ' ')) AS term
+                              FROM documents)
+                        WHERE length(term) > 0
+                        GROUP BY doc_id, term),
+                 dl AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                               count(*) AS n_types
+                        FROM tf GROUP BY doc_id),
+                 he AS (SELECT tf.doc_id, dl.n, dl.n_types,
+                               CAST(round(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                     * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                     * 1e6, 0) AS BIGINT) AS he_micro
+                        FROM tf JOIN dl USING (doc_id)),
+                 g AS (SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_toks,
+                              CAST(any_value(n_types) AS BIGINT) AS n_types,
+                              CAST(sum(he_micro) AS BIGINT) AS se
+                       FROM he GROUP BY doc_id)
+            SELECT doc_id, n_toks, n_types,
+                   CAST(se AS DOUBLE) / 1e6 AS entropy,
+                   CAST(n_types AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr
+            FROM g ORDER BY doc_id"""))
+
+  /** Per-language Zipf slope (round-9) — the corpus-health diagnostic a
+    * curation pipeline runs per source/shard: rank terms by frequency
+    * within each lang (row_number with a term tiebreak — a deterministic
+    * TOTAL order, so tied counts rank identically in both engines) and
+    * fit ln(cnt) ~ ln(rank) by least squares. A natural corpus shows
+    * slope ≈ −1; a slope near 0 flags synthetic/templated shards (this
+    * fixture's uniform vocab is the degenerate case the diagnostic
+    * exists to catch). Both regression inputs are leaf-quantized logs
+    * (round(ln(x),6), measured-ulp policy); regr_slope/intercept are
+    * sums of products of bit-identical doubles, final round(.,4)
+    * absorbs order + algebraic-form noise.
+    *
+    * 100-TB shape: term counts one hash agg; the rank window partitions
+    * by lang over the VOCABULARY (not the corpus — the frame entering
+    * the window is post-aggregation, vocabulary-sized); regression is a
+    * per-lang agg. All shuffles are on lang/term keys. */
+  val textZipfSlope = Q(
+    "text_zipf_slope",
+    (spark, sfDir) => {
+      val cnt = docToks(spark, sfDir)
+        .select(col("lang"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("term"))
+      cnt.withColumn("rk", row_number().over(w))
+        .select(col("lang"),
+          round(log(col("rk").cast("double")), 6).as("lx"),
+          round(log(col("cnt").cast("double")), 6).as("ly"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          round(regr_slope(col("ly"), col("lx")), 4).as("zipf_slope"),
+          round(regr_intercept(col("ly"), col("lx")), 4).as("zipf_intercept"))
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (SELECT lang, term, count(*) AS cnt
+                       FROM (SELECT lang,
+                                    unnest(string_split(lower(text), ' ')) AS term
+                             FROM documents)
+                       WHERE length(term) > 0
+                       GROUP BY lang, term),
+                 r AS (SELECT lang,
+                              round(ln(CAST(row_number() OVER (
+                                PARTITION BY lang ORDER BY cnt DESC, term)
+                                AS DOUBLE)), 6) AS lx,
+                              round(ln(CAST(cnt AS DOUBLE)), 6) AS ly
+                       FROM c)
+            SELECT lang, count(*) AS n_terms,
+                   round(regr_slope(ly, lx), 4) AS zipf_slope,
+                   round(regr_intercept(ly, lx), 4) AS zipf_intercept
+            FROM r GROUP BY lang ORDER BY lang"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1320,5 +1519,6 @@ object TextOps {
     textTrigramProfile, textBlocklistFilter, textRepetitionStats,
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
-    textRarityScore, textDedupSurvivors, textBm25Rank)
+    textRarityScore, textDedupSurvivors, textBm25Rank,
+    textUnigramLmScore, textEntropy, textZipfSlope)
 }
