@@ -802,9 +802,88 @@ object Vectors {
                    round(cos_raw, 4) AS cos_sim
             FROM rr ORDER BY cos_raw DESC, vec_id LIMIT 10"""))
 
+  /** Max-inner-product top-k (round-9) — the retrieval metric of
+    * dot-product-trained embedding models (unnormalized two-tower /
+    * DSSM-style scores): exact inner product of every vector against the
+    * broadcast query, TakeOrdered cut on (rounded ip DESC, vec_id).
+    * Distinct from cosine: no norm division, so high-magnitude vectors
+    * legitimately outrank nearer-angle ones — the property MIPS indexes
+    * exist to preserve. Same 1-vs-all shape as vec_cosine_topk: linear
+    * scan, per-partition heap, no global sort — any-corpus scalable. */
+  val vecMipsTopk = Q(
+    "vec_mips_topk",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val q = emb.filter(col("vec_id") === 1)
+        .select(dbl(col("embedding")).as("graft_qe"))
+      emb.filter(col("vec_id") =!= 1)
+        .select(col("vec_id"), dbl(col("embedding")).as("graft_e"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("graft_e"), col("graft_qe")), 4).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe
+                         FROM embeddings WHERE vec_id = 1)
+            SELECT vec_id,
+                   round(${oDot("embedding::DOUBLE[]", "(SELECT qe FROM qv)")}, 4) AS ip
+            FROM embeddings WHERE vec_id != 1
+            ORDER BY ip DESC, vec_id LIMIT 10"""))
+
+  /** 1-bit (sign) quantization retrieval (round-9) — the cheapest
+    * binary-embedding serving shape (64 dims → 64 bits/vector, 32×
+    * smaller than float32): Hamming distance between sign patterns is an
+    * INTEGER (zero float risk in the shortlist), the top-30 Hamming
+    * shortlist cut is total-ordered (hamming, vec_id), and the exact
+    * cosine re-rank touches only the shortlist — the
+    * coarse-filter/exact-rerank composition every production binary
+    * index uses. Sign bits of float and double agree (the cast is
+    * exact), so quantization commutes with the double-cast policy. */
+  val vecSignHammingTopk = Q(
+    "vec_sign_hamming_topk",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(dbl(col("embedding")).as("graft_qe"),
+          norm(dbl(col("embedding"))).as("graft_qn"))
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dbl(col("embedding")).as("graft_e"),
+          norm(dbl(col("embedding"))).as("graft_en"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("graft_e"), col("graft_qe"),
+          col("graft_en"), col("graft_qn"),
+          size(filter(zip_with(col("graft_e"), col("graft_qe"),
+            (x, y) => (x >= 0.0) =!= (y >= 0.0)), b => b))
+            .cast("bigint").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(30)
+        .select(col("vec_id"), col("hamming"),
+          round(dot(col("graft_e"), col("graft_qe"))
+            / (col("graft_en") * col("graft_qn")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe,
+                                ${oNorm("embedding::DOUBLE[]")} AS qn
+                         FROM embeddings WHERE vec_id = 0),
+                 h AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                              ${oNorm("embedding::DOUBLE[]")} AS en,
+                              CAST(len(list_filter(
+                                list_zip(embedding::DOUBLE[],
+                                         (SELECT qe FROM qv)),
+                                p -> (p[1] >= 0) != (p[2] >= 0))) AS BIGINT)
+                                AS hamming
+                       FROM embeddings WHERE vec_id != 0),
+                 s AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 30)
+            SELECT vec_id, hamming,
+                   round(${oDot("e", "(SELECT qe FROM qv)")} /
+                         (en * (SELECT qn FROM qv)), 4) AS cos_sim
+            FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
-    vecResidualPqTopk, vecPrefixRerank)
+    vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk)
 }
