@@ -693,9 +693,129 @@ object TimeSeries {
                          / count(DISTINCT ts::DATE), 4) AS events_per_day
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Event-type Markov transition matrix (round-9) — the behavioral
+    * fingerprint a sessionization/abuse pipeline derives per corpus:
+    * P(next=to | cur=from) from each user's time-ordered event stream
+    * (lead over the (ts, event_id) total order), estimated as
+    * c(from,to) / Σ_to c(from,to). Probabilities are emitted UNROUNDED:
+    * both engines divide the same exact integers, so the doubles are
+    * bit-identical (rounding would re-enter the half-boundary zone —
+    * rational c/total CAN land exactly on .5 grid points).
+    *
+    * 100-TB shape: one partitioned window per user (per-key linear),
+    * one (from,to) hash agg over ≤ |types|² rows, the row-normalize
+    * window over the tiny aggregate. */
+  val tsMarkovTransitions = Q(
+    "ts_markov_transitions",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val nxt = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val c = nxt.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy("from_type")
+      c.select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double")
+            / sum(col("n")).over(tot).cast("double")).as("prob"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH nx AS (SELECT event_type AS from_type,
+                               lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS to_type
+                        FROM events),
+                 c AS (SELECT from_type, to_type, count(*) AS n
+                       FROM nx WHERE to_type IS NOT NULL
+                       GROUP BY from_type, to_type)
+            SELECT from_type, to_type, n,
+                   CAST(n AS DOUBLE) /
+                     CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                     AS prob
+            FROM c ORDER BY from_type, to_type"""))
+
+  /** 24-hour rolling correlation between the click and view hourly
+    * revenue series (round-9) — the co-movement diagnostic behind
+    * metric-anomaly alerting ("did clicks decouple from views this
+    * window?"). Determinism is the ts_moving_zscore recipe: hourly sums
+    * and every frame sum run in EXACT DECIMAL (order-free), products at
+    * scale 4 with documented width headroom, and the Pearson algebra is
+    * double arithmetic over identical finished operands (sqrt is
+    * IEEE-correctly-rounded), emitted unrounded; corr is NULL for n < 2
+    * or a zero-variance window.
+    *
+    * 100-TB shape: the corpus-sized work is the (bucket) hash agg; the
+    * unpartitioned ORDER BY bucket window runs over the HOURLY AGGREGATE
+    * (calendar-sized, ~one row per hour — thousands of rows per year),
+    * never the raw events, so the single-task window is bounded by time
+    * span, not data volume. */
+  val tsRollingCorr = Q(
+    "ts_rolling_corr",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d184 = DecimalType(18, 4)
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(
+          sum(when(col("event_type") === "click", D.dec(col("value")))
+            .otherwise(D.dec(lit(0)))).cast(D.Money).as("x"),
+          sum(when(col("event_type") === "view", D.dec(col("value")))
+            .otherwise(D.dec(lit(0)))).cast(D.Money).as("y"))
+      val w = Window.orderBy("bucket").rowsBetween(-23, 0)
+      val framed = hourly.select(col("bucket"), col("x"), col("y"),
+        count(lit(1)).over(w).cast("double").as("wn"),
+        D.dbl(sum(col("x")).over(w).cast(D.Money)).as("sx"),
+        D.dbl(sum(col("y")).over(w).cast(D.Money)).as("sy"),
+        D.dbl(sum((col("x") * col("y")).cast(d184)).over(w).cast(d184)).as("sxy"),
+        D.dbl(sum((col("x") * col("x")).cast(d184)).over(w).cast(d184)).as("sx2"),
+        D.dbl(sum((col("y") * col("y")).cast(d184)).over(w).cast(d184)).as("sy2"))
+      framed.select(D.ntz(col("bucket")).as("bucket"),
+          D.dbl(col("x")).as("x"), D.dbl(col("y")).as("y"), col("wn"),
+          when(col("wn") > 1.0
+              && (col("wn") * col("sx2") - col("sx") * col("sx")) > 0.0
+              && (col("wn") * col("sy2") - col("sy") * col("sy")) > 0.0,
+            (col("wn") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(col("wn") * col("sx2") - col("sx") * col("sx"))
+                 * sqrt(col("wn") * col("sy2") - col("sy") * col("sy"))))
+            .as("corr24"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS bucket,
+                     CAST(sum(CASE WHEN event_type = 'click'
+                                   THEN ${D.oDec("value")}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          AS DECIMAL(18,2)) AS x,
+                     CAST(sum(CASE WHEN event_type = 'view'
+                                   THEN ${D.oDec("value")}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          AS DECIMAL(18,2)) AS y
+              FROM events GROUP BY bucket),
+            framed AS (
+              SELECT bucket, x, y,
+                     CAST(count(*) OVER w AS DOUBLE) AS wn,
+                     ${D.oDbl("CAST(sum(x) OVER w AS DECIMAL(18,2))")} AS sx,
+                     ${D.oDbl("CAST(sum(y) OVER w AS DECIMAL(18,2))")} AS sy,
+                     ${D.oDbl("CAST(sum(CAST(x * y AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4))")} AS sxy,
+                     ${D.oDbl("CAST(sum(CAST(x * x AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4))")} AS sx2,
+                     ${D.oDbl("CAST(sum(CAST(y * y AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4))")} AS sy2
+              FROM hourly
+              WINDOW w AS (ORDER BY bucket
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+            SELECT CAST(bucket AS TIMESTAMP) AS bucket,
+                   ${D.oDbl("x")} AS x, ${D.oDbl("y")} AS y, wn,
+                   CASE WHEN wn > 1.0
+                             AND (wn * sx2 - sx * sx) > 0.0
+                             AND (wn * sy2 - sy * sy) > 0.0
+                        THEN (wn * sxy - sx * sy)
+                             / (sqrt(wn * sx2 - sx * sx)
+                                * sqrt(wn * sy2 - sy * sy))
+                   END AS corr24
+            FROM framed ORDER BY bucket"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
-    tsUserLifetime)
+    tsUserLifetime, tsMarkovTransitions, tsRollingCorr)
 }
