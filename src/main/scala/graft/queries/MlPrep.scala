@@ -490,8 +490,85 @@ object MlPrep {
             FROM seg CROSS JOIN tot
             ORDER BY c_mktsegment"""))
 
+  /** Importance (weight-proportional) subsampling (round-9) — the
+    * dataset-mixing primitive that keeps a doc with probability equal to
+    * its normalized quality weight (here n_chars / max n_chars — longer
+    * docs kept more often), deterministically: the acceptance draw is
+    * u = first-6-hex-digits(md5("is" + doc_id)) / 16^6, an exact rational
+    * both engines compute bit-identically (ml_split_hash's engine-portable
+    * md5 recipe; conv↔('0x'||h)::BIGINT are both exact integer parses).
+    * No rand(seed) anywhere — a reshuffled 100-TB run reproduces the
+    * same sample, and the sample composes with retries/speculative
+    * execution. Keep iff u < w; emits kept docs with their u and w.
+    *
+    * 100-TB shape: the max weight is a 1-row broadcast; everything else
+    * is a linear scan of stateless expressions. */
+  val mlImportanceSample = Q(
+    "ml_importance_sample",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val mx = docs.agg(max(col("n_chars")).as("max_chars"))
+      docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"),
+          (col("n_chars").cast("double")
+            / col("max_chars").cast("double")).as("w"),
+          (conv(substring(md5(concat(lit("is"),
+              col("doc_id").cast("string"))), 1, 6), 16, 10)
+            .cast("bigint").cast("double") / lit(16777216.0)).as("u"))
+        .filter(col("u") < col("w"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents)
+            SELECT doc_id, w, u FROM (
+              SELECT doc_id,
+                     CAST(n_chars AS DOUBLE) / CAST(max_chars AS DOUBLE) AS w,
+                     CAST(('0x' || substring(md5('is' || CAST(doc_id AS VARCHAR)),
+                            1, 6))::BIGINT AS DOUBLE) / 16777216.0 AS u
+              FROM documents CROSS JOIN mx)
+            WHERE u < w ORDER BY doc_id"""))
+
+  /** Exact quartile bucketization per event type (round-9) — the feature
+    * discretization stage (quantile binning) in its EXACT form: ntile(4)
+    * over the (value, event_id) total order assigns integer buckets with
+    * zero float risk (both engines define ntile identically: first
+    * n mod k groups one larger), then per-bucket stats. Bucket count and
+    * boundaries are integer/min-max exact; the mean runs through the
+    * exact-decimal sum.
+    *
+    * 100-TB note: an exact global quantile needs a total order — this is
+    * the demonstration form. At corpus scale the same query swaps ntile
+    * for comparison against approx_percentile boundaries
+    * (agg_approx_quantile is the graded sketch companion); per-type
+    * windows here bound the sort per partition, the plan any engine
+    * would run for per-group ranking. */
+  val mlQuantileBucket = Q(
+    "ml_quantile_bucket",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("bucket", ntile(4).over(w).cast("bigint"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"),
+          max(col("value")).as("hi"),
+          D.sumDec(col("value")).as("sum_value"))
+        .orderBy("event_type", "bucket")
+    },
+    Some(s"""SELECT event_type, bucket, count(*) AS n,
+                   min(value) AS lo, max(value) AS hi,
+                   ${D.oSumDec("value")} AS sum_value
+            FROM (SELECT event_type, value,
+                         CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS bucket
+                  FROM events)
+            GROUP BY event_type, bucket
+            ORDER BY event_type, bucket"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
-    mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode)
+    mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
+    mlImportanceSample, mlQuantileBucket)
 }
