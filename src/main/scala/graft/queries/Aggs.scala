@@ -555,11 +555,42 @@ object Aggs {
             ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST,
                      o_orderstatus NULLS FIRST"""))
 
+  /** Grouped linear-regression aggregates (round-9) — the regr_* family
+    * (slope/intercept/R² of value vs hour-of-day per event type): the
+    * one-pass distributed form of "fit a trend per group" that replaces
+    * a per-group collect-and-fit loop at corpus scale (partial+final agg,
+    * no data leaves the executors). Raw-double power sums differ across
+    * engines only by partial-agg ORDER (~1e-13 relative); the graded
+    * outputs round at 4, and the ideal values are generic reals (no
+    * half-boundary grid resonance — the text-tier micro-int concern does
+    * not apply to regression statistics). */
+  val aggRegression = Q(
+    "agg_regression",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(regr_slope(col("y"), col("x")), 4).as("slope"),
+          round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+          round(regr_r2(col("y"), col("x")), 4).as("r2"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+                   round(regr_slope(y, x), 4) AS slope,
+                   round(regr_intercept(y, x), 4) AS intercept,
+                   round(regr_r2(y, x), 4) AS r2
+            FROM (SELECT event_type,
+                         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+                         value AS y
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
-    aggTwophaseSalted, aggTopkListagg, aggMoments, aggGroupingId)
+    aggTwophaseSalted, aggTopkListagg, aggMoments, aggGroupingId, aggRegression)
 
   /** Two-phase salted aggregation — the skew-defeating shape for hot
     * group keys (l_returnflag has THREE values over the whole table: the

@@ -453,8 +453,57 @@ object Joins {
             GROUP BY w.win_id, w.win_start
             ORDER BY w.win_id"""))
 
+  /** Two-sided interval-overlap join (round-9) — per-user DAILY activity
+    * intervals [min ts, max ts] that day, paired within the same day when
+    * they overlap (closed intervals: s1 <= e2 AND s2 <= e1). The interval
+    * semantics join_range/join_asof don't cover: BOTH sides are ranges.
+    *
+    * 100-TB shape: the bin key (day) turns an unbounded interval join
+    * into an EQUI-join + cheap post-filter — the same binning that makes
+    * join_range_bucketed scale; intervals here never cross a bin by
+    * construction (daily activity within the day). For intervals that DO
+    * span bins, production replicates each interval into every bin it
+    * touches (bounded by span/bin-width) — documented, not needed here.
+    * Overlap duration is exact integer microseconds. user_id < 30 caps
+    * the graded output only. */
+  val joinIntervalOverlap = Q(
+    "join_interval_overlap",
+    (spark, sfDir) => {
+      val iv = Tables.events(spark, sfDir)
+        .filter(col("user_id") < 30)
+        // day stays timestamp_ntz: the driver's two read paths stringify
+        // DATE differently (pandas date vs datetime64) — timestamps match
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val a = iv.select(col("day"), col("user_id").as("u1"),
+        col("s").as("s1"), col("e").as("e1"))
+      val b = iv.select(col("day").as("day2"), col("user_id").as("u2"),
+        col("s").as("s2"), col("e").as("e2"))
+      a.join(b, col("day") === col("day2")
+          && col("u1") < col("u2")
+          && col("s1") <= col("e2") && col("s2") <= col("e1"))
+        .select(col("day"), col("u1"), col("u2"),
+          // ntz → instant cast is linear under the UTC session default
+          (unix_micros(least(col("e1"), col("e2")).cast("timestamp"))
+            - unix_micros(greatest(col("s1"), col("s2")).cast("timestamp")))
+            .as("overlap_us"))
+        .orderBy("day", "u1", "u2")
+    },
+    Some("""WITH iv AS (SELECT user_id,
+                               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                               min(ts) AS s, max(ts) AS e
+                        FROM events WHERE user_id < 30
+                        GROUP BY user_id, day)
+            SELECT a.day, a.user_id AS u1, b.user_id AS u2,
+                   epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
+                     AS overlap_us
+            FROM iv a JOIN iv b
+              ON a.day = b.day AND a.user_id < b.user_id
+             AND a.s <= b.e AND b.s <= a.e
+            ORDER BY a.day, u1, u2"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
     joinRange, joinRangeBucketed, joinAsof, joinAsofForward, joinAsofNearest,
-    joinAsofTolerance, joinSkewSalted, joinStarFlagship)
+    joinAsofTolerance, joinSkewSalted, joinStarFlagship, joinIntervalOverlap)
 }
