@@ -1512,6 +1512,32 @@ object TextOps {
                    round(regr_intercept(ly, lx), 4) AS zipf_intercept
             FROM r GROUP BY lang ORDER BY lang"""))
 
+  /** Prefix-cluster dedup candidates (round-9) — the boilerplate/URL
+    * prefix grouping stage of web-corpus curation (template pages, mirror
+    * URLs and OCR headers share long literal prefixes that token-level
+    * LSH underweights): group docs by their first 12 characters, emit
+    * clusters with > 1 member. Exact string-prefix grouping is ONE
+    * hash-partitioned agg on the prefix key — the 100-TB-flat shape
+    * (contrast the banded-LSH family when similarity, not literal
+    * prefixes, is the criterion). substring is 1-based and
+    * character-counted in both engines. */
+  val textPrefixCluster = Q(
+    "text_prefix_cluster",
+    (spark, sfDir) =>
+      docToks(spark, sfDir)
+        .select(substring(col("text"), 1, 12).as("prefix"), col("doc_id"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("prefix"),
+    Some("""SELECT prefix, n_docs, min_doc, max_doc FROM (
+              SELECT substring(text, 1, 12) AS prefix, count(*) AS n_docs,
+                     min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              FROM documents GROUP BY prefix)
+            WHERE n_docs > 1 ORDER BY prefix"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1520,5 +1546,5 @@ object TextOps {
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
     textRarityScore, textDedupSurvivors, textBm25Rank,
-    textUnigramLmScore, textEntropy, textZipfSlope)
+    textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.util.Tables
+import graft.util.{D, Tables}
 
 /** Vector / similarity-search tier over embeddings (SURVEY §2.11).
   *
@@ -881,9 +881,133 @@ object Vectors {
                          (en * (SELECT qn FROM qv)), 4) AS cos_sim
             FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
+  /** One distributed power-iteration step toward the top principal
+    * direction (round-9): v₁ = Gᵀ(G v₀) for the corpus Gram matrix G with
+    * the basis seed v₀ = ê₁, i.e. v₁[d] = Σ_i e_i[d]·e_i[1] — the first
+    * column of the uncentered covariance, computed WITHOUT materializing
+    * any matrix: posexplode to (dim, x), one hash agg on dim. The
+    * spectral-analysis building block (PCA/whitening pipelines iterate
+    * exactly this map-reduce step).
+    *
+    * Determinism: per-element contributions are leaf-quantized to exact
+    * BIGINT micro-units (the text-tier recipe — double sums over a
+    * corpus are partial-order-dependent); the norm runs in exact DECIMAL
+    * over the finished per-dim integers (14,0 width: |s_micro| < 1e14
+    * holds through sf5 with 10× headroom; overflow → loud decimal null,
+    * never a silent wrong answer), and the final normalize is double
+    * arithmetic over identical operands.
+    *
+    * 100-TB shape: ONE linear pass + a dim-keyed agg (64 groups), then
+    * a 64-row norm reduce — the classic distributed matvec. */
+  val vecPowerIter = Q(
+    "vec_power_iter",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val perDim = Tables.embeddings(spark, sfDir)
+        .withColumn("e", dbl(col("embedding")))
+        .select(posexplode(col("e")).as(Seq("pos", "x")),
+          element_at(col("e"), 1).as("e1"))
+        .select((col("pos") + 1).cast("bigint").as("dim"),
+          round(col("x") * col("e1") * lit(1e6), 0)
+            .cast("bigint").as("micro"))
+        .groupBy("dim")
+        .agg(sum(col("micro")).as("s_micro"), count(lit(1)).as("n"))
+      val nrm = perDim
+        .agg(D.dbl(sum((col("s_micro").cast(DecimalType(14, 0))
+            * col("s_micro").cast(DecimalType(14, 0))).cast(DecimalType(38, 0))))
+          .as("ss"))
+        .select(sqrt(col("ss")).as("nrm"))
+      perDim.crossJoin(broadcast(nrm))
+        .select(col("dim"), col("n"), col("s_micro"),
+          (col("s_micro").cast("double") / col("nrm")).as("comp"))
+        .orderBy("dim")
+    },
+    Some("""WITH per AS (
+              SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                     CAST(sum(micro) AS BIGINT) AS s_micro
+              FROM (SELECT generate_subscripts(embedding, 1) AS dim,
+                           CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                 * CAST(embedding[1] AS DOUBLE) * 1e6, 0)
+                                AS BIGINT) AS micro
+                    FROM embeddings)
+              GROUP BY dim),
+            nrm AS (SELECT sqrt(CAST(sum(CAST(s_micro AS DECIMAL(14,0))
+                                         * CAST(s_micro AS DECIMAL(14,0)))
+                                     AS DOUBLE)) AS nrm
+                    FROM per)
+            SELECT dim, n, s_micro,
+                   CAST(s_micro AS DOUBLE) / nrm AS comp
+            FROM per CROSS JOIN nrm ORDER BY dim"""))
+
+  /** Int8 symmetric-quantized dot-product retrieval (round-9) — the
+    * integer-SIMD serving shape (4× smaller than float32, exact integer
+    * arithmetic in the scan): corpus-global scale s = max |x|, codes
+    * q = round(x/s·127), candidate score = EXACT INTEGER dot (BIGINT —
+    * zero float risk in the shortlist, the same determinism class as
+    * vec_sign_hamming_topk's Hamming counts), total-ordered top-30
+    * shortlist, exact cosine re-rank over the shortlist only. */
+  val vecInt8DotTopk = Q(
+    "vec_int8_dot_topk",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .withColumn("e", dbl(col("embedding")))
+      val sc = emb.agg(
+        max(greatest(abs(array_min(col("e"))), abs(array_max(col("e")))))
+          .as("s"))
+      val coded = emb.crossJoin(broadcast(sc))
+        .select(col("vec_id"), col("e"),
+          transform(col("e"), x =>
+            round(x / col("s") * lit(127.0), 0).cast("long")).as("q"))
+      val qv = coded.filter(col("vec_id") === 2)
+        .select(col("q").as("graft_qq"), col("e").as("graft_qe"),
+          norm(col("e")).as("graft_qn"))
+      coded.filter(col("vec_id") =!= 2)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("e"), col("graft_qe"), col("graft_qn"),
+          aggregate(zip_with(col("q"), col("graft_qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(30)
+        .select(col("vec_id"), col("qdot"),
+          round(dot(col("e"), col("graft_qe"))
+            / (norm(col("e")) * col("graft_qn")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    // DuckDB lambdas cannot contain subqueries — the scale and query
+    // vector enter via CROSS JOIN columns instead.
+    Some(s"""WITH sc AS (SELECT max(greatest(
+                           abs(list_aggregate(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE)), 'min')),
+                           abs(list_aggregate(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE)), 'max')))) AS s
+                         FROM embeddings),
+                 coded AS (SELECT vec_id,
+                                  list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS e,
+                                  list_transform(embedding,
+                                    x -> CAST(round(CAST(x AS DOUBLE)
+                                      / s * 127.0, 0) AS BIGINT)) AS q
+                           FROM embeddings CROSS JOIN sc),
+                 qv AS (SELECT q AS qq, e AS qe, ${oNorm("e")} AS qn
+                        FROM coded WHERE vec_id = 2),
+                 sl AS (SELECT vec_id, e, qdot FROM (
+                          SELECT c.vec_id, c.e,
+                                 list_aggregate(list_transform(
+                                   list_zip(c.q, qv.qq),
+                                   p -> p[1] * p[2]), 'sum') AS qdot
+                          FROM coded c CROSS JOIN qv WHERE c.vec_id != 2)
+                        ORDER BY qdot DESC, vec_id LIMIT 30)
+            SELECT sl.vec_id, CAST(sl.qdot AS BIGINT) AS qdot,
+                   round(${oDot("sl.e", "qv.qe")} /
+                         (${oNorm("sl.e")} * qv.qn), 4) AS cos_sim
+            FROM sl CROSS JOIN qv
+            ORDER BY cos_sim DESC, sl.vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
-    vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk)
+    vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
+    vecPowerIter, vecInt8DotTopk)
 }
