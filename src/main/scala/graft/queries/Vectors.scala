@@ -892,8 +892,9 @@ object Vectors {
     * Determinism: per-element contributions are leaf-quantized to exact
     * BIGINT micro-units (the text-tier recipe — double sums over a
     * corpus are partial-order-dependent); the norm runs in exact DECIMAL
-    * over the finished per-dim integers (14,0 width: |s_micro| < 1e14
-    * holds through sf5 with 10× headroom; overflow → loud decimal null,
+    * over the finished per-dim integers (19-digit operands: DuckDB
+    * multiplies DECIMAL(≤18) in int64 and overflowed at sf5 — 19 digits
+    * select its int128 path; overflow → loud error/null,
     * never a silent wrong answer), and the final normalize is double
     * arithmetic over identical operands.
     *
@@ -913,8 +914,12 @@ object Vectors {
         .groupBy("dim")
         .agg(sum(col("micro")).as("s_micro"), count(lit(1)).as("n"))
       val nrm = perDim
-        .agg(D.dbl(sum((col("s_micro").cast(DecimalType(14, 0))
-            * col("s_micro").cast(DecimalType(14, 0))).cast(DecimalType(38, 0))))
+        // width 19 (not 14): DuckDB multiplies DECIMAL(<=18) operands in
+        // int64 and overflows at sf5's |s_micro| ~ 1.6e9 squared; 19 digits
+        // force its int128 path, and Spark's (19,0)x(19,0) product caps at
+        // the same exact (38,0)
+        .agg(D.dbl(sum((col("s_micro").cast(DecimalType(19, 0))
+            * col("s_micro").cast(DecimalType(19, 0))).cast(DecimalType(38, 0))))
           .as("ss"))
         .select(sqrt(col("ss")).as("nrm"))
       perDim.crossJoin(broadcast(nrm))
@@ -931,8 +936,8 @@ object Vectors {
                                 AS BIGINT) AS micro
                     FROM embeddings)
               GROUP BY dim),
-            nrm AS (SELECT sqrt(CAST(sum(CAST(s_micro AS DECIMAL(14,0))
-                                         * CAST(s_micro AS DECIMAL(14,0)))
+            nrm AS (SELECT sqrt(CAST(sum(CAST(s_micro AS DECIMAL(19,0))
+                                         * CAST(s_micro AS DECIMAL(19,0)))
                                      AS DOUBLE)) AS nrm
                     FROM per)
             SELECT dim, n, s_micro,
