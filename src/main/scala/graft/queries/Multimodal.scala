@@ -238,6 +238,70 @@ object Multimodal {
             WHERE (c - 1) * 100 < n
             ORDER BY doc_id, chunk_no"""))
 
+  /** Container-format sniffing (round-9) — the ingest-time classifier of
+    * any mixed media lake: payloads arrive as opaque blobs and the FIRST
+    * pipeline stage routes them by magic bytes (never by file extension).
+    * The fixture synthesizes four real container headers deterministically
+    * by doc_id (Netpbm P5, RIFF/WAVE, %PDF, OggS — all ASCII magics, so
+    * the DuckDB oracle mirrors byte tests with string tests exactly as
+    * mm_binary_meta pins), then sniffs them back with prefix tests in
+    * priority order, plus an unknown fallback the fixture never hits but
+    * a lake always needs. Per format: count, total bytes, id range.
+    *
+    * 100-TB shape: header construction and sniffing are row-local
+    * expressions (no shuffle); the census is a 5-group agg. */
+  val mmFormatSniff = Q(
+    "mm_format_sniff",
+    (spark, sfDir) => {
+      val payload = concat(
+        when(col("doc_id") % 4 === 0, lit("P5\n"))
+          .when(col("doc_id") % 4 === 1, lit("RIFF0000WAVE"))
+          .when(col("doc_id") % 4 === 2, lit("%PDF-1.4\n"))
+          .otherwise(lit("OggS")),
+        col("text")).cast("binary")
+      val head = substring(payload, 1, 12).cast("string")
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), payload.as("payload"), head.as("head"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("bigint").as("n_bytes"),
+          when(substring(col("head"), 1, 2) === "P5", "image/x-pgm")
+            .when(substring(col("head"), 1, 4) === "RIFF"
+              && substring(col("head"), 9, 4) === "WAVE", "audio/wav")
+            .when(substring(col("head"), 1, 4) === "%PDF", "application/pdf")
+            .when(substring(col("head"), 1, 4) === "OggS", "audio/ogg")
+            .otherwise("application/octet-stream").as("format"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("format")
+    },
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN 'P5' || chr(10)
+                          WHEN doc_id % 4 = 1 THEN 'RIFF0000WAVE'
+                          WHEN doc_id % 4 = 2 THEN '%PDF-1.4' || chr(10)
+                          ELSE 'OggS' END || text AS payload
+              FROM documents),
+            s AS (SELECT doc_id,
+                         CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+                         CASE WHEN substring(payload, 1, 2) = 'P5'
+                                THEN 'image/x-pgm'
+                              WHEN substring(payload, 1, 4) = 'RIFF'
+                                   AND substring(payload, 9, 4) = 'WAVE'
+                                THEN 'audio/wav'
+                              WHEN substring(payload, 1, 4) = '%PDF'
+                                THEN 'application/pdf'
+                              WHEN substring(payload, 1, 4) = 'OggS'
+                                THEN 'audio/ogg'
+                              ELSE 'application/octet-stream' END AS format
+                  FROM p)
+            SELECT format, count(*) AS n,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM s GROUP BY format ORDER BY format"""))
+
   def qs: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmDecodeStats,
-    mmPayloadDedup, mmChunkManifest)
+    mmPayloadDedup, mmChunkManifest, mmFormatSniff)
 }

@@ -1009,10 +1009,68 @@ object Vectors {
             FROM sl CROSS JOIN qv
             ORDER BY cos_sim DESC, sl.vec_id LIMIT 10"""))
 
+  /** Per-cluster census over the fixed-centroid assignment (round-9) —
+    * the index-health report run after every (re)clustering at scale:
+    * cluster sizes, mean and worst member similarity to the centroid.
+    * Assignment is vec_centroid_assign's exact rule (rounded cosine,
+    * centroid-id tiebreak); per-member similarities enter the census as
+    * exact 1e-4-grid INTEGERS (round(cos·1e4) BIGINT — summing the
+    * rounded doubles would resonate with downstream rounding boundaries,
+    * the text-tier micro-int lesson), so size/mean/min are all
+    * order-free. Empty clusters are absent by construction (the census
+    * reports occupied cells; a production health check LEFT JOINs the
+    * centroid list to surface them — here centroids are the first 8 ids
+    * and every fixture cell is occupied, pinned by the spec).
+    *
+    * 100-TB shape: broadcast centroids, one linear scan, one k-group
+    * agg. */
+  val vecClusterStats = Q(
+    "vec_cluster_stats",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), dbl(col("embedding")).as("ce"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("centroid_id"))
+      emb.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          round(expr("cosine_native(e, ce)"), 4).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("centroid_id"),
+          round(col("cos_sim") * lit(1e4), 0).cast("bigint").as("c4"))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("c4")).cast("double")
+            / (count(lit(1)).cast("double") * lit(1e4))).as("mean_cos"),
+          (min(col("c4")).cast("double") / lit(1e4)).as("min_cos"))
+        .orderBy("centroid_id")
+    },
+    Some(s"""WITH assign AS (
+              SELECT centroid_id, CAST(round(cos_sim * 1e4, 0) AS BIGINT) AS c4
+              FROM (SELECT v.vec_id, c.vec_id AS centroid_id,
+                           round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
+                                 (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) AS cos_sim,
+                           row_number() OVER (PARTITION BY v.vec_id
+                                              ORDER BY round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
+                                                             (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) DESC,
+                                                       c.vec_id) AS rk
+                    FROM embeddings v CROSS JOIN embeddings c
+                    WHERE v.vec_id >= 8 AND c.vec_id < 8)
+              WHERE rk = 1)
+            SELECT centroid_id, count(*) AS n,
+                   CAST(sum(c4) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e4)
+                     AS mean_cos,
+                   CAST(min(c4) AS DOUBLE) / 1e4 AS min_cos
+            FROM assign GROUP BY centroid_id ORDER BY centroid_id"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
-    vecPowerIter, vecInt8DotTopk)
+    vecPowerIter, vecInt8DotTopk, vecClusterStats)
 }
