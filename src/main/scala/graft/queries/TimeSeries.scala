@@ -813,9 +813,193 @@ object TimeSeries {
                    END AS corr24
             FROM framed ORDER BY bucket"""))
 
+  /** Interval union / coverage (round-9) — "how much wall-clock was this
+    * user active, counting overlaps once": per (user, day, event_type)
+    * activity intervals [min ts, max ts] are merged across types by the
+    * classic sweep — order intervals by (start, end, type), break an
+    * island where start exceeds the running max of all PRIOR ends, number
+    * islands by the running break count, then sum per-island spans. All
+    * arithmetic is exact integer microseconds; the sweep order is a total
+    * order, so both engines merge identically.
+    *
+    * 100-TB shape: the sweep windows partition by (user, day) — state
+    * bounded per key (≤ |types| rows), never global; the rest is two
+    * hash aggs. The same plan merges billions of intervals if the per-key
+    * count stays bounded (it does: types × days). */
+  val tsIntervalUnion = Q(
+    "ts_interval_union",
+    (spark, sfDir) => {
+      val iv = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(unix_micros(min(col("ts")).cast("timestamp")).as("s_us"),
+          unix_micros(max(col("ts")).cast("timestamp")).as("e_us"))
+      val ord = Window.partitionBy("user_id", "day")
+        .orderBy(col("s_us"), col("e_us"), col("event_type"))
+      val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val islands = iv
+        .withColumn("runmax", max(col("e_us")).over(prior))
+        .withColumn("brk",
+          when(col("runmax").isNull || col("s_us") <= col("runmax"), 0L)
+            .otherwise(1L))
+        .withColumn("island",
+          sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("day"), col("island"))
+        .agg(min(col("s_us")).as("is_s"), max(col("e_us")).as("is_e"),
+          count(lit(1)).as("n_iv"))
+      islands.groupBy("user_id")
+        .agg(sum(col("n_iv")).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(col("is_e") - col("is_s")).as("covered_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,
+                               event_type,
+                               epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+                        FROM events GROUP BY user_id, day, event_type),
+                 sw AS (SELECT user_id, day, event_type, s_us, e_us,
+                               max(e_us) OVER (PARTITION BY user_id, day
+                                 ORDER BY s_us, e_us, event_type
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                                 AS runmax
+                        FROM iv),
+                 nb AS (SELECT user_id, day, event_type, s_us, e_us,
+                               CASE WHEN runmax IS NULL OR s_us <= runmax
+                                    THEN 0 ELSE 1 END AS brk
+                        FROM sw),
+                 isl AS (SELECT user_id, day, s_us, e_us,
+                                sum(brk) OVER (PARTITION BY user_id, day
+                                  ORDER BY s_us, e_us, event_type
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                  AS island
+                         FROM nb),
+                 g AS (SELECT user_id, day, island,
+                              min(s_us) AS is_s, max(e_us) AS is_e,
+                              count(*) AS n_iv
+                       FROM isl GROUP BY user_id, day, island)
+            SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+                   count(*) AS n_islands,
+                   CAST(sum(is_e - is_s) AS BIGINT) AS covered_us
+            FROM g GROUP BY user_id ORDER BY user_id"""))
+
+  /** LTTB downsampling (round-9) — Largest-Triangle-Three-Buckets
+    * (Steinarsson 2013), the standard series-visualization reducer: one
+    * representative point per day chosen to maximize the triangle area
+    * against the NEIGHBOR BUCKETS' AVERAGES (the parallel formulation:
+    * classic LTTB chains on the previously-selected point, a sequential
+    * dependency; anchoring on bucket averages keeps per-bucket choices
+    * independent — one window pass — at known negligible visual cost).
+    * First/last buckets keep their first/last point (the LTTB contract).
+    *
+    * Determinism: the hourly series is (exact-integer relative µs, exact
+    * decimal sum → double); neighbor averages divide exact integer/
+    * decimal sums; the area formula then runs on bit-identical doubles
+    * in both engines, so even the unrounded area ORDER matches — the cut
+    * is row_number over (area DESC, t).
+    *
+    * 100-TB shape: series build is the tumbling hash agg; bucket
+    * averages a second tiny agg; neighbor join by lag/lead over the
+    * BUCKET frame (calendar-sized); the per-bucket argmax partitions by
+    * day. Nothing touches raw events twice. */
+  val tsDownsampleLttb = Q(
+    "ts_downsample_lttb",
+    (spark, sfDir) => {
+      // v_dec stays DECIMAL through the day-average: summing the double
+      // form would re-enter partial-order nondeterminism (cents are not
+      // binary-exact); only finished values convert (the sumDec recipe).
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(D.dec(col("value"))).cast(D.Money).as("v_dec"))
+        .withColumn("v", D.dbl(col("v_dec")))
+      val base = hourly.agg(
+        unix_micros(min(col("bucket")).cast("timestamp")).as("t0"))
+      val pts = hourly.crossJoin(broadcast(base))
+        .select(col("bucket"),
+          date_trunc("day", col("bucket")).as("day"),
+          (unix_micros(col("bucket").cast("timestamp")) - col("t0"))
+            .as("tr"), col("v"), col("v_dec"))
+      val byDay = pts.groupBy("day")
+        .agg((sum(col("tr")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_t"),
+          (D.dbl(sum(col("v_dec")).cast(D.Money))
+            / count(lit(1)).cast("double")).as("avg_v"),
+          count(lit(1)).as("n_points"))
+      val wDay = Window.orderBy("day")
+      val nb = byDay
+        .withColumn("tp", lag(col("avg_t"), 1).over(wDay))
+        .withColumn("vp", lag(col("avg_v"), 1).over(wDay))
+        .withColumn("tn", lead(col("avg_t"), 1).over(wDay))
+        .withColumn("vn", lead(col("avg_v"), 1).over(wDay))
+      val scored = pts.join(nb, Seq("day"))
+        .withColumn("area2",
+          when(col("tp").isNull || col("tn").isNull, lit(null))
+            .otherwise(abs(
+              (col("tr").cast("double") - col("tp")) * (col("vn") - col("vp"))
+                - (col("tn") - col("tp"))
+                  * (col("v") - col("vp")))))
+      val wPick = Window.partitionBy("day").orderBy(
+        col("area2").desc_nulls_last, col("tr"))
+      val wEdgeAsc = Window.partitionBy("day").orderBy(col("tr"))
+      val wEdgeDesc = Window.partitionBy("day").orderBy(col("tr").desc)
+      scored
+        .withColumn("pick",
+          when(col("tp").isNull, row_number().over(wEdgeAsc))
+            .when(col("tn").isNull, row_number().over(wEdgeDesc))
+            .otherwise(row_number().over(wPick)))
+        .filter(col("pick") === 1)
+        .select(D.ntz(col("day")).as("day"), D.ntz(col("bucket")).as("bucket"),
+          col("v"), col("n_points"))
+        .orderBy("day")
+    },
+    Some("""WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS bucket,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v_dec,
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                          AS DOUBLE) AS v
+              FROM events GROUP BY bucket),
+            base AS (SELECT epoch_us(min(bucket)) AS t0 FROM hourly),
+            pts AS (SELECT bucket, date_trunc('day', bucket) AS day,
+                           epoch_us(bucket) - t0 AS tr, v, v_dec
+                    FROM hourly CROSS JOIN base),
+            byday AS (SELECT day,
+                             CAST(sum(tr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_t,
+                             CAST(CAST(sum(v_dec) AS DECIMAL(18,2)) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE) AS avg_v,
+                             count(*) AS n_points
+                      FROM pts GROUP BY day),
+            nb AS (SELECT day, n_points,
+                          lag(avg_t) OVER (ORDER BY day) AS tp,
+                          lag(avg_v) OVER (ORDER BY day) AS vp,
+                          lead(avg_t) OVER (ORDER BY day) AS tn,
+                          lead(avg_v) OVER (ORDER BY day) AS vn
+                   FROM byday),
+            scored AS (SELECT p.day, p.bucket, p.tr, p.v, nb.n_points,
+                              nb.tp, nb.tn,
+                              CASE WHEN nb.tp IS NULL OR nb.tn IS NULL
+                                   THEN NULL
+                                   ELSE abs((CAST(p.tr AS DOUBLE) - nb.tp)
+                                              * (nb.vn - nb.vp)
+                                            - (nb.tn - nb.tp)
+                                              * (p.v - nb.vp)) END AS area2
+                       FROM pts p JOIN nb ON p.day = nb.day),
+            picked AS (SELECT day, bucket, v, n_points,
+                              CASE WHEN tp IS NULL THEN
+                                     row_number() OVER (PARTITION BY day ORDER BY tr)
+                                   WHEN tn IS NULL THEN
+                                     row_number() OVER (PARTITION BY day ORDER BY tr DESC)
+                                   ELSE
+                                     row_number() OVER (PARTITION BY day
+                                       ORDER BY area2 DESC NULLS LAST, tr)
+                              END AS pick
+                       FROM scored)
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   CAST(bucket AS TIMESTAMP) AS bucket, v, n_points
+            FROM picked WHERE pick = 1 ORDER BY day"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
-    tsUserLifetime, tsMarkovTransitions, tsRollingCorr)
+    tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
+    tsDownsampleLttb)
 }
