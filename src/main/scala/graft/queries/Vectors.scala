@@ -1067,10 +1067,58 @@ object Vectors {
                    CAST(min(c4) AS DOUBLE) / 1e4 AS min_cos
             FROM assign GROUP BY centroid_id ORDER BY centroid_id"""))
 
+  /** Hard-negative mining (round-9) — the contrastive-training data prep
+    * step: for each anchor (vec_id < 10), the most-similar vector with a
+    * DIFFERENT label — the "hardest" negative a triplet/InfoNCE loss can
+    * be fed. The 10-row anchor frame is broadcast; the corpus is scanned
+    * once (batched-queries retrieval: cost = corpus x anchors, anchors
+    * bounded); the label-mismatch predicate rides the broadcast join;
+    * the per-anchor cut is the usual total order (rounded cos DESC,
+    * vec_id). Labels ship with the fixture's embeddings table.
+    *
+    * 100-TB note: production mines against an ANN shortlist instead of
+    * the exact scan — compose vec_ann_ivf's probe set with this
+    * label-mismatch rerank; the exact form here IS the recall oracle
+    * for that composition. */
+  val vecHardNegatives = Q(
+    "vec_hard_negatives",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val anchors = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          dbl(col("embedding")).as("ae"))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      emb.select(col("vec_id"), col("label"), dbl(col("embedding")).as("e"))
+        .crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+          col("label"), round(expr("cosine_native(e, ae)"), 4).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("anchor_id"), col("anchor_label"),
+          col("vec_id").as("negative_id"), col("label").as("negative_label"),
+          col("cos_sim"))
+        .orderBy("anchor_id")
+    },
+    Some(s"""SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim
+            FROM (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                         v.vec_id AS negative_id, v.label AS negative_label,
+                         round(${oDot("v.embedding::DOUBLE[]", "a.embedding::DOUBLE[]")} /
+                               (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("a.embedding::DOUBLE[]")}), 4) AS cos_sim,
+                         row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY round(${oDot("v.embedding::DOUBLE[]", "a.embedding::DOUBLE[]")} /
+                                          (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("a.embedding::DOUBLE[]")}), 4) DESC,
+                                    v.vec_id) AS rk
+                  FROM embeddings v CROSS JOIN embeddings a
+                  WHERE a.vec_id < 10 AND v.label != a.label)
+            WHERE rk = 1 ORDER BY anchor_id"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
-    vecPowerIter, vecInt8DotTopk, vecClusterStats)
+    vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives)
 }
