@@ -502,8 +502,45 @@ object Joins {
              AND a.s <= b.e AND b.s <= a.e
             ORDER BY a.day, u1, u2"""))
 
+  /** Null-safe equality join (round-9) — the `<=>` / IS NOT DISTINCT
+    * FROM semantics a plain equi-join silently drops: NULL keys match
+    * NULL keys (exactly one NULL bucket) instead of matching nothing.
+    * The nullable key is derived (1-URGENT → NULL) so the fixture
+    * genuinely exercises the NULL bucket; the dim side is the key's own
+    * census, so every row finds exactly one match and the output proves
+    * the NULL↔NULL hit with arithmetic (n_joined == n_dim for the NULL
+    * row too — an equi-join would return zero).
+    *
+    * 100-TB note: <=> hashes NULL like any value — the join stays a
+    * broadcast/shuffled HASH join (one NULL bucket; if the NULL share
+    * is skewed, the salting recipe of join_skew_salted applies to it
+    * like any hot key). */
+  val joinNullSafeEq = Q(
+    "join_null_safe_eq",
+    (spark, sfDir) => {
+      val keyed = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("pk"))
+      val dim = keyed.groupBy(col("pk").as("dk"))
+        .agg(count(lit(1)).as("n_dim"))
+      keyed.join(broadcast(dim), col("pk") <=> col("dk"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_joined"),
+          min(col("n_dim")).as("n_dim"))
+        .orderBy(col("pk").asc_nulls_first)
+    },
+    Some("""WITH keyed AS (SELECT o_orderkey,
+                                  nullif(o_orderpriority, '1-URGENT') AS pk
+                           FROM orders),
+                 dim AS (SELECT pk AS dk, count(*) AS n_dim
+                         FROM keyed GROUP BY pk)
+            SELECT pk, count(*) AS n_joined, min(n_dim) AS n_dim
+            FROM keyed JOIN dim ON pk IS NOT DISTINCT FROM dk
+            GROUP BY pk ORDER BY pk ASC NULLS FIRST"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
     joinRange, joinRangeBucketed, joinAsof, joinAsofForward, joinAsofNearest,
-    joinAsofTolerance, joinSkewSalted, joinStarFlagship, joinIntervalOverlap)
+    joinAsofTolerance, joinSkewSalted, joinStarFlagship, joinIntervalOverlap,
+    joinNullSafeEq)
 }

@@ -227,6 +227,57 @@ object Sinks {
             FROM orders
             WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-01' AND '1996-12'"""))
 
+  /** Schema-evolution read (round-9) — the lake reality every long-lived
+    * pipeline hits: files written BEFORE a column existed sit next to
+    * files written after, and the reader must union them by name with
+    * NULLs for the missing column. The setup writes two generations of
+    * `orders` (old: key+price; new: key+price+priority) once per
+    * (session, sfDir); the graded behavior is the `mergeSchema` read —
+    * old-generation rows surface priority = NULL — audited by a census
+    * per priority. The oracle recomputes the expected merge from the
+    * SOURCE table (the sink-tier rule: never trust the artifact being
+    * tested to also be its own oracle).
+    *
+    * 100-TB note: mergeSchema reconciles footers at planning time
+    * (driver-side, per-file); production lakes pin the merged schema in
+    * a catalog instead of re-deriving it per read — the read path
+    * demonstrated here is what that catalog entry replays. */
+  private def writeTwoGenerations(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val dir = s"/tmp/graft_sink/orders_evo_${Integer.toHexString(sfDir.hashCode)}"
+    graft.util.Memo(spark, s"$sfDir:sink_orders_evo") {
+      val o = Tables.orders(spark, sfDir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/gen=old")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/gen=new")
+      java.lang.Boolean.TRUE
+    }
+    dir
+  }
+
+  val srcSchemaEvolution = Q(
+    "src_schema_evolution",
+    (spark, sfDir) => {
+      val dir = writeTwoGenerations(spark, sfDir)
+      spark.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          graft.util.D.sumDec(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("priority").asc_nulls_first)
+    },
+    Some(s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                        ELSE o_orderpriority END AS priority,
+                   count(*) AS n,
+                   ${graft.util.D.oSumDec("o_totalprice")} AS sum_price,
+                   min(o_orderkey) AS min_key
+            FROM orders
+            GROUP BY priority ORDER BY priority ASC NULLS FIRST"""))
+
   def qs: Seq[Q] = Seq(sinkPartitionedManifest, sinkBucketedJoin,
-    sinkCsvRoundtrip, sinkJsonlRoundtrip, sinkPartitionPrunedRead)
+    sinkCsvRoundtrip, sinkJsonlRoundtrip, sinkPartitionPrunedRead,
+    srcSchemaEvolution)
 }
