@@ -566,9 +566,55 @@ object MlPrep {
             GROUP BY event_type, bucket
             ORDER BY event_type, bucket"""))
 
+  /** Nested subsample ladder (round-9) — scaling-law / learning-curve
+    * experiment prep: assign every doc the SMALLEST split it belongs to
+    * such that the 10% sample is a strict subset of the 25%, which is a
+    * subset of the 50%, which is a subset of all (one hash draw per doc
+    * compared against ascending thresholds — nesting is free by
+    * construction, where independent per-split draws would have to
+    * resample). Same engine-portable md5 rational as
+    * ml_importance_sample; output is the census per split plus the
+    * cumulative count the experiment actually consumes.
+    *
+    * 100-TB shape: stateless expressions + a 4-group agg. */
+  val mlNestedSubsamples = Q(
+    "ml_nested_subsamples",
+    (spark, sfDir) => {
+      val u = conv(substring(md5(concat(lit("ns"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("bigint").cast("double") / lit(16777216.0)
+      val w = Window.orderBy("split_frac")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          when(u < 0.10, 0.10).when(u < 0.25, 0.25)
+            .when(u < 0.50, 0.50).otherwise(1.00).as("split_frac"))
+        .groupBy("split_frac")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cum_n", sum(col("n")).over(w).cast("bigint"))
+        .orderBy("split_frac")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                              CAST(('0x' || substring(md5('ns' || CAST(doc_id AS VARCHAR)),
+                                     1, 6))::BIGINT AS DOUBLE) / 16777216.0 AS u
+                       FROM documents),
+                 s AS (SELECT doc_id,
+                              CAST(CASE WHEN u < 0.10 THEN 0.10
+                                   WHEN u < 0.25 THEN 0.25
+                                   WHEN u < 0.50 THEN 0.50
+                                   ELSE 1.00 END AS DOUBLE) AS split_frac
+                       FROM u),
+                 c AS (SELECT split_frac, count(*) AS n
+                       FROM s GROUP BY split_frac)
+            SELECT split_frac, n,
+                   CAST(sum(n) OVER (ORDER BY split_frac
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_n
+            FROM c ORDER BY split_frac"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
-    mlImportanceSample, mlQuantileBucket)
+    mlImportanceSample, mlQuantileBucket, mlNestedSubsamples)
 }

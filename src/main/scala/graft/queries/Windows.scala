@@ -14,6 +14,44 @@ import graft.util.{D, Tables}
   */
 object Windows {
 
+
+  /** Forward fill with IGNORE NULLS (round-9) — the sensor-stream repair
+    * primitive: a reading invalidated upstream (here: error events carry
+    * no trustworthy value, derived as NULL) inherits the last good value
+    * in its user's (ts, event_id) order via last_value IGNORE NULLS over
+    * the running frame — the semantics a bare last()/lag() cannot
+    * express (they'd propagate the NULL itself). Leading NULLs before
+    * any good reading stay NULL (no value to inherit), which the census
+    * column makes visible.
+    *
+    * 100-TB shape: one window partitioned by user — per-key linear
+    * state, the same scaling class as win_lead_lag. */
+  val winForwardFill = Q(
+    "win_forward_fill",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(spark, sfDir)
+        .filter(col("user_id") < 100)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .drop("ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, v,
+                   last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS v_filled
+            FROM (SELECT event_id, user_id, event_type, ts,
+                         CASE WHEN event_type = 'error' THEN NULL
+                              ELSE value END AS v
+                  FROM events WHERE user_id < 100)
+            ORDER BY event_id"""))
+
   private def rankWindow = Window
     .partitionBy("o_custkey")
     .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -290,5 +328,5 @@ object Windows {
 
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
     winLeadLag, winNtilePct, winFirstLast, winCumeDist, winRatioToReport,
-    winRunningDistinct, winRollingMedian, winStreaks)
+    winRunningDistinct, winRollingMedian, winStreaks, winForwardFill)
 }
