@@ -1538,6 +1538,35 @@ object TextOps {
               FROM documents GROUP BY prefix)
             WHERE n_docs > 1 ORDER BY prefix"""))
 
+  /** Language-ID confusion matrix (round-9) — the EVALUATION face of
+    * text_langid: cross-tabulate actual lang × predicted lang with the
+    * per-actual recall fraction. Classifier-evaluation-as-a-query is a
+    * first-class curation op (you re-run it on every corpus slice before
+    * trusting the cheap classifier to route it); both engines reuse the
+    * EXACT text_langid scoring (the Spark side calls its build, the
+    * oracle embeds its SQL as a CTE — one definition, zero drift).
+    * Fractions are unrounded identical-integer divisions. */
+  val textLangConfusion = Q(
+    "text_lang_confusion",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("actual_lang")
+      textLangid.build(spark, sfDir)
+        .select(col("lang").as("actual_lang"), col("predicted"))
+        .groupBy("actual_lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_actual",
+          col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+        .orderBy("actual_lang", "predicted")
+    },
+    Some(s"""WITH base AS (${textLangid.oracle.get}),
+                 c AS (SELECT lang AS actual_lang, predicted, count(*) AS n
+                       FROM base GROUP BY actual_lang, predicted)
+            SELECT actual_lang, predicted, n,
+                   CAST(n AS DOUBLE) /
+                     CAST(sum(n) OVER (PARTITION BY actual_lang) AS DOUBLE)
+                     AS frac_of_actual
+            FROM c ORDER BY actual_lang, predicted"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1546,5 +1575,6 @@ object TextOps {
     textKeywordTopk, textNgramTopk, textContamination, textChunkDedup,
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
     textRarityScore, textDedupSurvivors, textBm25Rank,
-    textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster)
+    textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
+    textLangConfusion)
 }

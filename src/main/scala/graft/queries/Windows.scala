@@ -52,6 +52,43 @@ object Windows {
                   FROM events WHERE user_id < 100)
             ORDER BY event_id"""))
 
+
+  /** Time-interval RANGE frame (round-9) — the rolling-window-by-TIME
+    * semantics ROWS frames cannot express: per event, the count and
+    * exact-decimal sum of the SAME USER's events in the trailing hour
+    * (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW — value-
+    * based boundaries, so a burst of 50 events and a quiet hour get the
+    * same wall-clock lookback where ROWS 50 PRECEDING would not). Both
+    * engines define the frame inclusively and include ORDER-BY peers, so
+    * tied timestamps agree. Frame sums stay DECIMAL until finished.
+    *
+    * 100-TB shape: one per-user window — linear per key; the interval
+    * frame is evaluated by frame-pointer advance, not re-scan. */
+  val winTimeRangeFrame = Q(
+    "win_time_range_frame",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .filter(col("user_id") < 100)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          D.dec(col("value")).as("vdec"))
+        .withColumn("n_1h", expr(
+          """count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
+        .withColumn("sum_1h", expr(
+          """CAST(CAST(sum(vdec) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS DOUBLE)"""))
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                        AS DECIMAL(18,2)) AS DOUBLE) AS sum_1h
+            FROM events WHERE user_id < 100
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
   private def rankWindow = Window
     .partitionBy("o_custkey")
     .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -328,5 +365,6 @@ object Windows {
 
   def qs: Seq[Q] = Seq(winRank, winTopkGroup, winRunning, winRangeFrame,
     winLeadLag, winNtilePct, winFirstLast, winCumeDist, winRatioToReport,
-    winRunningDistinct, winRollingMedian, winStreaks, winForwardFill)
+    winRunningDistinct, winRollingMedian, winStreaks, winForwardFill,
+    winTimeRangeFrame)
 }
