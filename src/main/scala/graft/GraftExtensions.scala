@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Builders, CosineSim, DotProduct, L2Sq}
+import graft.functions.{Builders, CharNgrams, CosineSim, DotProduct, HammingSign, L2Sq}
 
 /** Session-extensions entry point — the idiomatic way a cluster enables the
   * library's native expressions for every session (including pure-SQL
@@ -13,7 +13,7 @@ import graft.functions.{Builders, CosineSim, DotProduct, L2Sq}
   *   spark.sql.extensions=graft.GraftExtensions
   * }}}
   *
-  * Injects the three codegen'd vector expressions at session build time.
+  * Injects the codegen'd vector expressions at session build time.
   * Inside the library's own query builders the per-session
   * `DotProduct.register(spark)` calls remain (the driver owns SparkSession
   * construction and sets no extensions) — both paths register the same
@@ -34,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2sq_native"),
       new ExpressionInfo(classOf[L2Sq].getName, "l2sq_native"),
       Builders.arity2("l2sq_native")(L2Sq(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams_native"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams_native"),
+      Builders.arity2("char_ngrams_native")(CharNgrams(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_sign_native"),
+      new ExpressionInfo(classOf[HammingSign].getName, "hamming_sign_native"),
+      Builders.arity2("hamming_sign_native")(HammingSign(_, _))))
   }
 }

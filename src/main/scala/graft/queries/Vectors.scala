@@ -843,6 +843,11 @@ object Vectors {
   val vecSignHammingTopk = Q(
     "vec_sign_hamming_topk",
     (spark, sfDir) => {
+      // hamming_sign_native: codegen'd one-pass sign-mismatch count —
+      // integer-identical to the zip_with/filter/size composition
+      // (NativeDotSpec pins it) but inside whole-stage codegen, where the
+      // interpreted HOF chain was the corpus scan's per-row cost.
+      graft.functions.HammingSign.register(spark)
       val emb = Tables.embeddings(spark, sfDir)
       val q = emb.filter(col("vec_id") === 0)
         .select(dbl(col("embedding")).as("graft_qe"),
@@ -853,9 +858,7 @@ object Vectors {
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("graft_e"), col("graft_qe"),
           col("graft_en"), col("graft_qn"),
-          size(filter(zip_with(col("graft_e"), col("graft_qe"),
-            (x, y) => (x >= 0.0) =!= (y >= 0.0)), b => b))
-            .cast("bigint").as("hamming"))
+          expr("hamming_sign_native(graft_e, graft_qe)").as("hamming"))
         .orderBy(col("hamming"), col("vec_id"))
         .limit(30)
         .select(col("vec_id"), col("hamming"),

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * new one, and restores the shared session afterwards. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("GraftExtensions injection registers all three native functions on a fresh session") {
+  test("GraftExtensions injection registers every native function on a fresh session") {
     val prevActive = SparkSession.getActiveSession
     val prevDefault = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
@@ -32,11 +32,15 @@ class ExtensionsSpec extends AnyFunSuite {
       val row = spark.sql(
         """SELECT dot_native(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
                   cosine_native(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
-                  l2sq_native(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l
+                  l2sq_native(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l,
+                  hamming_sign_native(array(1.0D, -2.0D), array(1.0D, 2.0D)) AS h,
+                  char_ngrams_native('abcd', 3) AS g
         """).head()
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 1.0)
       assert(row.getDouble(2) == 25.0)
+      assert(row.getLong(3) == 1L)
+      assert(row.getSeq[String](4) == Seq("abc", "bcd"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -128,4 +128,24 @@ class NativeDotSpec extends SparkSpec {
     assert(edge(0).getDouble(1) == 4.0)
     assert(edge(1).isNullAt(1))
   }
+
+  test("hamming_sign_native == size(filter(zip_with(...))) on all fixture vectors, nulls null") {
+    graft.functions.HammingSign.register(spark)
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val emb = graft.util.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), dbl.as("e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val both = emb.crossJoin(q)
+      .select(
+        expr("hamming_sign_native(e, qe)").as("native"),
+        size(filter(zip_with(col("e"), col("qe"),
+          (x, y) => (x >= 0.0) =!= (y >= 0.0)), b => b)).cast("bigint").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+
+    import spark.implicits._
+    val edge = Seq((1L, None: Option[Seq[Double]], Some(Seq(1.0))))
+      .toDF("id", "a", "b")
+      .select(expr("hamming_sign_native(a, b)").as("h")).collect()
+    assert(edge(0).isNullAt(0))
+  }
 }
