@@ -813,6 +813,9 @@ object Vectors {
   val vecMipsTopk = Q(
     "vec_mips_topk",
     (spark, sfDir) => {
+      // dot_native is bit-identical to the V.dot fold (NativeDotSpec), so
+      // the corpus scan runs codegen'd without changing a single value.
+      graft.functions.DotProduct.register(spark)
       val emb = Tables.embeddings(spark, sfDir)
       val q = emb.filter(col("vec_id") === 1)
         .select(dbl(col("embedding")).as("graft_qe"))
@@ -820,7 +823,7 @@ object Vectors {
         .select(col("vec_id"), dbl(col("embedding")).as("graft_e"))
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(dot(col("graft_e"), col("graft_qe")), 4).as("ip"))
+          round(expr("dot_native(graft_e, graft_qe)"), 4).as("ip"))
         .orderBy(col("ip").desc, col("vec_id"))
         .limit(10)
     },
@@ -957,6 +960,12 @@ object Vectors {
   val vecInt8DotTopk = Q(
     "vec_int8_dot_topk",
     (spark, sfDir) => {
+      // codes are exact small integers CARRIED AS DOUBLES (|q| <= 127, so
+      // every value and every partial dot is binary-exact): the corpus
+      // scan then runs through the codegen'd dot_native kernel instead of
+      // an interpreted zip_with lambda, and the final BIGINT cast loses
+      // nothing (|dot| <= 64 * 127^2 << 2^53).
+      graft.functions.DotProduct.register(spark)
       val emb = Tables.embeddings(spark, sfDir)
         .withColumn("e", dbl(col("embedding")))
       val sc = emb.agg(
@@ -965,15 +974,14 @@ object Vectors {
       val coded = emb.crossJoin(broadcast(sc))
         .select(col("vec_id"), col("e"),
           transform(col("e"), x =>
-            round(x / col("s") * lit(127.0), 0).cast("long")).as("q"))
+            round(x / col("s") * lit(127.0), 0)).as("q"))
       val qv = coded.filter(col("vec_id") === 2)
         .select(col("q").as("graft_qq"), col("e").as("graft_qe"),
           norm(col("e")).as("graft_qn"))
       coded.filter(col("vec_id") =!= 2)
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), col("e"), col("graft_qe"), col("graft_qn"),
-          aggregate(zip_with(col("q"), col("graft_qq"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("qdot"))
+          expr("dot_native(q, graft_qq)").cast("bigint").as("qdot"))
         .orderBy(col("qdot").desc, col("vec_id"))
         .limit(30)
         .select(col("vec_id"), col("qdot"),
