@@ -150,6 +150,29 @@ object Arrays {
             MAP(['name'], [c_name])['name'][1] AS name
             FROM customer ORDER BY c_custkey"""))
 
+  /** Sorted-distinct-slice composition (round-9) — the canonical-form
+    * array pipeline (dedupe, canonical order, bounded head) every
+    * feature store applies before hashing or serving a list feature:
+    * per doc, the first 3 tokens of sort_array(array_distinct(tk)),
+    * emitted as a joined string. Deterministic by construction (sort
+    * imposes the total order the raw collect order lacks). */
+  val arrSortSlice = Q(
+    "arr_sort_slice",
+    (spark, sfDir) =>
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(col("doc_id"),
+          array_join(slice(sort_array(array_distinct(col("tk"))), 1, 3), ",")
+            .as("head3"),
+          size(array_distinct(col("tk"))).cast("bigint").as("n_distinct"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+                     AS head3,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                     AS n_distinct
+            FROM documents ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(arrBasics, arrHigherOrder, mapFromJson,
-    fnExplodeTokens, fnPosexplodeBigrams, arrSetops, fnStructNested)
+    fnExplodeTokens, fnPosexplodeBigrams, arrSetops, fnStructNested,
+    arrSortSlice)
 }

@@ -239,6 +239,67 @@ object Fns {
                    TRY_CAST('2024-13-45' AS TIMESTAMP) AS bad_ts
             FROM documents WHERE doc_id < 20 ORDER BY doc_id"""))
 
+  /** PII masking (round-9) — the redaction pass a training-data pipeline
+    * runs before anything leaves the trust boundary: a synthesized
+    * account identifier (md5-derived, deterministic) is masked with
+    * Spark's `mask()` (uppercase→X, lowercase→x, digit→n) and with the
+    * keep-last-4 overlay form. The oracle mirrors mask() with the
+    * equivalent regexp_replace chain — DuckDB has no mask(), and showing
+    * the two spellings agree IS the point: redaction must be portable or
+    * it silently differs between the lake and the serving side. */
+  val fnMaskPii = Q(
+    "fn_mask_pii",
+    (spark, sfDir) =>
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"),
+          substring(md5(concat(lit("acct"), col("c_custkey").cast("string"))), 1, 12)
+            .as("account"))
+        .select(col("c_custkey"), col("account"),
+          expr("mask(account)").as("masked_full"),
+          concat(expr("repeat('*', length(account) - 4)"),
+            substring(col("account"), -4, 4)).as("masked_keep4"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, account,
+                   regexp_replace(regexp_replace(regexp_replace(account,
+                     '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                     AS masked_full,
+                   repeat('*', length(account) - 4)
+                     || substring(account, length(account) - 3, 4) AS masked_keep4
+            FROM (SELECT c_custkey,
+                         substring(md5('acct' || CAST(c_custkey AS VARCHAR)), 1, 12)
+                           AS account
+                  FROM customer)
+            ORDER BY c_custkey"""))
+
+  /** URL parsing (round-9) — crawl-pipeline metadata extraction: host,
+    * path and a query parameter pulled from a deterministic synthesized
+    * URL via Spark's parse_url; the oracle mirrors with regexes (DuckDB
+    * ships no URL parser — the cross-engine agreement proves the regex
+    * spelling a non-JVM consumer would have to use is faithful). */
+  val fnUrlParse = Q(
+    "fn_url_parse",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang"))
+            .as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, url,
+                   regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                   regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+                   regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+            FROM (SELECT doc_id,
+                         'https://' || source || '.example.com/docs/'
+                           || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+                  FROM documents)
+            ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
-    fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast)
+    fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast,
+    fnMaskPii, fnUrlParse)
 }

@@ -161,7 +161,38 @@ object SetOps {
               FROM customer WHERE c_custkey % 2 = 1)
             ORDER BY c_custkey"""))
 
+  /** Symmetric difference (round-9) — the reconciliation composition two
+    * snapshots of a slowly-changing set need ("what changed either way"):
+    * (A EXCEPT B) UNION ALL (B EXCEPT A) with a side tag, over the keyed
+    * order sets of two adjacent years. Composes the set algebra the tier
+    * already grades into the operation auditors actually run; both
+    * branches are DISTINCT-set semantics, so duplicates inside a side
+    * never inflate the diff. */
+  val setSymmetricDiff = Q(
+    "set_symmetric_diff",
+    (spark, sfDir) => {
+      def keys(yr: Int) = Tables.orders(spark, sfDir)
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+      val a = keys(1996)
+      val b = keys(1997)
+      a.except(b).select(col("o_custkey"), lit("only_1996").as("side"))
+        .unionByName(
+          b.except(a).select(col("o_custkey"), lit("only_1997").as("side")))
+        .orderBy("o_custkey", "side")
+    },
+    Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE EXTRACT(year FROM o_orderdate) = 1996),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE EXTRACT(year FROM o_orderdate) = 1997)
+            SELECT o_custkey, side FROM (
+              SELECT o_custkey, 'only_1996' AS side FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+              UNION ALL
+              SELECT o_custkey, 'only_1997' AS side FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+            ORDER BY o_custkey, side"""))
+
   def qs: Seq[Q] = Seq(sortLimitTopk, setUnionAll, setUnionDistinct,
     setIntersect, setExcept, setIntersectAll, setExceptAll, sortLimitOffset,
-    setUnionByname)
+    setUnionByname,
+    setSymmetricDiff)
 }
