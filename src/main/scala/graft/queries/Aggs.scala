@@ -586,11 +586,36 @@ object Aggs {
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** Multiple DISTINCT aggregates in one pass (round-9) — COUNT(DISTINCT
+    * user), COUNT(DISTINCT minute-bucket) and a plain decimal SUM per
+    * event type: Catalyst plans this through Expand (one input row fans
+    * into one row per distinct-group), the multi-distinct shape that
+    * trips naive engines into N self-joins. The plan stays a single
+    * scan + Expand + two-level agg — the form that scales; the oracle
+    * states the same three aggregates directly. */
+  val aggMultiDistinct = Q(
+    "agg_multi_distinct",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(date_trunc("minute", col("ts"))).as("n_minutes"),
+          D.sumDec(col("value")).as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some(s"""SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT date_trunc('minute', ts)) AS n_minutes,
+                   ${D.oSumDec("value")} AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
-    aggTwophaseSalted, aggTopkListagg, aggMoments, aggGroupingId, aggRegression)
+    aggTwophaseSalted, aggTopkListagg, aggMoments, aggGroupingId, aggRegression,
+    aggMultiDistinct)
 
   /** Two-phase salted aggregation — the skew-defeating shape for hot
     * group keys (l_returnflag has THREE values over the whole table: the

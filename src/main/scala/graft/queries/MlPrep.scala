@@ -612,9 +612,45 @@ object MlPrep {
                      AS BIGINT) AS cum_n
             FROM c ORDER BY split_frac"""))
 
+  /** One BPE merge-training step (round-9) — the tokenizer-training
+    * primitive (Sennrich et al. 2016): count adjacent symbol pairs over
+    * the corpus and surface the top merge candidates. Symbols here are
+    * characters within whitespace tokens (the standard init state), the
+    * pair counts come from the codegen'd char_ngrams_native bigram pass
+    * (one O(bytes) loop per token — the text-tier r9 kernel reused), and
+    * the cut is total-ordered (count DESC, pair). Production iterates
+    * this step re-tokenizing with the merged vocab; each iteration is
+    * exactly this one hash agg — the distributed-BPE shape.
+    *
+    * 100-TB shape: explode + one (pair) hash agg; top-k via ordered
+    * limit over the vocabulary-sized aggregate. */
+  val mlBpeMergeStep = Q(
+    "ml_bpe_merge_step",
+    (spark, sfDir) => {
+      graft.functions.CharNgrams.register(spark)
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr("char_ngrams_native(tok, 2)")).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(10)
+    },
+    Some("""SELECT pair, n FROM (
+              SELECT pair, count(*) AS n
+              FROM (SELECT unnest(list_transform(
+                             generate_series(1, length(tok) - 1),
+                             i -> substring(tok, CAST(i AS INT), 2))) AS pair
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    WHERE length(tok) >= 2)
+              GROUP BY pair)
+            ORDER BY n DESC, pair LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
-    mlImportanceSample, mlQuantileBucket, mlNestedSubsamples)
+    mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep)
 }
