@@ -648,9 +648,40 @@ object MlPrep {
               GROUP BY pair)
             ORDER BY n DESC, pair LIMIT 10"""))
 
+  /** Hashed feature cross (round-9) — the classic wide-model feature:
+    * cross two categorical columns (lang × source) and hash the crossed
+    * token into a bounded bucket space (32) with the engine-portable md5
+    * rational (ml_feature_hash's recipe — never a JVM-specific hash).
+    * Output is the bucket census plus collision visibility (distinct
+    * crossed values per bucket > 1 ⇒ collision, the accepted trade of
+    * hashed crossing).
+    *
+    * 100-TB shape: stateless expressions + one 32-group agg. */
+  val mlFeatureCross = Q(
+    "ml_feature_cross",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(concat(col("lang"), lit("_x_"), col("source")).as("crossed"))
+        .select(col("crossed"),
+          (conv(substring(md5(concat(lit("fx"), col("crossed"))), 1, 6), 16, 10)
+            .cast("bigint") % 32).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("crossed")).as("n_values"))
+        .orderBy("bucket"),
+    Some("""SELECT bucket, count(*) AS n,
+                   count(DISTINCT crossed) AS n_values
+            FROM (SELECT crossed,
+                         ('0x' || substring(md5('fx' || crossed), 1, 6))::BIGINT % 32
+                           AS bucket
+                  FROM (SELECT lang || '_x_' || source AS crossed
+                        FROM documents))
+            GROUP BY bucket ORDER BY bucket"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
-    mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep)
+    mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
+    mlFeatureCross)
 }

@@ -996,10 +996,61 @@ object TimeSeries {
                    CAST(bucket AS TIMESTAMP) AS bucket, v, n_points
             FROM picked WHERE pick = 1 ORDER BY day"""))
 
+  /** Naive-forecast error metrics (round-9) — the evaluation face of the
+    * forecasting tier (ts_ewma/ts_derivative produce predictions; this
+    * scores one): MAE and WAPE of the lag-1 persistence forecast on the
+    * hourly revenue series, per event type. Errors are EXACT DECIMAL
+    * (|v_t − v_{t−1}| of scale-2 hourly sums is scale-2 exact, summed
+    * order-free); the two ratios divide finished decimal-to-double
+    * operands — metric-evaluation-as-a-query, like text_lang_confusion
+    * for classifiers.
+    *
+    * 100-TB shape: hourly agg on (type, bucket); lag over per-type
+    * calendar-sized windows; final 5-group agg. */
+  val tsForecastErrorNaive = Q(
+    "ts_forecast_error_naive",
+    (spark, sfDir) => {
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(D.dec(col("value"))).cast(D.Money).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      hourly
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("abs_err", abs(col("v") - col("prev")).cast(D.Money))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          (D.dbl(sum(col("abs_err")).cast(D.Money))
+            / count(lit(1)).cast("double")).as("mae"),
+          (D.dbl(sum(col("abs_err")).cast(D.Money))
+            / D.dbl(sum(abs(col("v")).cast(D.Money)).cast(D.Money))).as("wape"))
+        .orderBy("event_type")
+    },
+    Some("""WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+              FROM events GROUP BY event_type, bucket),
+                 lagged AS (
+              SELECT event_type, v,
+                     lag(v) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+              FROM hourly),
+                 err AS (
+              SELECT event_type, v,
+                     CAST(abs(v - prev) AS DECIMAL(18,2)) AS abs_err
+              FROM lagged WHERE prev IS NOT NULL)
+            SELECT event_type, count(*) AS n_hours,
+                   CAST(CAST(sum(abs_err) AS DECIMAL(18,2)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mae,
+                   CAST(CAST(sum(abs_err) AS DECIMAL(18,2)) AS DOUBLE)
+                     / CAST(CAST(sum(CAST(abs(v) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+                     AS wape
+            FROM err GROUP BY event_type ORDER BY event_type"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
-    tsDownsampleLttb)
+    tsDownsampleLttb, tsForecastErrorNaive)
 }
