@@ -137,4 +137,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(equiPair,
       "pair generation is not an equi-join with the v1<v2 cut as condition")
   }
+
+  test("multi-distinct aggregation plans one Expand over one scan, not N self-joins") {
+    // agg_multi_distinct (round-9): Catalyst must evaluate the two
+    // COUNT(DISTINCT) columns via the Expand fan-out on a SINGLE events
+    // scan — the shape that scales; a regression to per-distinct
+    // subplans would show up as multiple parquet scans.
+    val p = plan("agg_multi_distinct")
+    assert(p.contains("Expand"), "expected Expand in the multi-distinct plan")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, found $scans")
+  }
 }
