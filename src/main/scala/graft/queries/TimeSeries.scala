@@ -1047,10 +1047,56 @@ object TimeSeries {
                      AS wape
             FROM err GROUP BY event_type ORDER BY event_type"""))
 
+  /** Local-peak detection (round-9) — the signal-shape primitive behind
+    * alerting and event summarization: hours whose revenue strictly
+    * exceeds BOTH neighbors on the per-type hourly series, with the
+    * lesser rise (min of the two deltas) as a prominence-lite measure.
+    * All comparisons and deltas are EXACT DECIMAL on scale-2 hourly sums
+    * — strict inequalities cannot sit on a float boundary.
+    *
+    * 100-TB shape: hourly agg + one per-type lag/lead window over the
+    * calendar-sized series. */
+  val tsPeakDetect = Q(
+    "ts_peak_detect",
+    (spark, sfDir) => {
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(D.dec(col("value"))).cast(D.Money).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      hourly
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .withColumn("next", lead(col("v"), 1).over(w))
+        .filter(col("prev").isNotNull && col("next").isNotNull
+          && col("v") > col("prev") && col("v") > col("next"))
+        .select(col("event_type"), D.ntz(col("bucket")).as("bucket"),
+          D.dbl(col("v")).as("v"),
+          D.dbl(least(col("v") - col("prev"), col("v") - col("next"))
+            .cast(D.Money)).as("prominence"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+              FROM events GROUP BY event_type, bucket),
+                 n AS (
+              SELECT event_type, bucket, v,
+                     lag(v) OVER w AS prev, lead(v) OVER w AS next
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+            SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+                   CAST(v AS DOUBLE) AS v,
+                   CAST(CAST(least(v - prev, v - next) AS DECIMAL(18,2)) AS DOUBLE)
+                     AS prominence
+            FROM n
+            WHERE prev IS NOT NULL AND next IS NOT NULL
+              AND v > prev AND v > next
+            ORDER BY event_type, bucket"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
-    tsDownsampleLttb, tsForecastErrorNaive)
+    tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect)
 }

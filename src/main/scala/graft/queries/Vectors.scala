@@ -1126,10 +1126,64 @@ object Vectors {
                   WHERE a.vec_id < 10 AND v.label != a.label)
             WHERE rk = 1 ORDER BY anchor_id"""))
 
+  /** Out-of-distribution scoring vs the corpus centroid (round-9) — the
+    * embedding-space outlier filter of data curation (drop or down-weight
+    * vectors far from the corpus mass): ood = 1 − cos(v, μ) with μ the
+    * EXACT corpus mean, computed per dim as a BIGINT micro-unit sum
+    * (the vec_power_iter recipe — double sums over a corpus are
+    * partial-order-dependent) divided once; the 64-dim μ is a broadcast
+    * 64-row frame pivoted back to an array via sort-collect (bounded,
+    * deterministic). Output: the 10 most-OOD vectors, total-ordered
+    * (rounded ood DESC, vec_id).
+    *
+    * 100-TB shape: one linear micro-sum pass + a 64-row reduce, then one
+    * broadcast scan — the same two-pass shape as any global-stats
+    * normalize. */
+  val vecOodCentroid = Q(
+    "vec_ood_centroid",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+        .withColumn("e", dbl(col("embedding")))
+      val mu = emb
+        .select(posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(sum(round(col("x") * lit(1e6), 0).cast("bigint")).as("sm"),
+          count(lit(1)).as("n"))
+        .groupBy()
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sm"), col("n")))),
+          s => s.getField("sm").cast("double")
+            / s.getField("n").cast("double") / lit(1e6)).as("mu"))
+      emb.crossJoin(broadcast(mu))
+        .select(col("vec_id"),
+          round(lit(1.0) - expr("cosine_native(e, mu)"), 4).as("ood"))
+        .orderBy(col("ood").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH per AS (SELECT dim,
+                                 CAST(sum(micro) AS BIGINT) AS sm,
+                                 count(*) AS n
+                          FROM (SELECT generate_subscripts(embedding, 1) AS dim,
+                                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                             * 1e6, 0) AS BIGINT) AS micro
+                                FROM embeddings)
+                          GROUP BY dim),
+                 mu AS (SELECT list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                               ORDER BY dim) AS mu
+                        FROM per)
+            SELECT vec_id,
+                   round(1.0 - ${oDot("list_transform(embedding, x -> CAST(x AS DOUBLE))", "mu.mu")} /
+                         (${oNorm("list_transform(embedding, x -> CAST(x AS DOUBLE))")} * ${oNorm("mu.mu")}), 4)
+                     AS ood
+            FROM embeddings CROSS JOIN mu
+            ORDER BY ood DESC, vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
-    vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives)
+    vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives,
+    vecOodCentroid)
 }
