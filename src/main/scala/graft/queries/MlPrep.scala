@@ -678,10 +678,103 @@ object MlPrep {
                         FROM documents))
             GROUP BY bucket ORDER BY bucket"""))
 
+  /** AUC evaluation, integer-exact (round-9) — ROC-AUC of "value
+    * predicts purchase" per day-of-week via the Mann-Whitney rank-sum
+    * identity: AUC = (Σ_pos avgrank − n₊(n₊+1)/2) / (n₊n₋). Tie-aware
+    * average ranks are kept in DOUBLED integer units (2·avgrank =
+    * 2·rank_min + ties − 1, all BIGINT), so the whole statistic is exact
+    * integer arithmetic until one final division — the evaluation-metric
+    * determinism class of ts_forecast_error_naive, with zero float risk
+    * even at ties. The rank window partitions by the report key (dow);
+    * production partitions by whatever segment the eval reports on.
+    * Evaluation-as-a-query beside text_lang_confusion (classification)
+    * and ts_forecast_error_naive (regression). */
+  val mlAucEval = Q(
+    "ml_auc_eval",
+    (spark, sfDir) => {
+      val base = Tables.events(spark, sfDir)
+        .select(dayofweek(col("ts")).cast("bigint").as("dow"),
+          col("value").as("score"),
+          (col("event_type") === "purchase").cast("bigint").as("label"))
+      val wRank = Window.partitionBy("dow").orderBy("score")
+      val wTie = Window.partitionBy("dow", "score")
+      val ranked = base
+        .withColumn("rk", rank().over(wRank).cast("bigint"))
+        .withColumn("ties", count(lit(1)).over(wTie))
+        .withColumn("ar2", lit(2L) * col("rk") + col("ties") - lit(1L))
+      ranked.groupBy("dow")
+        .agg(sum(col("label")).as("n_pos"),
+          (count(lit(1)) - sum(col("label"))).as("n_neg"),
+          sum(when(col("label") === 1L, col("ar2")).otherwise(0L)).as("s2"))
+        .select(col("dow"), col("n_pos"), col("n_neg"),
+          ((col("s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+               * col("n_neg").cast("double"))).as("auc"))
+        .orderBy("dow")
+    },
+    Some("""WITH base AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value AS score,
+                                 CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END AS label
+                          FROM events),
+                 rnk AS (SELECT dow, label,
+                                CAST(rank() OVER (PARTITION BY dow ORDER BY score)
+                                     AS BIGINT) AS rk,
+                                CAST(count(*) OVER (PARTITION BY dow, score)
+                                     AS BIGINT) AS ties
+                         FROM base),
+                 g AS (SELECT dow,
+                              CAST(sum(label) AS BIGINT) AS n_pos,
+                              CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+                              CAST(sum(CASE WHEN label = 1
+                                            THEN 2 * rk + ties - 1
+                                            ELSE 0 END) AS BIGINT) AS s2
+                       FROM rnk GROUP BY dow)
+            SELECT dow, n_pos, n_neg,
+                   CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                     AS auc
+            FROM g ORDER BY dow"""))
+
+  /** Calibration bins (round-9) — the reliability-curve companion to
+    * ml_auc_eval: score deciles via ntile(10) over the (score, event_id)
+    * total order, per bin the empirical positive rate (exact integer
+    * ratio), the mean score (exact decimal sum), and the bin's score
+    * span. A well-calibrated score has pos_rate tracking mean_score; the
+    * fixture's value column is NOT calibrated — the query's job is to
+    * show that, not to flatter it. */
+  val mlCalibrationBins = Q(
+    "ml_calibration_bins",
+    (spark, sfDir) => {
+      val w = Window.orderBy(col("score"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("value").as("score"),
+          (col("event_type") === "purchase").cast("bigint").as("label"))
+        .withColumn("bin", ntile(10).over(w).cast("bigint"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("label")).cast("double")
+            / count(lit(1)).cast("double")).as("pos_rate"),
+          D.sumDec(col("score")).as("sum_score"),
+          min(col("score")).as("lo"), max(col("score")).as("hi"))
+        .orderBy("bin")
+    },
+    Some(s"""SELECT bin, count(*) AS n,
+                   CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS pos_rate,
+                   ${D.oSumDec("score")} AS sum_score,
+                   min(score) AS lo, max(score) AS hi
+            FROM (SELECT CAST(ntile(10) OVER (ORDER BY value, event_id)
+                              AS BIGINT) AS bin,
+                         value AS score,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS label
+                  FROM events)
+            GROUP BY bin ORDER BY bin"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
     mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
-    mlFeatureCross)
+    mlFeatureCross, mlAucEval, mlCalibrationBins)
 }
