@@ -1093,10 +1093,52 @@ object TimeSeries {
               AND v > prev AND v > next
             ORDER BY event_type, bucket"""))
 
+  /** Hour-of-week profile with ROLLUP margins (round-9) — calendar-
+    * effects analysis: the 7×24 (dow, hour) activity grid PLUS its
+    * per-dow subtotals and grand total in one pass (GROUP BY ROLLUP),
+    * the weekly-seasonality profile capacity planning reads. Averages
+    * use ts_hourly_profile's exact-integer recipe (cents·10⁴ div n is
+    * pure BIGINT; /10⁴ of the same integer is bit-identical — sums of
+    * 2-dp values over calendar cells routinely terminate ON a 4dp
+    * midpoint, where the engines' double roundings disagree). Margin
+    * rows surface dow/hr as -1 (COALESCE over the rollup NULLs keeps
+    * the output total-orderable).
+    *
+    * 100-TB shape: ROLLUP is one Expand + hash agg — the grid is
+    * calendar-sized regardless of corpus. */
+  val tsWeekProfileRollup = Q(
+    "ts_week_profile_rollup",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .select(
+          (((dayofweek(col("ts")) + 5) % 7) + 1).cast("bigint").as("dow"),
+          hour(col("ts")).cast("bigint").as("hr"),
+          col("value"))
+        .rollup("dow", "hr")
+        .agg(count(lit(1)).as("n"),
+          ((sum(D.dec(col("value")).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(10000))
+            .cast("bigint").cast("double")
+            / count(lit(1)).cast("double") / lit(10000.0)).as("avg_value"))
+        .select(coalesce(col("dow"), lit(-1L)).as("dow"),
+          coalesce(col("hr"), lit(-1L)).as("hr"), col("n"), col("avg_value"))
+        .orderBy("dow", "hr"),
+    Some("""SELECT coalesce(dow, -1) AS dow, coalesce(hr, -1) AS hr,
+                   count(*) AS n,
+                   CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) * 10000 AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 10000.0 AS avg_value
+            FROM (SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, value
+                  FROM events)
+            GROUP BY ROLLUP (dow, hr)
+            ORDER BY dow, hr"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
-    tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect)
+    tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
+    tsWeekProfileRollup)
 }

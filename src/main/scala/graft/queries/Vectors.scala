@@ -1179,11 +1179,39 @@ object Vectors {
             FROM embeddings CROSS JOIN mu
             ORDER BY ood DESC, vec_id LIMIT 10"""))
 
+  /** Centroid-to-centroid distance matrix (round-9) — the index-
+    * maintenance diagnostic read after every re-cluster: pairwise cosine
+    * between the 8 seeded centroids (k² = 64 rows, trivially broadcast
+    * at any k a human would inspect); two centroids too close means the
+    * partition wastes a cell (merge candidates), the complement of
+    * vec_cluster_stats' within-cell report. Shares the exact fold/oracle
+    * discipline of the pair queries. */
+  val vecCentroidDistances = Q(
+    "vec_centroid_distances",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val c = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val a = c.select(col("vec_id").as("c1"), col("e").as("e1"))
+      val b = c.select(col("vec_id").as("c2"), col("e").as("e2"))
+      a.join(broadcast(b), col("c1") < col("c2"))
+        .select(col("c1"), col("c2"),
+          round(expr("cosine_native(e1, e2)"), 4).as("cos_sim"))
+        .orderBy("c1", "c2")
+    },
+    Some(s"""SELECT a.vec_id AS c1, b.vec_id AS c2,
+                   round(${oDot("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} /
+                         (${oNorm("a.embedding::DOUBLE[]")} * ${oNorm("b.embedding::DOUBLE[]")}), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 8 AND b.vec_id < 8
+            ORDER BY c1, c2"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
     vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives,
-    vecOodCentroid)
+    vecOodCentroid, vecCentroidDistances)
 }
