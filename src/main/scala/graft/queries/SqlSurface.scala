@@ -52,5 +52,53 @@ object SqlSurface {
     },
     Some(q3Text("TIMESTAMP")))
 
-  def qs: Seq[Q] = Seq(sqlQ3Shipping)
+  private val windowTopkText =
+    """WITH ranked AS (
+      |  SELECT c_mktsegment, c_name, o_orderkey, o_totalprice,
+      |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY o_totalprice DESC, o_orderkey)
+      |              AS BIGINT) AS rk
+      |  FROM customer JOIN orders ON c_custkey = o_custkey)
+      |SELECT c_mktsegment, rk, c_name, o_orderkey, o_totalprice
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** Top-3 orders per market segment through the raw-SQL path — CTE +
+    * window + total-ordered cut, the analyst query shape. The SQL text is
+    * CHARACTER-IDENTICAL between Spark and DuckDB (no dialect token at
+    * all): the strongest form of the surface's portability claim. */
+  val sqlWindowTopk = Q(
+    "sql_window_topk",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(windowTopkText)
+    },
+    Some(windowTopkText))
+
+  private val filteredAggText =
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       count(*) FILTER (WHERE value > 100.0) AS n_large,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |            FILTER (WHERE value > 100.0)
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS sum_large
+      |FROM events
+      |GROUP BY event_type
+      |HAVING count(*) FILTER (WHERE value > 100.0) > 0
+      |ORDER BY event_type""".stripMargin
+
+  /** FILTER-clause aggregates + HAVING through the raw-SQL path —
+    * standard-SQL conditional aggregation (the FILTER syntax many
+    * DataFrame users don't know Spark SQL accepts), again with
+    * character-identical text in both engines, decimal discipline
+    * included. */
+  val sqlFilteredAgg = Q(
+    "sql_filtered_agg",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(filteredAggText)
+    },
+    Some(filteredAggText))
+
+  def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg)
 }
