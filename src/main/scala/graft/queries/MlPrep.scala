@@ -762,10 +762,64 @@ object MlPrep {
                   FROM events)
             GROUP BY bin ORDER BY bin"""))
 
+  /** Dataset card (round-9) — the single-row statistics summary a
+    * curation pipeline publishes beside every released corpus (the
+    * "datasheet" census): document/token/char totals, vocabulary size,
+    * language count, exact-duplicate rate, mean/max document length.
+    * Everything is exact integer arithmetic except the two unrounded
+    * identical-integer divisions. One pass over the shared tokenized
+    * frame plus its token explode — the whole card costs two hash aggs
+    * at any corpus size. */
+  val mlDatasetCard = Q(
+    "ml_dataset_card",
+    (spark, sfDir) => {
+      val docs = graft.queries.TextOps.docToks(spark, sfDir)
+      val toks = docs
+        .select(explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+      val vocab = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("vocab_size"))
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(size(col("tk"))).cast("bigint").as("max_doc_tokens"))
+        .crossJoin(broadcast(vocab))
+        .select(col("n_docs"), col("n_langs"), col("total_chars"),
+          col("n_tokens"), col("vocab_size"), col("max_doc_tokens"),
+          (lit(1.0) - col("n_unique_texts").cast("double")
+            / col("n_docs").cast("double")).as("dup_rate"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_doc_tokens"))
+    },
+    Some("""WITH toks AS (SELECT term
+                          FROM (SELECT unnest(string_split(lower(text), ' '))
+                                         AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 v AS (SELECT count(*) AS n_tokens,
+                              count(DISTINCT term) AS vocab_size
+                       FROM toks),
+                 d AS (SELECT count(*) AS n_docs,
+                              count(DISTINCT md5(text)) AS n_unique_texts,
+                              count(DISTINCT lang) AS n_langs,
+                              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                              CAST(max(len(string_split(text, ' '))) AS BIGINT)
+                                AS max_doc_tokens
+                       FROM documents)
+            SELECT n_docs, n_langs, total_chars, n_tokens, vocab_size,
+                   max_doc_tokens,
+                   1.0 - CAST(n_unique_texts AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE) AS dup_rate,
+                   CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     AS mean_doc_tokens
+            FROM d CROSS JOIN v"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
     mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
-    mlFeatureCross, mlAucEval, mlCalibrationBins)
+    mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard)
 }

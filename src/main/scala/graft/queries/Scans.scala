@@ -118,6 +118,28 @@ object Scans {
             FROM (SELECT unnest(generate_series(1, 100000)) AS i)
             GROUP BY bucket ORDER BY bucket"""))
 
+  /** IN-list predicate pushdown (round-9) — the membership filter shape
+    * (priority routing, tenant allowlists) that must reach the parquet
+    * reader as an In filter so row groups whose [min,max] exclude every
+    * listed value never leave disk. PlanShapeSpec pins the pushdown;
+    * the graded output is the filtered census (count + decimal sum per
+    * kept priority). */
+  val scanInPushdown = Q(
+    "scan_in_pushdown",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority")
+          .isin("1-URGENT", "2-HIGH", "5-LOW"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          D.sumDec(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority"),
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+                   ${D.oSumDec("o_totalprice")} AS sum_price
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '5-LOW')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def qs: Seq[Q] = Seq(scanProject, scanFilterPushdown, scanEventsNs,
-    projectCompute, filterCompound, filterNullSemantics, scanRangeSource)
+    projectCompute, filterCompound, filterNullSemantics, scanRangeSource, scanInPushdown)
 }

@@ -148,4 +148,13 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected one events scan, found $scans")
   }
+
+  test("IN-list membership filter pushes down to the parquet scan") {
+    // scan_in_pushdown (round-9): the In(o_orderpriority, [...]) filter
+    // must reach the reader so zone maps can skip row groups.
+    val p = plan("scan_in_pushdown")
+    assert(pushedNonEmpty(p), "no pushed filters in scan_in_pushdown")
+    assert(p.contains("In(o_orderpriority"),
+      "IN-list not pushed to the orders scan")
+  }
 }
