@@ -1127,11 +1127,77 @@ object TimeSeries {
             GROUP BY ROLLUP (dow, hr)
             ORDER BY dow, hr"""))
 
+  /** Session-scoped funnel (round-9) — "completed view→click→purchase
+    * WITHIN ONE SESSION", the product metric the user-lifetime funnel
+    * (ts_funnel) deliberately over-counts: stages must advance inside
+    * the same 30-minute-gap session (the ts_session gaps-and-islands
+    * sid, spelled identically in both engines), each stage strictly
+    * after the previous stage's first completion. Output: sessions
+    * surviving each stage.
+    *
+    * 100-TB shape: the sid window is per-user linear; each stage is a
+    * keyed agg + equi-join on (user, sid) — the funnel never leaves the
+    * session key. */
+  val tsSessionizedFunnel = Q(
+    "ts_sessionized_funnel",
+    (spark, sfDir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("brk",
+          when(unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(lag(col("ts"), 1).over(wOrd).cast("timestamp"))
+            > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("user_id", "sid", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "sid").agg(min("ts").as("t1"))
+      val s2 = ev.join(s1, Seq("user_id", "sid"))
+        .filter(col("event_type") === "click" && col("ts") > col("t1"))
+        .groupBy("user_id", "sid").agg(min("ts").as("t2"))
+      val s3 = ev.join(s2, Seq("user_id", "sid"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+        .groupBy("user_id", "sid").agg(min("ts").as("t3"))
+      def one(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_sessions"))
+          .select(lit(name).as("stage"), col("n_sessions"))
+      one(s1, "1_view").unionAll(one(s2, "2_click"))
+        .unionAll(one(s3, "3_purchase"))
+        .orderBy("stage")
+    },
+    Some("""WITH flagged AS (
+              SELECT user_id, ts, event_type,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) > INTERVAL 30 MINUTES
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            sess AS (
+              SELECT user_id, event_type, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged),
+            s1 AS (SELECT user_id, sid, min(ts) AS t1 FROM sess
+                   WHERE event_type = 'view' GROUP BY user_id, sid),
+            s2 AS (SELECT e.user_id, e.sid, min(e.ts) AS t2 FROM sess e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.sid = s1.sid
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id, e.sid),
+            s3 AS (SELECT e.user_id, e.sid, min(e.ts) AS t3 FROM sess e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.sid = s2.sid
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id, e.sid)
+            SELECT stage, n_sessions FROM (
+              SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_sessions FROM s1
+              UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3)
+            ORDER BY stage"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
-    tsWeekProfileRollup)
+    tsWeekProfileRollup, tsSessionizedFunnel)
 }
