@@ -1567,6 +1567,62 @@ object TextOps {
                      AS frac_of_actual
             FROM c ORDER BY actual_lang, predicted"""))
 
+  /** Token-distribution drift between corpus slices (round-9) — the
+    * monitoring query a pipeline runs when a new crawl lands: compare
+    * unigram distributions of two halves (doc_id parity stands in for
+    * old-vs-new shards) and surface the most-drifted terms. Per term:
+    * p_a = c_a/n_a, p_b = c_b/n_b (identical-integer divisions; absent
+    * terms count 0 via the FULL OUTER join), drift = |p_a − p_b|
+    * rounded at 6 — rounding a GENERIC real (a difference of unrelated
+    * rationals, not a grid point — the micro-int queries' half-boundary
+    * resonance does not apply); cut total-ordered (drift DESC, term).
+    *
+    * 100-TB shape: two slice aggs from the shared tokenized frame, a
+    * FULL OUTER equi-join on term, two 1-row broadcast totals, one
+    * bounded cut. */
+  val textTokenDrift = Q(
+    "text_token_drift",
+    (spark, sfDir) => {
+      val toks = docToks(spark, sfDir)
+        .select(col("doc_id"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+      val ca = toks.filter(col("doc_id") % 2 === 0)
+        .groupBy("term").agg(count(lit(1)).as("ca"))
+      val cb = toks.filter(col("doc_id") % 2 === 1)
+        .groupBy("term").agg(count(lit(1)).as("cb"))
+      val na = ca.agg(sum(col("ca")).as("na"))
+      val nb = cb.agg(sum(col("cb")).as("nb"))
+      ca.join(cb, Seq("term"), "full_outer")
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(col("term"),
+          (coalesce(col("ca"), lit(0L)).cast("double")
+            / col("na").cast("double")).as("pa"),
+          (coalesce(col("cb"), lit(0L)).cast("double")
+            / col("nb").cast("double")).as("pb"))
+        .withColumn("drift", round(abs(col("pa") - col("pb")), 6))
+        .orderBy(col("drift").desc, col("term"))
+        .limit(10)
+    },
+    Some("""WITH toks AS (SELECT doc_id, term
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(lower(text), ' ')) AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 ca AS (SELECT term, count(*) AS ca FROM toks
+                        WHERE doc_id % 2 = 0 GROUP BY term),
+                 cb AS (SELECT term, count(*) AS cb FROM toks
+                        WHERE doc_id % 2 = 1 GROUP BY term),
+                 na AS (SELECT CAST(sum(ca) AS BIGINT) AS na FROM ca),
+                 nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb)
+            SELECT term, pa, pb, round(abs(pa - pb), 6) AS drift FROM (
+              SELECT coalesce(ca.term, cb.term) AS term,
+                     CAST(coalesce(ca, 0) AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                     CAST(coalesce(cb, 0) AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
+              FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+              CROSS JOIN na CROSS JOIN nb)
+            ORDER BY drift DESC, term LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1576,5 +1632,5 @@ object TextOps {
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
     textRarityScore, textDedupSurvivors, textBm25Rank,
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
-    textLangConfusion)
+    textLangConfusion, textTokenDrift)
 }
