@@ -1193,11 +1193,52 @@ object TimeSeries {
               UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3)
             ORDER BY stage"""))
 
+  /** Day-over-day percent change (round-9) — the dashboard primitive:
+    * daily revenue per type with absolute and relative change vs the
+    * previous day. Deltas are EXACT DECIMAL; the percent is one division
+    * of finished identical operands (NULL on first day / zero base).
+    *
+    * 100-TB shape: daily agg + one per-type lag window over the
+    * calendar-sized series. */
+  val tsPctChange = Q(
+    "ts_pct_change",
+    (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(D.dec(col("value"))).cast(D.Money).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .select(col("event_type"), D.ntz(col("day")).as("day"),
+          D.dbl(col("v")).as("v"),
+          D.dbl((col("v") - col("prev")).cast(D.Money)).as("delta"),
+          when(col("prev").isNotNull && col("prev") =!= lit(0).cast(D.Money),
+            D.dbl((col("v") - col("prev")).cast(D.Money))
+              / D.dbl(col("prev"))).as("pct_change"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+              FROM events GROUP BY event_type, day),
+                 lg AS (SELECT event_type, day, v,
+                               lag(v) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS prev
+                        FROM daily)
+            SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+                   CAST(v AS DOUBLE) AS v,
+                   CAST(CAST(v - prev AS DECIMAL(18,2)) AS DOUBLE) AS delta,
+                   CASE WHEN prev IS NOT NULL AND prev != 0
+                        THEN CAST(CAST(v - prev AS DECIMAL(18,2)) AS DOUBLE)
+                             / CAST(prev AS DOUBLE) END AS pct_change
+            FROM lg ORDER BY event_type, day"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
-    tsWeekProfileRollup, tsSessionizedFunnel)
+    tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange)
 }
