@@ -953,4 +953,26 @@ object Ops {
             / (lit(2.0) * col("n_pos").cast("double")
                * col("n_neg").cast("double"))).as("auc"))
   }
+
+  /** Corpus-global symmetric int8 codes (round-9): scale s = max |x|
+    * over the corpus, per-vector codes round(x/s·127) carried as exact
+    * small-integer doubles (every value and partial dot binary-exact;
+    * see vec_int8_dot_topk). Memoized + persisted per (plan, id/vec
+    * exprs) like the PQ index frames — the build-once/query-many shape:
+    * serving N queries re-reads the coded frame, never re-codes the
+    * corpus. Returns (vec_id, e double[], q double[]). */
+  def int8Codes(df: DataFrame, id: Column, vec: Column): DataFrame =
+    graft.util.Memo(df.sparkSession,
+        s"int8codes:${indexKey(df, id, vec)}") {
+      import graft.util.V
+      val base = df.select(id.as("vec_id"), V.dbl(vec).as("e"))
+      val sc = base.agg(
+        max(greatest(abs(array_min(col("e"))), abs(array_max(col("e")))))
+          .as("graft_s"))
+      base.crossJoin(broadcast(sc))
+        .select(col("vec_id"), col("e"),
+          transform(col("e"), x =>
+            round(x / col("graft_s") * lit(127.0), 0)).as("q"))
+        .persist()
+    }
 }

