@@ -1623,6 +1623,56 @@ object TextOps {
               CROSS JOIN na CROSS JOIN nb)
             ORDER BY drift DESC, term LIMIT 10"""))
 
+  /** Top-K bigram coverage (round-9) — the tokenizer-design diagnostic
+    * paired with ml_bpe_merge_step: what fraction of all corpus token
+    * bigram INSTANCES the top-100 bigram types cover (the coverage-curve
+    * point that decides vocabulary size). Counts are exact integers; the
+    * top-100 cut is total-ordered (count DESC, bigram); coverage is one
+    * identical-integer division. Output: one row (n_bigram_types,
+    * n_instances, top_k, covered_instances, coverage).
+    *
+    * 100-TB shape: one (bigram) hash agg; the rank window runs over the
+    * bigram VOCABULARY (post-agg), not the corpus. */
+  val textBigramCoverage = Q(
+    "text_bigram_coverage",
+    (spark, sfDir) => {
+      val big = docToks(spark, sfDir)
+        .select(explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (t, i) -> concat(t, ' ', tk[i + 1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("bigram"))
+      big.withColumn("rk", row_number().over(w))
+        .groupBy()
+        .agg(count(lit(1)).as("n_bigram_types"),
+          sum(col("n")).as("n_instances"),
+          sum(when(col("rk") <= 100, col("n")).otherwise(0L))
+            .as("covered_instances"))
+        .select(col("n_bigram_types"), col("n_instances"),
+          lit(100L).as("top_k"), col("covered_instances"),
+          (col("covered_instances").cast("double")
+            / col("n_instances").cast("double")).as("coverage"))
+    },
+    Some("""WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+                 big AS (SELECT bigram, count(*) AS n
+                         FROM (SELECT unnest(list_transform(
+                                 generate_series(1, len(tk) - 1),
+                                 i -> tk[CAST(i AS INT)] || ' '
+                                      || tk[CAST(i AS INT) + 1])) AS bigram
+                               FROM toks)
+                         GROUP BY bigram),
+                 rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, bigram)
+                               AS rk
+                        FROM big)
+            SELECT count(*) AS n_bigram_types,
+                   CAST(sum(n) AS BIGINT) AS n_instances,
+                   CAST(100 AS BIGINT) AS top_k,
+                   CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS BIGINT)
+                     AS covered_instances,
+                   CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE) AS coverage
+            FROM rk"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1632,5 +1682,5 @@ object TextOps {
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
     textRarityScore, textDedupSurvivors, textBm25Rank,
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
-    textLangConfusion, textTokenDrift)
+    textLangConfusion, textTokenDrift, textBigramCoverage)
 }

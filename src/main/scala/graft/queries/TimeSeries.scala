@@ -1234,11 +1234,54 @@ object TimeSeries {
                              / CAST(prev AS DOUBLE) END AS pct_change
             FROM lg ORDER BY event_type, day"""))
 
+  /** Largest inactivity gap per user (round-9) — the churn/dropout
+    * signal: the longest silence between consecutive events, as exact
+    * integer microseconds with the gap's endpoints. The per-user argmax
+    * is a total-ordered row_number cut (gap DESC, then gap start — two
+    * equal gaps resolve to the earlier one identically in both engines).
+    *
+    * 100-TB shape: one per-user lag window + one per-user cut — linear
+    * per key. */
+  val tsMaxGap = Q(
+    "ts_max_gap",
+    (spark, sfDir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables.events(spark, sfDir)
+        .filter(col("user_id") < 200)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("prev_ts").cast("timestamp"))).as("gap_us"),
+          D.ntz(col("prev_ts")).as("gap_start"),
+          D.ntz(col("ts")).as("gap_end"))
+      val wPick = Window.partitionBy("user_id")
+        .orderBy(col("gap_us").desc, col("gap_start"))
+      gaps.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select("user_id", "gap_us", "gap_start", "gap_end")
+        .orderBy("user_id")
+    },
+    Some("""WITH gaps AS (
+              SELECT user_id,
+                     epoch_us(ts) - epoch_us(prev_ts) AS gap_us,
+                     prev_ts AS gap_start, ts AS gap_end
+              FROM (SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events WHERE user_id < 200)
+              WHERE prev_ts IS NOT NULL)
+            SELECT user_id, gap_us, gap_start, gap_end FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY gap_us DESC, gap_start) AS rk
+              FROM gaps)
+            WHERE rk = 1 ORDER BY user_id"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
-    tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange)
+    tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap)
 }
