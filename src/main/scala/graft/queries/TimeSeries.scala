@@ -1277,11 +1277,67 @@ object TimeSeries {
               FROM gaps)
             WHERE rk = 1 ORDER BY user_id"""))
 
+  /** DAU / WAU stickiness (round-9) — the product-health ratio: daily
+    * distinct actives over trailing-7-day distinct actives, per day.
+    * WAU comes from the 7-day-window / 1-day-slide sliding window (each
+    * event legitimately counts toward 7 windows — the window() fan-out,
+    * exactly like ts_sliding), DAU from the daily tumbling distinct;
+    * join on the window END day so both sides describe the same
+    * trailing period; stickiness is one identical-integer division.
+    * Only windows fully inside the observed span are reported (the
+    * leading ramp-up days under-count WAU by construction).
+    *
+    * 100-TB shape: both sides are distinct aggs on (window, user) —
+    * shuffle on the user key; the fan-out multiplies rows by 7, the
+    * price every sliding window pays. */
+  val tsStickiness = Q(
+    "ts_stickiness",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val dau = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ev
+        .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(date_trunc("day", col("w.end") - expr("INTERVAL 1 DAY"))
+          .as("day"), col("wau"))
+      val bounds = ev.agg(
+        date_trunc("day", min(col("ts"))).as("lo"),
+        date_trunc("day", max(col("ts"))).as("hi"))
+      dau.join(wau, Seq("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") >= col("lo") + expr("INTERVAL 6 DAYS")
+          && col("day") <= col("hi"))
+        .select(D.ntz(col("day")).as("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH dau AS (SELECT date_trunc('day', ts) AS day,
+                                count(DISTINCT user_id) AS dau
+                         FROM events GROUP BY day),
+                 offs AS (SELECT unnest(generate_series(0, 6)) AS o),
+                 wau AS (SELECT day, count(DISTINCT user_id) AS wau
+                         FROM (SELECT date_trunc('day', ts)
+                                        + to_days(CAST(o AS INT)) AS day,
+                                      user_id
+                               FROM events CROSS JOIN offs)
+                         GROUP BY day),
+                 bounds AS (SELECT date_trunc('day', min(ts)) AS lo,
+                                   date_trunc('day', max(ts)) AS hi
+                            FROM events)
+            SELECT CAST(day AS TIMESTAMP) AS day, dau, wau,
+                   CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+            FROM dau JOIN wau USING (day) CROSS JOIN bounds
+            WHERE day >= lo + INTERVAL 6 DAYS AND day <= hi
+            ORDER BY day"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
     tsConversionWindow, tsHourlyProfile, tsAttribution, tsDerivative,
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
-    tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap)
+    tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap,
+    tsStickiness)
 }
