@@ -610,12 +610,41 @@ object Aggs {
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Benford first-digit census (round-9) — the fraud/synthetic-data
+    * screen: distribution of o_totalprice's leading digit. Natural
+    * multi-scale amounts approximate Benford's law; a flat profile
+    * flags generated data (this fixture's near-uniform prices are the
+    * degenerate case the screen exists to catch — same contract as
+    * text_zipf_slope). Counts exact; frac one identical-integer
+    * division; the digit comes from string ops (no log10). */
+  val aggFirstDigit = Q(
+    "agg_first_digit",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .select(substring(col("o_totalprice").cast(D.Money).cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(
+          Tables.orders(spark, sfDir).agg(count(lit(1)).as("total"))))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("frac"))
+        .orderBy("digit"),
+    Some("""WITH c AS (SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 AS VARCHAR), 1, 1) AS digit,
+                              count(*) AS n
+                       FROM orders GROUP BY digit),
+                 t AS (SELECT count(*) AS total FROM orders)
+            SELECT digit, n,
+                   CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+            FROM c CROSS JOIN t ORDER BY digit"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
     aggTwophaseSalted, aggTopkListagg, aggMoments, aggGroupingId, aggRegression,
-    aggMultiDistinct)
+    aggMultiDistinct, aggFirstDigit)
 
   /** Two-phase salted aggregation — the skew-defeating shape for hot
     * group keys (l_returnflag has THREE values over the whole table: the

@@ -1673,6 +1673,32 @@ object TextOps {
                      / CAST(sum(n) AS DOUBLE) AS coverage
             FROM rk"""))
 
+  /** Deterministic review sample (round-9) — the human-QA draw every
+    * curation change ships with: per language, the 3 docs with the
+    * smallest salted content hash — "random" to any reviewer, yet
+    * byte-reproducible across reruns, engines and re-partitions (the
+    * no-rand(seed) sampling policy of ml_importance_sample applied to
+    * inspection). Output carries the fields a reviewer needs. */
+  val textReviewSample = Q(
+    "text_review_sample",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("lang").orderBy("h")
+      docToks(spark, sfDir)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          md5(concat(lit("rs"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    },
+    Some("""SELECT lang, rk, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY md5('rs' || CAST(doc_id AS VARCHAR)))
+                       AS BIGINT) AS rk
+              FROM documents)
+            WHERE rk <= 3 ORDER BY lang, rk"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1682,5 +1708,5 @@ object TextOps {
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
     textRarityScore, textDedupSurvivors, textBm25Rank,
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
-    textLangConfusion, textTokenDrift, textBigramCoverage)
+    textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample)
 }
