@@ -639,12 +639,67 @@ object Aggs {
                    CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac
             FROM c CROSS JOIN t ORDER BY digit"""))
 
+  /** Gini concentration of customer revenue (round-9) — the inequality
+    * metric behind "top-N% of customers drive M% of revenue": with
+    * per-customer revenue x sorted ascending (total order: amount, then
+    * custkey), G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n. Every term is exact —
+    * revenues are decimal cents (BIGINT), ranks are integers, products
+    * Σ i·cents fit DECIMAL(38,0) with orders of headroom — and the two
+    * final divisions act on identical integers. The rank window runs
+    * over the CUSTOMER aggregate (bounded by customer count, not order
+    * volume). Output: one row (n_customers, total_revenue, gini). */
+  val aggGiniRevenue = Q(
+    "agg_gini_revenue",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val rev = Tables.orders(spark, sfDir)
+        .groupBy("o_custkey")
+        .agg((sum(D.dec(col("o_totalprice"))).cast(D.Money) * lit(100))
+          .cast("bigint").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents"), col("o_custkey"))
+      rev.withColumn("i", row_number().over(w).cast("bigint"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("sum_cents"),
+          sum((col("i").cast(DecimalType(19, 0))
+            * col("cents").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+            .as("sum_icents"))
+        .select(col("n_customers"),
+          (col("sum_cents").cast("double") / lit(100.0)).as("total_revenue"),
+          (lit(2.0) * col("sum_icents").cast("double")
+            / (col("n_customers").cast("double")
+               * col("sum_cents").cast("double"))
+            - (col("n_customers") + 1L).cast("double")
+              / col("n_customers").cast("double")).as("gini"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+                                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                     AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                         FROM orders GROUP BY o_custkey),
+                 rk AS (SELECT cents,
+                               CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                                    AS BIGINT) AS i
+                        FROM rev),
+                 g AS (SELECT count(*) AS n_customers,
+                              CAST(sum(cents) AS BIGINT) AS sum_cents,
+                              sum(CAST(i AS DECIMAL(19,0))
+                                  * CAST(cents AS DECIMAL(19,0))) AS sum_icents
+                       FROM rk)
+            SELECT n_customers,
+                   CAST(sum_cents AS DOUBLE) / 100.0 AS total_revenue,
+                   2.0 * CAST(sum_icents AS DOUBLE)
+                     / (CAST(n_customers AS DOUBLE) * CAST(sum_cents AS DOUBLE))
+                     - CAST(n_customers + 1 AS DOUBLE)
+                       / CAST(n_customers AS DOUBLE) AS gini
+            FROM g"""))
+
   def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
     aggTwophaseSalted, aggTopkListagg, aggMoments, aggGroupingId, aggRegression,
-    aggMultiDistinct, aggFirstDigit)
+    aggMultiDistinct, aggFirstDigit, aggGiniRevenue)
 
   /** Two-phase salted aggregation — the skew-defeating shape for hot
     * group keys (l_returnflag has THREE values over the whole table: the
