@@ -538,9 +538,53 @@ object Joins {
             FROM keyed JOIN dim ON pk IS NOT DISTINCT FROM dk
             GROUP BY pk ORDER BY pk ASC NULLS FIRST"""))
 
+  /** Bloom-prefiltered semi-join (round-9) — the runtime-filter pattern
+    * Spark's own optimizer injects (InjectRuntimeFilter), demonstrated
+    * explicitly: build a Bloom filter over the small side's keys
+    * (1996 orders), prefilter the FACT SCAN with might_contain — rows
+    * that cannot match never reach the shuffle — then the exact
+    * semi-join removes the false positives. Because Bloom filters have
+    * NO false negatives, prefilter + exact ≡ exact: the oracle is the
+    * plain semi-join, so the sketch is graded hash-exactly (the
+    * agg_approx_topk trick applied to joins). At 100 TB this is THE
+    * join-reduction shape: the bloom is a broadcast of ~100 KB where
+    * the key set itself might be GBs. */
+  val joinBloomPrefilter = Q(
+    "join_bloom_prefilter",
+    (spark, sfDir) => {
+      graft.functions.BloomFns.register(spark)
+      val keys = Tables.orders(spark, sfDir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"))
+      // BloomFilterMightContain requires a CONSTANT bloom (the analyzer
+      // rejects a joined column) — so the built filter is fetched to the
+      // driver ONCE per (session, sfDir) and inlined as a literal, the
+      // same single-driver-fetch-at-index-build the ANN tier documents;
+      // the per-row scan path stays fully distributed.
+      val bfBytes = graft.util.Memo(spark, s"$sfDir:bloom_orders_1996") {
+        keys.agg(
+          expr("graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)")
+            .as("bf")).head().getAs[Array[Byte]](0)
+      }
+      val pre = Tables.lineitem(spark, sfDir)
+        .filter(call_function("graft_might_contain",
+          lit(bfBytes), xxhash64(col("l_orderkey"))))
+      pre.join(keys, pre("l_orderkey") === keys("o_orderkey"), "semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          D.sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, count(*) AS n,
+                   ${D.oSumDec("l_extendedprice")} AS sum_price
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE EXTRACT(year FROM o_orderdate) = 1996)
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
     joinRange, joinRangeBucketed, joinAsof, joinAsofForward, joinAsofNearest,
     joinAsofTolerance, joinSkewSalted, joinStarFlagship, joinIntervalOverlap,
-    joinNullSafeEq)
+    joinNullSafeEq, joinBloomPrefilter)
 }
