@@ -63,4 +63,17 @@ class Round9dOpsSpec extends SparkSpec {
     val g = r.getDouble(2)
     assert(g >= 0.0 && g < 1.0, s"gini $g")
   }
+
+  test("join_bloom_prefilter: prefilter+exact equals the plain exact semi-join") {
+    import graft.util.Tables
+    val bloomed = run("join_bloom_prefilter").collect()
+    val keys = Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")) === 1996).select("o_orderkey")
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = li.join(keys, li("l_orderkey") === keys("o_orderkey"), "semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    assert(bloomed.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      exact.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
 }
