@@ -816,10 +816,58 @@ object MlPrep {
                      AS mean_doc_tokens
             FROM d CROSS JOIN v"""))
 
+  /** OOV rate by vocabulary size (round-9) — THE tokenizer-budget
+    * metric: the fraction of token INSTANCES that fall outside the
+    * top-K unigram vocabulary, for K = 10/20/30 in one pass (rank the
+    * vocabulary once, cross the tiny K list, aggregate). Exact integer
+    * counts; total-ordered vocabulary rank (count DESC, term); one
+    * identical-integer division per row. Complements
+    * text_bigram_coverage (pair level) at the unigram level where
+    * vocab-size decisions are actually made. */
+  val mlOovRate = Q(
+    "ml_oov_rate",
+    (spark, sfDir) => {
+      val cnt = graft.queries.TextOps.docToks(spark, sfDir)
+        .select(explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term"))
+      val ranked = cnt.withColumn("rk", row_number().over(w).cast("bigint"))
+      import spark.implicits._
+      val ks = Seq(10L, 20L, 30L).toDF("k")
+      ranked.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(sum(col("n")).as("n_instances"),
+          sum(when(col("rk") > col("k"), col("n")).otherwise(0L))
+            .as("oov_instances"))
+        .select(col("k"), col("n_instances"), col("oov_instances"),
+          (col("oov_instances").cast("double")
+            / col("n_instances").cast("double")).as("oov_rate"))
+        .orderBy("k")
+    },
+    Some("""WITH cnt AS (SELECT term, count(*) AS n
+                         FROM (SELECT unnest(string_split(lower(text), ' '))
+                                        AS term
+                               FROM documents)
+                         WHERE length(term) > 0 GROUP BY term),
+                 ranked AS (SELECT n,
+                                   CAST(row_number() OVER (ORDER BY n DESC, term)
+                                        AS BIGINT) AS rk
+                            FROM cnt),
+                 ks AS (SELECT CAST(unnest([10, 20, 30]) AS BIGINT) AS k)
+            SELECT k, CAST(sum(n) AS BIGINT) AS n_instances,
+                   CAST(sum(CASE WHEN rk > k THEN n ELSE 0 END) AS BIGINT)
+                     AS oov_instances,
+                   CAST(sum(CASE WHEN rk > k THEN n ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE) AS oov_rate
+            FROM ranked CROSS JOIN ks
+            GROUP BY k ORDER BY k"""))
+
   def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
     mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
-    mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard)
+    mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard, mlOovRate)
 }

@@ -1332,6 +1332,49 @@ object TimeSeries {
             WHERE day >= lo + INTERVAL 6 DAYS AND day <= hi
             ORDER BY day"""))
 
+  /** Ingestion-order violations (round-9) — the data-quality audit every
+    * event pipeline runs: in each user's stream ordered by event_id
+    * (assignment order), count adjacent pairs whose timestamps run
+    * BACKWARD (late/clock-skewed arrivals), with the worst regression.
+    * Exact integer microseconds; per-user census plus only violating
+    * users reported.
+    *
+    * 100-TB shape: one per-user lag window + one per-user agg. */
+  val tsOrderViolations = Q(
+    "ts_order_violations",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(spark, sfDir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("prev_ts").cast("timestamp"))
+            - unix_micros(col("ts").cast("timestamp"))).as("back_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("back_us") > 0L, 1L).otherwise(0L)).as("n_violations"),
+          max(when(col("back_us") > 0L, col("back_us")).otherwise(0L))
+            .as("worst_back_us"))
+        .filter(col("n_violations") > 0)
+        .orderBy("user_id")
+    },
+    Some("""WITH lagged AS (
+              SELECT user_id,
+                     epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY event_id))
+                       - epoch_us(ts) AS back_us
+              FROM events),
+                 g AS (SELECT user_id, count(*) AS n_pairs,
+                              CAST(sum(CASE WHEN back_us > 0 THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_violations,
+                              CAST(max(CASE WHEN back_us > 0 THEN back_us
+                                            ELSE 0 END) AS BIGINT)
+                                AS worst_back_us
+                       FROM lagged WHERE back_us IS NOT NULL
+                       GROUP BY user_id)
+            SELECT user_id, n_pairs, n_violations, worst_back_us
+            FROM g WHERE n_violations > 0 ORDER BY user_id"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
@@ -1339,5 +1382,5 @@ object TimeSeries {
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
     tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap,
-    tsStickiness)
+    tsStickiness, tsOrderViolations)
 }
