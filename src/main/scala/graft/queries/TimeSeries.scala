@@ -734,10 +734,16 @@ object TimeSeries {
                      AS prob
             FROM c ORDER BY from_type, to_type"""))
 
-  /** 24-hour rolling correlation between the click and view hourly
+  /** 24-BUCKET rolling correlation between the click and view hourly
     * revenue series (round-9) — the co-movement diagnostic behind
     * metric-anomaly alerting ("did clicks decouple from views this
-    * window?"). Determinism is the ts_moving_zscore recipe: hourly sums
+    * window?"). NOTE (ADVICE-r9): the ROWS frame spans the last 24
+    * OBSERVED hourly buckets, not 24 wall-clock hours — with gaps in the
+    * series the lookback stretches past a day. Both engines agree
+    * (parity-safe by construction); a wall-clock variant is the RANGE
+    * INTERVAL frame win_time_range_frame demonstrates, optionally after
+    * the ts_gap_fill recipe. Determinism is the ts_moving_zscore recipe:
+    * hourly sums
     * and every frame sum run in EXACT DECIMAL (order-free), products at
     * scale 4 with documented width headroom, and the Pearson algebra is
     * double arithmetic over identical finished operands (sqrt is
@@ -1167,14 +1173,14 @@ object TimeSeries {
         .orderBy("stage")
     },
     Some("""WITH flagged AS (
-              SELECT user_id, ts, event_type,
+              SELECT user_id, ts, event_type, event_id,
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) > INTERVAL 30 MINUTES
                           THEN 1 ELSE 0 END AS brk
               FROM events),
             sess AS (
               SELECT user_id, event_type, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               FROM flagged),
             s1 AS (SELECT user_id, sid, min(ts) AS t1 FROM sess

@@ -38,7 +38,23 @@ object V {
 object Memo {
   import org.apache.spark.sql.SparkSession
 
-  private final case class Entry(value: AnyRef, dispose: () => Unit)
+  /** One memo slot. The build is deferred behind a lazy val so it runs
+    * OUTSIDE the session map's critical section (ADVICE-r9: some builds
+    * run real Spark actions — the bloom-filter `head()`, the sink tier's
+    * parquet writes — and evaluating those under a session-wide lock
+    * serialized every concurrent memoized build). `lazy val` initializes
+    * under this Entry's own monitor, so concurrent readers of the SAME
+    * key still get exactly one build; `dispose` shares that monitor and
+    * only fires if the build actually ran — disposing a never-forced
+    * loser entry must not trigger the build it exists to avoid. */
+  private final class Entry(build0: () => (AnyRef, () => Unit)) {
+    @volatile private var evaluated = false
+    private lazy val resolved: (AnyRef, () => Unit) = {
+      val r = build0(); evaluated = true; r
+    }
+    def value: AnyRef = resolved._1
+    def dispose(): Unit = synchronized { if (evaluated) resolved._2() }
+  }
 
   private val perSession =
     new java.util.WeakHashMap[SparkSession,
@@ -53,20 +69,18 @@ object Memo {
       case _ => ()
     }
 
-  /** Memoize `build` with an explicit disposer run on evict/clear. */
+  /** Memoize `build` with an explicit disposer run on evict/clear.
+    * putIfAbsent elects one winner per key; only the INSERTED entry's
+    * build is ever forced, so a racing loser's `.persist()`-ing build
+    * never runs and cannot strand cached blocks. Builds for DIFFERENT
+    * keys proceed concurrently — the map itself is only touched by the
+    * lock-free TrieMap CAS. */
   def withDispose[T <: AnyRef](spark: SparkSession, key: String)
       (build: => T)(dispose: T => Unit): T = {
     val m = mapFor(spark)
-    // build under the map's lock: a racy getOrElseUpdate could evaluate a
-    // .persist()-ing build twice and strand the loser's cached blocks with
-    // no unpersist handle. Builds are plan construction (persist() is lazy
-    // metadata), so holding the lock is cheap.
-    m.synchronized {
-      m.getOrElseUpdate(key, {
-        val v = build
-        Entry(v, () => dispose(v))
-      }).value.asInstanceOf[T]
-    }
+    val fresh = new Entry(() => { val v = build; (v, () => dispose(v)) })
+    val e = m.putIfAbsent(key, fresh).getOrElse(fresh)
+    e.value.asInstanceOf[T]
   }
 
   /** Dispose and drop one entry (pure no-op when the session has no map —
@@ -74,7 +88,7 @@ object Memo {
     * registry and pin map churn under the perSession lock). */
   def evict(spark: SparkSession, key: String): Unit =
     existingMapFor(spark).foreach { m =>
-      m.synchronized { m.remove(key) }.foreach(_.dispose())
+      m.remove(key).foreach(_.dispose())
     }
 
   /** Dispose and drop every entry of this session — unpersists all memoized
@@ -82,8 +96,7 @@ object Memo {
     * rebuilds. Pure no-op for sessions that never memoized. */
   def clear(spark: SparkSession): Unit =
     existingMapFor(spark).foreach { m =>
-      val entries = m.synchronized { val es = m.values.toList; m.clear(); es }
-      entries.foreach(_.dispose())
+      m.keys.toList.foreach(k => m.remove(k).foreach(_.dispose()))
     }
 
   /** Live entry count (test/telemetry hook for bounded-cache assertions). */
