@@ -1699,6 +1699,98 @@ object TextOps {
               FROM documents)
             WHERE rk <= 3 ORDER BY lang, rk"""))
 
+  /** Incremental (against-prior-corpus) dedup (round-10, VERDICT-r9 #2) —
+    * the production daily-batch shape none of the self-dedup ops covers:
+    * dedup TODAY'S CRAWL against the EXISTING corpus, never the corpus
+    * against itself. Batch boundary is doc parity (odd = new batch, even
+    * = prior corpus — the text_token_drift convention); capped at
+    * doc_id < 600 to bound the DuckDB oracle's 8×md5-per-token signature
+    * replay, not the Spark plan. Two probe stages, both equi-joins:
+    *  1. exact: batch content hashes LEFT-probe the prior corpus's
+    *     DISTINCT hash set (the anti-join shape, kept as a flag so the
+    *     decision is graded, not silently dropped);
+    *  2. near: batch minhash band keys (Ops.minhashBandsArr — the ONE
+    *     banding implementation) equi-join PRIOR band keys only; per
+    *     batch doc, the count of distinct prior docs sharing ≥1 band.
+    * A doc is admitted iff neither stage hit.
+    *
+    * 100-TB shape: the prior corpus's hash set and band keys are the
+    * PERSISTED signature store (built once per corpus generation — the
+    * sink tier's write-then-read pattern; 16-byte hashes + band keys, not
+    * text, are what lives in it); the daily batch is the small probe side
+    * streaming through two hash joins keyed on content-hash / band-key.
+    * No self-join, no all-pairs: incremental cost is O(batch), never
+    * O(corpus). */
+  val textIncrementalDedup = Q(
+    "text_incremental_dedup",
+    (spark, sfDir) => {
+      val docs = docToks(spark, sfDir).filter(col("doc_id") < 600)
+      val prior = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val priorH = prior.select(md5(col("text")).as("ph")).distinct()
+      val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(priorH, col("h") === col("ph"), "left")
+        .select(col("doc_id"), col("h"), col("ph").isNotNull.as("exact_dup"))
+      val pb = graft.ops.Ops
+        .minhashBandsArr(prior, col("doc_id"), col("tk"), 8, 2)
+        .select(col("id").as("pid"), col("band_no").as("pbn"),
+          col("bkey").as("pbk"))
+      val hits = graft.ops.Ops
+        .minhashBandsArr(batch, col("doc_id"), col("tk"), 8, 2)
+        .join(pb, col("band_no") === col("pbn") && col("bkey") === col("pbk"))
+        .groupBy(col("id"))
+        .agg(countDistinct(col("pid")).as("nbh"))
+      exact.join(hits, exact("doc_id") === hits("id"), "left")
+        .select(col("doc_id"), col("h"), col("exact_dup"),
+          coalesce(col("nbh"), lit(0L)).as("n_band_hits"))
+        .withColumn("admitted",
+          !col("exact_dup") && col("n_band_hits") === 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+                 toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM docs)
+                          WHERE length(tok) > 0),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 prior_h AS (SELECT DISTINCT md5(text) AS ph FROM docs
+                             WHERE doc_id % 2 = 0),
+                 hits AS (SELECT b.doc_id,
+                                 count(DISTINCT p.doc_id) AS n_band_hits
+                          FROM bands b JOIN bands p
+                            ON b.band_no = p.band_no AND b.bkey = p.bkey
+                          WHERE b.doc_id % 2 = 1 AND p.doc_id % 2 = 0
+                          GROUP BY b.doc_id)
+            SELECT d.doc_id, md5(d.text) AS h,
+                   (ph IS NOT NULL) AS exact_dup,
+                   CAST(coalesce(n_band_hits, 0) AS BIGINT) AS n_band_hits,
+                   (ph IS NULL AND coalesce(n_band_hits, 0) = 0) AS admitted
+            FROM docs d
+            LEFT JOIN prior_h ON md5(d.text) = ph
+            LEFT JOIN hits ON d.doc_id = hits.doc_id
+            WHERE d.doc_id % 2 = 1
+            ORDER BY d.doc_id"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -1708,5 +1800,6 @@ object TextOps {
     textStopwordDiscovery, textDedupPipeline, textLengthHistogram,
     textRarityScore, textDedupSurvivors, textBm25Rank,
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
-    textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample)
+    textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
+    textIncrementalDedup)
 }

@@ -47,6 +47,45 @@ class MemoLifecycleSpec extends SparkSpec {
     Memo.clear(spark)
   }
 
+  test("index memo key changes when a fixture file is regenerated in place") {
+    // r9 closed the ADVICE-r8 staleness holes by folding the input files'
+    // (name, size, mtime) footprint into Ops.indexKey; this pins it: the
+    // recurring hazard is the DRIVER regenerating /root/testdata fixtures
+    // mid-stream (r7 and r9 both did), which changes bytes under an
+    // unchanged path. Replayed here against a temp copy (testdata itself
+    // is read-only to us, and the hazard is about the path staying fixed).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-regen").toFile
+    val path = new java.io.File(tmp, "embeddings.parquet").getAbsolutePath
+    try {
+      val src = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      src.write.mode("overwrite").parquet(path)
+      def key(): String = {
+        val df = spark.read.parquet(path)
+        graft.ops.Ops.indexKey(df, df("vec_id"), df("embedding"))
+      }
+      val k1 = key()
+      assert(key() == k1, "stable fixture -> stable key (cache can hit)")
+      var built = 0
+      Memo(spark, k1) { built += 1; "idx-v1" }
+      Memo(spark, k1) { built += 1; "idx-v1" }
+      assert(built == 1, "unchanged fixture must serve the memoized build")
+      // the regeneration: same path, new bytes/files (what gen_sf.py does)
+      src.limit(100).write.mode("overwrite").parquet(path)
+      val k2 = key()
+      assert(k2 != k1,
+        "in-place fixture regeneration must change the index key")
+      Memo(spark, k2) { built += 1; "idx-v2" }
+      assert(built == 2,
+        "the new key must MISS the cache — the index frame is rebuilt")
+      Memo.evict(spark, k1); Memo.evict(spark, k2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("evict() frees one key, leaves the rest") {
     Memo.clear(spark)
     val a = Memo(spark, "k1") { spark.range(10).toDF().persist() }
