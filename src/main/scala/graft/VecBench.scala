@@ -73,22 +73,28 @@ object VecBench {
     }
     // (16, 4, *) rows: the r8 analysis concluded near-tie corpora need
     // MORE SUBSPACES (finer quantization floor), not better codewords —
-    // M=16 × 4-dim is that measured point (r8 verdict #5).
-    for ((m, subDim, seeds) <- Seq((4, 16, 16), (8, 8, 16), (4, 16, 64),
-        (8, 8, 64), (4, 16, 256), (16, 4, 64), (16, 4, 256))) {
+    // M=16 × 4-dim is that measured point (r8 verdict #5). fit>0 rows
+    // (r9 verdict #4): Lloyd-refined codebooks — the untested lever on
+    // the index-only recall ceiling; measurement path only, graded
+    // queries stay seeded.
+    for ((m, subDim, seeds, fit) <- Seq((4, 16, 16, 0), (8, 8, 16, 0),
+        (4, 16, 64, 0), (8, 8, 64, 0), (4, 16, 256, 0), (16, 4, 64, 0),
+        (16, 4, 256, 0), (4, 16, 64, 1), (16, 4, 64, 1), (4, 16, 256, 1),
+        (16, 4, 256, 1), (4, 16, 256, 2), (16, 4, 256, 2))) {
       val emb = util.Tables.embeddings(spark, sfDir)
       val (pq, cold) = timed(ids(ops.Ops.pqAdcTopK(emb, col("vec_id"),
-        col("embedding"), 0L, 10, m, subDim, seeds)))
+        col("embedding"), 0L, 10, m, subDim, seeds, fit)))
       val (_, warm) = timed(ids(ops.Ops.pqAdcTopK(emb, col("vec_id"),
-        col("embedding"), 0L, 10, m, subDim, seeds)))
-      report("pq_adc", s"M=$m x ${subDim}-dim, $seeds codewords", cold, warm,
-        pq)
+        col("embedding"), 0L, 10, m, subDim, seeds, fit)))
+      report("pq_adc", s"M=$m x ${subDim}-dim, $seeds codewords" +
+        (if (fit > 0) s", $fit Lloyd-fit iters" else ""), cold, warm, pq)
     }
     // residual-PQ (r7 verdict #7 stretch): same PQ budget, but codes
     // resolve the residual to the assigned IVF centroid — the standard
     // production fix for plain PQ's within-cluster near-tie collapse.
     for ((cells, probes, seeds, fit) <- Seq((32, 3, 16, 0), (32, 3, 64, 0),
         (32, 8, 64, 0), (8, 8, 64, 0), (8, 8, 256, 0), (8, 3, 256, 0),
+        (8, 8, 64, 1), (8, 8, 256, 1), (32, 3, 256, 1),
         (8, 8, 64, 2), (8, 8, 256, 2), (32, 3, 64, 2))) {
       val emb = util.Tables.embeddings(spark, sfDir)
       val (rpq, cold) = timed(ids(ops.Ops.ivfResidualPqTopK(emb,

@@ -478,7 +478,7 @@ object Ops {
     * seed set instead of silently truncating (ADVICE r5). Shared
     * foundation of `pqQuantize` and `pqAdcTopK`. */
   def pqDistances(df: DataFrame, id: Column, vec: Column,
-      m: Int, subDim: Int, numSeeds: Int): DataFrame = {
+      m: Int, subDim: Int, numSeeds: Int, fitIters: Int = 0): DataFrame = {
     graft.functions.L2Sq.register(df.sparkSession)
     val dim = m * subDim
     val v = df.select(id.as("vec_id"), graft.util.V.dbl(vec).as("e"))
@@ -487,9 +487,43 @@ object Ops {
     val subs = v.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("e"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
-    val seeds = subs.filter(col("vec_id") < numSeeds)
+    val seeds0 = subs.filter(col("vec_id") < numSeeds)
       .select(col("vec_id").as("seed"), col("sub").as("ssub"),
         col("sv").as("cw"))
+    // Optional Lloyd refinement of the seeded codebook (VERDICT-r9 #4):
+    // same per-subspace assign→elementwise-mean step as the residual-PQ
+    // path (empty cells keep the old codeword). Float means are
+    // partition-order-dependent, so fitted codebooks are for the
+    // MEASUREMENT path (VecBench) only — graded oracle queries stay at
+    // fitIters=0 (seeded, deterministic). Memoized + persisted: tiny
+    // (m·numSeeds rows) but each step re-walks an assignment scan.
+    val seeds = if (fitIters == 0) seeds0
+    else graft.util.Memo(df.sparkSession,
+        s"pq-codebook:${indexKey(df, id, vec)}:" +
+          s"$m:$subDim:$numSeeds:$fitIters") {
+      (0 until fitIters).foldLeft(seeds0) { (cb, _) =>
+        val wf = Window.partitionBy("vec_id", "sub")
+          .orderBy(col("cd2"), col("seed"))
+        val members = subs.join(broadcast(cb), col("sub") === col("ssub"))
+          .select(col("vec_id"), col("sub"), col("seed"), col("sv"),
+            expr("l2sq_native(sv, cw)").as("cd2"))
+          .withColumn("graft_rn", row_number().over(wf))
+          .filter(col("graft_rn") === 1)
+        val updated = members
+          .select(col("sub"), col("seed"), posexplode(col("sv")))
+          .groupBy("sub", "seed", "pos")
+          .agg(avg(col("col")).as("mv"))
+          .groupBy(col("sub").as("usub"), col("seed").as("useed"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+            .as("pm"))
+          .select(col("usub"), col("useed"),
+            expr("transform(pm, x -> x.mv)").as("ncw"))
+        cb.join(updated,
+            cb("ssub") === col("usub") && cb("seed") === col("useed"), "left")
+          .select(cb("ssub"), cb("seed"),
+            coalesce(col("ncw"), cb("cw")).as("cw"))
+      }.persist()
+    }
     // The completeness guards ride on the MAIN path, not the seed frame:
     // an assertion attached to seeds rows never evaluates when the
     // codebook is entirely missing (empty frame → no rows → no check),
@@ -604,13 +638,13 @@ object Ops {
     * `Graft.freeCaches` disposes. n·m rows persisted — the materialized
     * signature table a production index build writes anyway. */
   def pqCodesAll(df: DataFrame, id: Column, vec: Column,
-      m: Int, subDim: Int, numSeeds: Int): DataFrame =
+      m: Int, subDim: Int, numSeeds: Int, fitIters: Int = 0): DataFrame =
     graft.util.Memo(df.sparkSession,
         s"pqcodes:${indexKey(df, id, vec)}:" +
-          s"$m:$subDim:$numSeeds") {
+          s"$m:$subDim:$numSeeds:$fitIters") {
       val w = Window.partitionBy("vec_id", "sub")
         .orderBy(col("d2"), col("seed"))
-      pqDistances(df, id, vec, m, subDim, numSeeds)
+      pqDistances(df, id, vec, m, subDim, numSeeds, fitIters)
         .withColumn("graft_rn", row_number().over(w))
         .filter(col("graft_rn") === 1)
         .select(col("vec_id"), col("sub"), col("seed").as("code"))
@@ -628,10 +662,11 @@ object Ops {
     * (vec_id, adc_raw), cut by the unrounded distance with id tiebreak
     * (total order). */
   def pqAdcTopK(df: DataFrame, id: Column, vec: Column, queryId: Any,
-      k: Int, m: Int, subDim: Int, numSeeds: Int): DataFrame = {
-    val best = pqCodesAll(df, id, vec, m, subDim, numSeeds)
+      k: Int, m: Int, subDim: Int, numSeeds: Int,
+      fitIters: Int = 0): DataFrame = {
+    val best = pqCodesAll(df, id, vec, m, subDim, numSeeds, fitIters)
       .filter(col("vec_id") =!= lit(queryId))
-    val lut = pqDistances(df, id, vec, m, subDim, numSeeds)
+    val lut = pqDistances(df, id, vec, m, subDim, numSeeds, fitIters)
       .filter(col("vec_id") === lit(queryId))
       .select(col("sub").as("lsub"), col("seed").as("lseed"),
         col("d2").as("qd2"))

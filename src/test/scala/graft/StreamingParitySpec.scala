@@ -339,4 +339,98 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamedKeys.count() == batchKeys.count())
     assert(streamedKeys.except(batchKeys).count() == 0)
   }
+
+  test("transformWithState sessionized funnel == batch ts_sessionized_funnel") {
+    // r9 stretch (VERDICT-r9 #8): the round-9 session-scoped funnel
+    // mirrored under arbitrary state v2. Events arrive across four
+    // out-of-time-order micro-batches (chunked by event_id), so
+    // sessionization cannot be a running fold — the processor BUFFERS
+    // each user's events in a ListState and re-sessionizes the buffer
+    // every batch (the recompute-on-update pattern; per-user state is
+    // bounded by that user's history). Each batch emits the user's
+    // current per-stage session counts; the LAST emission per user is
+    // the converged answer and must equal the graded batch operator.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    val dir = stagedEventsDir()
+    val outDir = Files.createTempDirectory("graft_funnel_out_").toString
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      class Funnel extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long)] {
+        @transient private var buf: ListState[(Long, Long, String)] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          buf = getHandle.getListState[(Long, Long, String)]("events",
+            org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+            TTLConfig.NONE)
+        override def handleInputRows(uid: Long,
+            rows: Iterator[(Long, Long, Long, String)],
+            tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+          rows.foreach(r => buf.appendValue((r._2, r._3, r._4)))
+          // re-sessionize the full buffer: 30-min gaps (strict >, the
+          // graded operator's brk rule), (ts, event_id) total order
+          val evs = buf.get().toArray.sortBy(e => (e._1, e._2))
+          val sids = new Array[Long](evs.length)
+          var sid = 0L
+          (1 until evs.length).foreach { i =>
+            if (evs(i)._1 - evs(i - 1)._1 > 1800L * 1000000L) sid += 1
+            sids(i) = sid
+          }
+          var s1 = 0L; var s2 = 0L; var s3 = 0L
+          evs.indices.groupBy(sids).values.foreach { idx =>
+            val ses = idx.map(evs)
+            val t1 = ses.collect { case (ts, _, "view") => ts }
+              .minOption
+            val t2 = t1.flatMap(a => ses.collect {
+              case (ts, _, "click") if ts > a => ts }.minOption)
+            val t3 = t2.flatMap(b => ses.collect {
+              case (ts, _, "purchase") if ts > b => ts }.minOption)
+            if (t1.isDefined) s1 += 1
+            if (t2.isDefined) s2 += 1
+            if (t3.isDefined) s3 += 1
+          }
+          Iterator((uid, s1, s2, s3))
+        }
+      }
+      val updated = stream.groupByKey(_._1)
+        .transformWithState(new Funnel, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "s1", "s2", "s3")
+      val q = updated.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "streaming query did not finish")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("batch_id").desc)
+      val streamedTotals = spark.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(sum("s1").as("s1"), sum("s2").as("s2"), sum("s3").as("s3"))
+        .head()
+      val g = graft.queries.Registry.byName("ts_sessionized_funnel")
+        .build(spark, sf0001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamedTotals.getLong(0) == g("1_view"))
+      assert(streamedTotals.getLong(1) == g("2_click"))
+      assert(streamedTotals.getLong(2) == g("3_purchase"))
+      assert(g("1_view") > 0, "funnel must not be vacuous")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
