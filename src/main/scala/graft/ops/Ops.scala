@@ -215,12 +215,15 @@ object Ops {
       numHashes: Int = 8, bands: Int = 2): DataFrame =
     minhashBandsArr(df, id, split(textCol, " ", -1), numHashes, bands)
 
-  /** `minhashBands` over a pre-tokenized array column (shared-tokenize
-    * path; the text variant delegates here after one split). */
-  def minhashBandsArr(df: DataFrame, id: Column, toksCol: Column,
-      numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
+  /** Raw minhash signatures: one row per id with `graft_h0 ..
+    * graft_h{n-1}` — the n seeded min-hashes (md5 prefix family) over the
+    * distinct non-empty tokens. The shared signature kernel under both
+    * the LSH banding (`minhashBandsArr`) and the signature-agreement
+    * Jaccard estimator (text_minhash_jaccard_est): a hash-family change
+    * lands in every consumer at once. One explode + distinct + grouped
+    * min-agg — linear, shuffles (id, token-hash) only. */
+  def minhashSignatures(df: DataFrame, id: Column, toksCol: Column,
+      numHashes: Int): DataFrame = {
     val toks = df.select(id.as("graft_id"),
         explode(toksCol).as("graft_tok"))
       .filter(length(col("graft_tok")) > 0)
@@ -228,8 +231,17 @@ object Ops {
     def h(s: Int) = min(
       conv(substring(md5(concat(lit(s + ":"), col("graft_tok"))), 1, 15), 16, 10)
         .cast("bigint")).as(s"graft_h$s")
-    val sig = toks.groupBy("graft_id")
+    toks.groupBy("graft_id")
       .agg(h(0), (1 until numHashes).map(h): _*)
+  }
+
+  /** `minhashBands` over a pre-tokenized array column (shared-tokenize
+    * path; the text variant delegates here after one split). */
+  def minhashBandsArr(df: DataFrame, id: Column, toksCol: Column,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(df, id, toksCol, numHashes)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",
         (b * rowsPerBand until (b + 1) * rowsPerBand)

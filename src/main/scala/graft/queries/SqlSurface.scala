@@ -100,5 +100,42 @@ object SqlSurface {
     },
     Some(filteredAggText))
 
-  def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg)
+  private val q5Text =
+    s"""SELECT n_name,
+       |       $revenue AS revenue,
+       |       count(*) AS n_items
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |              AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q5 (local-supplier volume, adapted to the fixture schema —
+    * no partsupp) through the raw-SQL path: the SIX-WAY join whose
+    * plan quality is entirely Catalyst's call from the string alone —
+    * two dim broadcasts (region, nation), the theta-free
+    * customer-supplier nation equality folded into the supplier join,
+    * date range pushed to the orders scan. Character-identical text in
+    * both engines (round-10; the deepest join the SQL tier grades).
+    *
+    * 100-TB shape: fact-to-fact (orders×lineitem) shuffles on orderkey;
+    * everything else broadcasts — the same plan the DataFrame tier's
+    * join_star_flagship pins, derived here from SQL text. */
+  val sqlQ5LocalSupplier = Q(
+    "sql_q5_local_supplier",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(q5Text)
+    },
+    Some(q5Text))
+
+  def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
+    sqlQ5LocalSupplier)
 }

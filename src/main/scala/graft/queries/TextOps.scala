@@ -1699,6 +1699,125 @@ object TextOps {
               FROM documents)
             WHERE rk <= 3 ORDER BY lang, rk"""))
 
+  /** Sketch-accuracy-as-a-query (round-10): per LSH candidate pair, the
+    * MinHash ESTIMATE of Jaccard (fraction of the 8 signature slots that
+    * agree — the unbiased estimator LSH banding is built on) next to the
+    * EXACT token-set Jaccard and their absolute error. Unlike the
+    * hash-family-opaque sketches (minhash_lsh_jaccard, P3/no-oracle),
+    * this is FULLY oracle-exact: the md5 signature family is replayable
+    * in SQL, so the estimator's accuracy itself becomes a graded,
+    * hash-bit-exact artifact — the calibration table you consult before
+    * trusting banding thresholds on a new corpus. Signatures come from
+    * the ONE shared kernel (Ops.minhashSignatures), candidates from the
+    * one banding implementation — never all pairs.
+    *
+    * 100-TB shape: signature agg is linear; the candidate join is the
+    * banded equi-join; est/exact per pair are bounded-size array ops. */
+  val textMinhashJaccardEst = Q(
+    "text_minhash_jaccard_est",
+    (spark, sfDir) => {
+      val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
+      val sig = graft.ops.Ops
+        .minhashSignatures(docsF, col("doc_id"), col("tk"), 8)
+        .select(col("graft_id"),
+          array((0 until 8).map(i => col(s"graft_h$i")): _*).as("sg"))
+      val cand = graft.ops.Ops
+        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"), 8, 2)
+        .select(col("id1").as("d1"), col("id2").as("d2"))
+      val sets = docsF
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0).distinct()
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      cand
+        .join(sig.select(col("graft_id").as("g1"), col("sg").as("sg1")),
+          col("d1") === col("g1"))
+        .join(sig.select(col("graft_id").as("g2"), col("sg").as("sg2")),
+          col("d2") === col("g2"))
+        .join(sets.select(col("doc_id").as("t1d"), col("ts").as("t1")),
+          col("d1") === col("t1d"))
+        .join(sets.select(col("doc_id").as("t2d"), col("ts").as("t2")),
+          col("d2") === col("t2d"))
+        .select(col("d1"), col("d2"),
+          (size(filter(zip_with(col("sg1"), col("sg2"),
+            (a, b) => a === b), x => x)).cast("double") / 8.0).as("est"),
+          size(filter(col("t1"), x => array_contains(col("t2"), x)))
+            .as("inter"),
+          size(col("t1")).as("n1"), size(col("t2")).as("n2"))
+        .select(col("d1"), col("d2"), col("est"),
+          round(col("inter").cast("double")
+            / (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+        .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 4))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 200)
+                          WHERE length(tok) > 0),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                          FROM bands a JOIN bands b
+                            ON a.band_no = b.band_no AND a.bkey = b.bkey
+                          WHERE a.doc_id < b.doc_id),
+                 card AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+                                  count(*) AS i
+                           FROM toks x JOIN toks y ON x.tok = y.tok
+                             AND x.doc_id < y.doc_id
+                           JOIN cand ON cand.d1 = x.doc_id
+                             AND cand.d2 = y.doc_id
+                           GROUP BY x.doc_id, y.doc_id)
+            SELECT c.d1, c.d2,
+                   CAST((CASE WHEN s1.h0 = s2.h0 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h1 = s2.h1 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h2 = s2.h2 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h3 = s2.h3 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h4 = s2.h4 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h5 = s2.h5 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h6 = s2.h6 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h7 = s2.h7 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / 8.0 AS est,
+                   round(CAST(coalesce(i, 0) AS DOUBLE)
+                         / (ca.n + cb.n - coalesce(i, 0)), 4) AS jaccard,
+                   round(abs(CAST((CASE WHEN s1.h0 = s2.h0 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h1 = s2.h1 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h2 = s2.h2 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h3 = s2.h3 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h4 = s2.h4 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h5 = s2.h5 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h6 = s2.h6 THEN 1 ELSE 0 END +
+                         CASE WHEN s1.h7 = s2.h7 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / 8.0
+                       - round(CAST(coalesce(i, 0) AS DOUBLE)
+                         / (ca.n + cb.n - coalesce(i, 0)), 4)), 4) AS abs_err
+            FROM cand c
+            JOIN sig s1 ON c.d1 = s1.doc_id
+            JOIN sig s2 ON c.d2 = s2.doc_id
+            JOIN card ca ON c.d1 = ca.doc_id
+            JOIN card cb ON c.d2 = cb.doc_id
+            LEFT JOIN inter ON c.d1 = inter.d1 AND c.d2 = inter.d2
+            ORDER BY c.d1, c.d2"""))
+
   /** Incremental (against-prior-corpus) dedup (round-10, VERDICT-r9 #2) —
     * the production daily-batch shape none of the self-dedup ops covers:
     * dedup TODAY'S CRAWL against the EXISTING corpus, never the corpus
@@ -1801,5 +1920,5 @@ object TextOps {
     textRarityScore, textDedupSurvivors, textBm25Rank,
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
     textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
-    textIncrementalDedup)
+    textIncrementalDedup, textMinhashJaccardEst)
 }

@@ -1201,11 +1201,70 @@ object Vectors {
             WHERE a.vec_id < 8 AND b.vec_id < 8
             ORDER BY c1, c2"""))
 
+  /** Incremental index ingest census (round-10) — the vector analog of
+    * text_incremental_dedup: route the NEW batch of embeddings (odd
+    * vec_ids) into a FROZEN prior index (centroids = the prior corpus's
+    * seeded rule, first 8 EVEN ids) and report per-centroid ingest load
+    * and similarity spread — the daily "cluster balance" health check
+    * that detects index drift (a centroid soaking up the batch, or
+    * falling mean similarity, means the frozen codebook no longer fits
+    * the incoming distribution and a re-fit is due). Assignment is the
+    * vec_centroid_assign total order (rounded-4dp cosine desc, cid asc);
+    * mean_sim sums the rounded cosines in EXACT DECIMAL before one
+    * double division (order-free on both engines).
+    *
+    * 100-TB shape: centroids broadcast (the frozen index is tiny
+    * metadata); the new batch streams through one linear assignment scan
+    * + one per-centroid hash agg — incremental cost O(batch), the prior
+    * corpus is never rescanned. */
+  val vecIndexNewBatch = Q(
+    "vec_index_new_batch",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), dbl(col("embedding")).as("ce"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("centroid_id"))
+      emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          round(expr("cosine_native(e, ce)"), 4).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_new"),
+          (sum(col("cos_sim").cast("decimal(14,4)")).cast("decimal(18,4)")
+            .cast("double") / count(lit(1)).cast("double")).as("mean_sim"),
+          min(col("cos_sim")).as("min_sim"),
+          max(col("cos_sim")).as("max_sim"))
+        .orderBy("centroid_id")
+    },
+    Some(s"""WITH a AS (
+              SELECT vec_id, centroid_id, cos_sim FROM (
+                SELECT v.vec_id, c.vec_id AS centroid_id,
+                       round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
+                             (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) AS cos_sim,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
+                                                         (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) DESC,
+                                                   c.vec_id) AS rk
+                FROM embeddings v CROSS JOIN embeddings c
+                WHERE v.vec_id % 2 = 1 AND c.vec_id % 2 = 0 AND c.vec_id < 16)
+              WHERE rk = 1)
+            SELECT centroid_id, count(*) AS n_new,
+                   CAST(CAST(sum(CAST(cos_sim AS DECIMAL(14,4)))
+                        AS DECIMAL(18,4)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_sim,
+                   min(cos_sim) AS min_sim, max(cos_sim) AS max_sim
+            FROM a GROUP BY centroid_id ORDER BY centroid_id"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
     vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives,
-    vecOodCentroid, vecCentroidDistances)
+    vecOodCentroid, vecCentroidDistances, vecIndexNewBatch)
 }
