@@ -1260,11 +1260,89 @@ object Vectors {
                    min(cos_sim) AS min_sim, max(cos_sim) AS max_sim
             FROM a GROUP BY centroid_id ORDER BY centroid_id"""))
 
+  /** ANN recall curve as a graded query (round-10) — evaluation-as-a-
+    * query for the vector tier, the VecBench recall table's graded
+    * sibling: recall@k (k ∈ 1, 5, 10) of the 1-bit sign-Hamming
+    * 30-shortlist against the exact cosine top-k, in one artifact. The
+    * sign/Hamming math is deterministic bit arithmetic (no hash family),
+    * so unlike the P3 sketches this accuracy measurement is itself
+    * oracle-exact. A recall drop in the graded artifact means the coarse
+    * stage no longer contains the true neighbors — the re-index alarm.
+    *
+    * 100-TB shape: ONE corpus scan computes both scores (rounded cosine
+    * + Hamming vs the broadcast query); both cuts are sort-limit top-k
+    * (TakeOrdered — per-partition heaps, never a corpus-wide window);
+    * the recall join touches ≤ 30 rows. */
+  val vecRecallCurve = Q(
+    "vec_recall_curve",
+    (spark, sfDir) => {
+      graft.functions.CosineSim.register(spark)
+      graft.functions.HammingSign.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(dbl(col("embedding")).as("graft_qe"))
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dbl(col("embedding")).as("graft_e"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(expr("cosine_native(graft_e, graft_qe)"), 4).as("cos_sim"),
+          expr("hamming_sign_native(graft_e, graft_qe)").as("hamming"))
+      val exact10 = scored.orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+      val short30 = scored.orderBy(col("hamming"), col("vec_id")).limit(30)
+        .select(col("vec_id").as("sid"))
+      val hits = exact10
+        .join(short30, col("vec_id") === col("sid"), "left")
+        .select(col("rk"), col("sid").isNotNull.cast("long").as("hit"))
+      Seq(1, 5, 10).map { k =>
+        hits.filter(col("rk") <= k)
+          .agg(sum(col("hit")).as("n_hits"))
+          .select(lit(k).cast("bigint").as("k"), col("n_hits"),
+            (col("n_hits").cast("double") / k).as("recall"))
+      }.reduce(_.unionAll(_)).orderBy("k")
+    },
+    Some(s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe
+                         FROM embeddings WHERE vec_id = 0),
+                 scored AS (
+                   SELECT vec_id,
+                          round(${oDot("embedding::DOUBLE[]", "(SELECT qe FROM qv)")} /
+                                (${oNorm("embedding::DOUBLE[]")} *
+                                 ${oNorm("(SELECT qe FROM qv)")}), 4) AS cos_sim,
+                          CAST(len(list_filter(
+                            list_zip(embedding::DOUBLE[],
+                                     (SELECT qe FROM qv)),
+                            p -> (p[1] >= 0) != (p[2] >= 0))) AS BIGINT)
+                            AS hamming
+                   FROM embeddings WHERE vec_id != 0),
+                 exact AS (SELECT vec_id,
+                                  row_number() OVER (ORDER BY cos_sim DESC,
+                                    vec_id) AS rk
+                           FROM scored
+                           ORDER BY cos_sim DESC, vec_id LIMIT 10),
+                 short AS (SELECT vec_id FROM scored
+                           ORDER BY hamming, vec_id LIMIT 30),
+                 hits AS (SELECT e.rk,
+                                 CASE WHEN s.vec_id IS NOT NULL
+                                      THEN 1 ELSE 0 END AS hit
+                          FROM exact e LEFT JOIN short s
+                            ON e.vec_id = s.vec_id)
+            SELECT k, n_hits, CAST(n_hits AS DOUBLE) / k AS recall FROM (
+              SELECT CAST(1 AS BIGINT) AS k,
+                     CAST(sum(hit) FILTER (rk <= 1) AS BIGINT) AS n_hits
+              FROM hits
+              UNION ALL
+              SELECT 5, CAST(sum(hit) FILTER (rk <= 5) AS BIGINT) FROM hits
+              UNION ALL
+              SELECT 10, CAST(sum(hit) FILTER (rk <= 10) AS BIGINT) FROM hits)
+            ORDER BY k"""))
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
     vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives,
-    vecOodCentroid, vecCentroidDistances, vecIndexNewBatch)
+    vecOodCentroid, vecCentroidDistances, vecIndexNewBatch, vecRecallCurve)
 }
