@@ -157,4 +157,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("In(o_orderpriority"),
       "IN-list not pushed to the orders scan")
   }
+
+  test("text_incremental_dedup probes the prior corpus by equi-joins only") {
+    // round-10: both incremental probe stages (content-hash, band-key)
+    // must be hash/sort-merge EQUI-joins — a nested-loop anywhere means
+    // the daily batch rescans the prior corpus pairwise, the exact
+    // failure incremental dedup exists to avoid.
+    val p = plan("text_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "incremental dedup must contain no nested-loop/cartesian join")
+    assert(p.contains("Join"), "expected probe joins in the plan")
+  }
+
+  test("vec_index_new_batch broadcasts the frozen centroids") {
+    // round-10: the frozen prior index is tiny metadata — the assignment
+    // must be a broadcast of the 8 centroids against the linear batch
+    // scan (BroadcastNestedLoopJoin of a broadcast 8-row frame), never a
+    // shuffle of the batch keyed by anything.
+    val p = plan("vec_index_new_batch")
+    assert(p.contains("Broadcast"),
+      "centroids are not broadcast in vec_index_new_batch")
+  }
+
+  test("vec_recall_curve cuts by TakeOrdered heaps, not corpus-wide windows") {
+    // round-10: both the exact top-10 and the Hamming 30-shortlist must
+    // plan as TakeOrderedAndProject (per-partition heaps); the only
+    // window may run over the ≤10-row limited frame.
+    val p = plan("vec_recall_curve")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      "expected both top-k cuts to plan TakeOrderedAndProject")
+  }
 }
