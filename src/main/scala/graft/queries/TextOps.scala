@@ -1818,6 +1818,78 @@ object TextOps {
             LEFT JOIN inter ON c.d1 = inter.d1 AND c.d2 = inter.d2
             ORDER BY c.d1, c.d2"""))
 
+  /** The curation filter funnel (round-10) — the composed admit/reject
+    * census every production pipeline reports before a training run:
+    * each doc flows through quality gate → blocklist gate → prefix-dedup
+    * gate with FIRST-FAIL attribution (a doc rejected for quality never
+    * reaches the blocklist counter — the stage order is part of the
+    * contract, exactly like a real pipeline's stage ordering decides its
+    * reject stats). Stage rules reuse the graded single-op definitions:
+    * quality = text_quality's keep rule (unrounded ratios), blocklist =
+    * text_blocklist_filter's >10% hit rule, duplicate = non-canonical
+    * per 100-char-prefix hash (text_prefix_cluster's key; exact-dup
+    * would be vacuous — the fixture corpus has none). Output: one row
+    * per outcome with count and fraction (one identical-integer
+    * division).
+    *
+    * 100-TB shape: per-doc gates are row-local expressions; the dedup
+    * rank is one window keyed on the prefix hash (the text_exact_dedup
+    * shuffle shape); the census is a 4-group agg + broadcast total. */
+  val textFilterFunnel = Q(
+    "text_filter_funnel",
+    (spark, sfDir) => {
+      val nToks = size(col("tk")).cast("bigint")
+      val stop = size(filter(col("tk"), t =>
+        t.isin("the", "a", "of", "and", "to"))).cast("bigint")
+      val hits = size(expr(
+        "filter(tk, t -> t IN ('slow','error','big'))")).cast("bigint")
+      val w = Window.partitionBy(md5(substring(col("text"), 1, 100)))
+        .orderBy("doc_id")
+      val staged = docToks(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"),
+          when(!(nToks.between(20, 80)
+              && stop.cast("double") / nToks.cast("double") < 0.3),
+            "1_quality")
+            .when(hits.cast("double") / nToks.cast("double") > 0.1,
+              "2_blocklist")
+            .when(col("rn") > 1, "3_duplicate")
+            .otherwise("4_admitted").as("outcome"))
+      val total = staged.agg(count(lit(1)).as("total"))
+      staged.groupBy("outcome").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("outcome"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("frac"))
+        .orderBy("outcome")
+    },
+    Some("""WITH d AS (SELECT doc_id, text,
+                              string_split(text, ' ') AS tk,
+                              row_number() OVER (
+                                PARTITION BY md5(substring(text, 1, 100))
+                                ORDER BY doc_id) AS rn
+                       FROM documents),
+                 staged AS (
+                   SELECT doc_id,
+                          CASE
+                            WHEN NOT (len(tk) BETWEEN 20 AND 80
+                              AND CAST(len(list_filter(tk, t -> t IN
+                                ('the','a','of','and','to'))) AS DOUBLE)
+                                / len(tk) < 0.3)
+                              THEN '1_quality'
+                            WHEN CAST(len(list_filter(tk, t -> t IN
+                                ('slow','error','big'))) AS DOUBLE)
+                                / len(tk) > 0.1
+                              THEN '2_blocklist'
+                            WHEN rn > 1 THEN '3_duplicate'
+                            ELSE '4_admitted'
+                          END AS outcome
+                   FROM d),
+                 tot AS (SELECT count(*) AS total FROM staged)
+            SELECT outcome, count(*) AS n,
+                   CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+            FROM staged CROSS JOIN tot
+            GROUP BY outcome, total ORDER BY outcome"""))
+
   /** Incremental (against-prior-corpus) dedup (round-10, VERDICT-r9 #2) —
     * the production daily-batch shape none of the self-dedup ops covers:
     * dedup TODAY'S CRAWL against the EXISTING corpus, never the corpus
@@ -1920,5 +1992,5 @@ object TextOps {
     textRarityScore, textDedupSurvivors, textBm25Rank,
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
     textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
-    textIncrementalDedup, textMinhashJaccardEst)
+    textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel)
 }
