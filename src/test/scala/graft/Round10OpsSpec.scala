@@ -109,6 +109,48 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.filter(col("n_band_hits") > 0).count() > 0)
   }
 
+  // ---- round-10 composed/census operators: semantics invariants ----
+
+  test("text_filter_funnel outcomes partition the corpus exactly") {
+    val out = Registry.byName("text_filter_funnel").build(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val total = graft.util.Tables.documents(spark, sf0001).count()
+    assert(out.values.map(_._1).sum == total,
+      "first-fail attribution must partition every doc exactly once")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+    // the dedup stage must not be vacuous (fixtures have prefix dups)
+    assert(out.getOrElse("3_duplicate", (0L, 0.0))._1 > 0)
+    assert(out.getOrElse("4_admitted", (0L, 0.0))._1 > 0)
+  }
+
+  test("vec_recall_curve: monotone hit counts, recall within [0,1]") {
+    val rows = Registry.byName("vec_recall_curve").build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 10L))
+    rows.foreach { case (k, h, rec) =>
+      assert(h >= 0 && h <= k)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - h.toDouble / k) < 1e-12)
+    }
+    // hits cannot decrease as k grows (supersets)
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("vec_index_new_batch: every new vector routed exactly once") {
+    val out = Registry.byName("vec_index_new_batch").build(spark, sf0001)
+      .collect()
+    val batch = graft.util.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(out.map(_.getAs[Long]("n_new")).sum == batch,
+      "per-centroid loads must sum to the new-batch size")
+    out.foreach { r =>
+      assert(r.getAs[Double]("min_sim") <= r.getAs[Double]("mean_sim") + 1e-9)
+      assert(r.getAs[Double]("mean_sim") <= r.getAs[Double]("max_sim") + 1e-9)
+    }
+  }
+
   // ---- PQ Lloyd refinement (VERDICT-r9 #4): measurement-path lever ----
 
   test("pqAdcTopK with fitIters > 0 returns a full top-k and fit changes codes") {
