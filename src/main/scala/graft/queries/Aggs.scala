@@ -694,7 +694,59 @@ object Aggs {
                        / CAST(n_customers AS DOUBLE) AS gini
             FROM g"""))
 
-  def qs: Seq[Q] = Seq(aggQ1Pricing, aggDistinct, aggStats, aggRollup,
+  /** Key-skew census (round-10) — the diagnostic a planner (or engineer)
+    * consults BEFORE a big join/agg to decide whether the key needs
+    * salting or AQE skew handling (pairs with join_skew_salted, which
+    * demonstrates the cure): group sizes per events.user_id, bucketed
+    * into power-of-two bands via explicit CASE (integer-exact on both
+    * engines — no float log2 at bucket boundaries), with per-band key
+    * and row counts and the row fraction (one identical-integer
+    * division). A heavy tail in the top band = salt the key.
+    *
+    * 100-TB shape: two-level hash agg (key sizes, then the ~10-band
+    * census) — both phases keep map-side partial aggregation; no
+    * materialized per-key list anywhere. */
+  val aggSkewCensus = Q(
+    "agg_skew_census",
+    (spark, sfDir) => {
+      val sizes = Tables.events(spark, sfDir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val bucketed = sizes.select(
+        when(col("n") === 1, "01")
+          .when(col("n") <= 3, "02-03")
+          .when(col("n") <= 7, "04-07")
+          .when(col("n") <= 15, "08-15")
+          .when(col("n") <= 31, "16-31")
+          .when(col("n") <= 63, "32-63")
+          .otherwise("64+").as("bucket"),
+        col("n"))
+      val total = Tables.events(spark, sfDir)
+        .agg(count(lit(1)).as("total"))
+      bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+        .crossJoin(broadcast(total))
+        .select(col("bucket"), col("n_keys"), col("n_rows"),
+          (col("n_rows").cast("double") / col("total").cast("double"))
+            .as("frac_rows"))
+        .orderBy("bucket")
+    },
+    Some("""WITH sizes AS (SELECT user_id, count(*) AS n FROM events
+                           GROUP BY user_id),
+                 tot AS (SELECT count(*) AS total FROM events)
+            SELECT CASE WHEN n = 1 THEN '01'
+                        WHEN n <= 3 THEN '02-03'
+                        WHEN n <= 7 THEN '04-07'
+                        WHEN n <= 15 THEN '08-15'
+                        WHEN n <= 31 THEN '16-31'
+                        WHEN n <= 63 THEN '32-63'
+                        ELSE '64+' END AS bucket,
+                   count(*) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(sum(n) AS DOUBLE) / CAST(total AS DOUBLE) AS frac_rows
+            FROM sizes CROSS JOIN tot
+            GROUP BY bucket, total ORDER BY bucket"""))
+
+  def qs: Seq[Q] = Seq(aggSkewCensus, aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
