@@ -235,13 +235,14 @@ object Ops {
       .agg(h(0), (1 until numHashes).map(h): _*)
   }
 
-  /** `minhashBands` over a pre-tokenized array column (shared-tokenize
-    * path; the text variant delegates here after one split). */
-  def minhashBandsArr(df: DataFrame, id: Column, toksCol: Column,
-      numHashes: Int, bands: Int): DataFrame = {
+  /** Band keys from an ALREADY-COMPUTED signature frame (one row per id
+    * with `graft_h*` columns — `minhashSignatures` output, possibly
+    * persisted/memoized by the caller). The ONE band-key construction:
+    * md5 over the '|'-joined hashes of each band's rows. */
+  def minhashBandsFromSig(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(df, id, toksCol, numHashes)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",
         (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -249,6 +250,27 @@ object Ops {
     }
     sig.select(col("graft_id").as("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_no", "bkey")))
+  }
+
+  /** `minhashBands` over a pre-tokenized array column (shared-tokenize
+    * path; the text variant delegates here after one split). */
+  def minhashBandsArr(df: DataFrame, id: Column, toksCol: Column,
+      numHashes: Int, bands: Int): DataFrame =
+    minhashBandsFromSig(minhashSignatures(df, id, toksCol, numHashes),
+      numHashes, bands)
+
+  /** Distinct candidate pairs (id1 < id2) from a band-key frame — the
+    * banded EQUI-join, factored out so callers that persist the band (or
+    * signature) frame don't pay the signature aggregation once per join
+    * side (the plan-reuse note on `minhashCandidatePairs`). */
+  def candidatePairsFromBands(b: DataFrame): DataFrame = {
+    val l = b.select(col("id").as("id1"), col("band_no"), col("bkey"))
+    val r = b.select(col("id").as("id2"),
+      col("band_no").as("graft_bn2"), col("bkey").as("graft_bk2"))
+    l.join(r, col("band_no") === col("graft_bn2")
+        && col("bkey") === col("graft_bk2"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
   }
 
   /** Candidate near-dup pairs from shared minhash bands: the banded
@@ -269,16 +291,9 @@ object Ops {
   /** `minhashCandidatePairs` over a pre-tokenized array column
     * (shared-tokenize path; the text variant delegates here). */
   def minhashCandidatePairsArr(df: DataFrame, id: Column, toksCol: Column,
-      numHashes: Int, bands: Int): DataFrame = {
-    val b = minhashBandsArr(df, id, toksCol, numHashes, bands)
-    val l = b.select(col("id").as("id1"), col("band_no"), col("bkey"))
-    val r = b.select(col("id").as("id2"),
-      col("band_no").as("graft_bn2"), col("bkey").as("graft_bk2"))
-    l.join(r, col("band_no") === col("graft_bn2")
-        && col("bkey") === col("graft_bk2"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-  }
+      numHashes: Int, bands: Int): DataFrame =
+    candidatePairsFromBands(
+      minhashBandsArr(df, id, toksCol, numHashes, bands))
 
   /** Rolling z-score anomaly detection: each row's `value` against the
     * mean/stddev of its trailing `frameRows`-row window per `part`

@@ -1717,12 +1717,21 @@ object TextOps {
     "text_minhash_jaccard_est",
     (spark, sfDir) => {
       val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
-      val sig = graft.ops.Ops
-        .minhashSignatures(docsF, col("doc_id"), col("tk"), 8)
-        .select(col("graft_id"),
-          array((0 until 8).map(i => col(s"graft_h$i")): _*).as("sg"))
+      // ONE signature aggregation, memoized + persisted, feeding all
+      // three consumers (both candidate-join sides + the agreement math)
+      // — the call-site persist the minhashCandidatePairs doc prescribes;
+      // without it the tokenize→minhash agg ran 3× per invocation
+      // (measured 10.1 s process-CPU at sf0.1, r10).
+      val sigRaw = graft.util.Memo(spark, s"$sfDir:mhsig:200:8") {
+        graft.ops.Ops
+          .minhashSignatures(docsF, col("doc_id"), col("tk"), 8)
+          .persist()
+      }
+      val sig = sigRaw.select(col("graft_id"),
+        array((0 until 8).map(i => col(s"graft_h$i")): _*).as("sg"))
       val cand = graft.ops.Ops
-        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"), 8, 2)
+        .candidatePairsFromBands(
+          graft.ops.Ops.minhashBandsFromSig(sigRaw, 8, 2))
         .select(col("id1").as("d1"), col("id2").as("d2"))
       val sets = docsF
         .select(col("doc_id"), explode(col("tk")).as("tok"))
