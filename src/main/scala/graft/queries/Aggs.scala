@@ -746,7 +746,46 @@ object Aggs {
             FROM sizes CROSS JOIN tot
             GROUP BY bucket, total ORDER BY bucket"""))
 
-  def qs: Seq[Q] = Seq(aggSkewCensus, aggQ1Pricing, aggDistinct, aggStats, aggRollup,
+  /** Bitmap-merge exact distinct count (round-10) — the MERGEABLE-STATE
+    * distinct pattern production OLAP uses (Roaring bitmaps, Druid/
+    * ClickHouse groupBitmap) demonstrated on a 63-value id sub-domain
+    * with a plain BIGINT as the bitmap: per event_type, bit_or of
+    * (1 << user_id) for user_id < 63, popcount = exact distinct users.
+    * Against count(DISTINCT) this is ONE-PASS and associatively
+    * mergeable — partials combine by OR at any tree depth, no per-key
+    * dedup state, which is why bitmap rollups beat expand-based distinct
+    * at fleet scale; the demo domain is 63 ids because the engine-
+    * portable bitmap here is one sign-safe BIGINT (production uses
+    * compressed bitmaps for full domains). count(DISTINCT) rides along
+    * as the in-artifact proof of equality.
+    *
+    * 100-TB shape: single scan, map-side bit_or partials, 5-group final
+    * merge — no second shuffle, no Expand. */
+  val aggBitmapDistinct = Q(
+    "agg_bitmap_distinct",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .filter(col("user_id") < 63)
+        .groupBy("event_type")
+        .agg(bit_or(expr("shiftleft(1L, cast(user_id as int))"))
+            .as("bitmap"),
+          countDistinct(col("user_id")).as("n_distinct_check"))
+        .select(col("event_type"),
+          bit_count(col("bitmap")).cast("bigint").as("n_distinct_bitmap"),
+          col("n_distinct_check"),
+          (bit_count(col("bitmap")).cast("bigint")
+            === col("n_distinct_check")).as("agree"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   CAST(bit_count(bit_or(1::BIGINT << CAST(user_id AS INT)))
+                        AS BIGINT) AS n_distinct_bitmap,
+                   count(DISTINCT user_id) AS n_distinct_check,
+                   CAST(bit_count(bit_or(1::BIGINT << CAST(user_id AS INT)))
+                        AS BIGINT) = count(DISTINCT user_id) AS agree
+            FROM events WHERE user_id < 63
+            GROUP BY event_type ORDER BY event_type"""))
+
+  def qs: Seq[Q] = Seq(aggSkewCensus, aggBitmapDistinct, aggQ1Pricing, aggDistinct, aggStats, aggRollup,
     aggCube, aggGroupingSets, aggPivot, aggUnpivot, subScalar, subCorrelated,
     aggPercentileCorr, aggMinbyMaxby, aggMode, aggCollectSetList, subLateral,
     aggBoolCountIf, aggHistogram, aggWeightedStats, subNotInNull,
