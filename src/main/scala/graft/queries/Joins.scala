@@ -582,9 +582,56 @@ object Joins {
                                  WHERE EXTRACT(year FROM o_orderdate) = 1996)
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Cross-modal lake join (round-10) — the text⋈embedding enrich every
+    * multimodal training lake runs (documents and their vectors live in
+    * SEPARATE tables keyed by id; analysis needs both): per language,
+    * doc count, mean char length, and mean embedding L2 norm. The norm
+    * is leaf-quantized to exact micro-units BEFORE the aggregation (the
+    * text-tier recipe: per-row round(norm·1e6) as BIGINT, integer sum,
+    * one final double division) so the corpus-order-dependent double sum
+    * never happens; the per-row norm itself is the V.norm fold both
+    * engines spell identically.
+    *
+    * 100-TB shape: id-keyed equi-join between two fact tables (shuffle
+    * on the shared key — or free with co-bucketed storage, the
+    * sink_bucketed_join pattern), then a small hash agg. */
+  val joinTextEmbedding = Q(
+    "join_text_embedding",
+    (spark, sfDir) => {
+      import graft.util.V.{dbl, norm}
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          round(norm(dbl(col("embedding"))) * 1e6, 0).cast("bigint")
+            .as("nrm_micro"))
+      Tables.documents(spark, sfDir)
+        .join(emb, col("doc_id") === col("vec_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("nrm_micro")).as("sum_nrm"))
+        .select(col("lang"), col("n"),
+          (col("sum_chars").cast("double") / col("n").cast("double"))
+            .as("mean_chars"),
+          (col("sum_nrm").cast("double") / col("n").cast("double") / 1e6)
+            .as("mean_norm"))
+        .orderBy("lang")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+                              CAST(round(sqrt(list_aggregate(
+                                  list_transform(embedding::DOUBLE[],
+                                    x -> x*x), 'sum')) * 1e6, 0) AS BIGINT)
+                                AS nrm_micro
+                       FROM embeddings)
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+                   CAST(sum(nrm_micro) AS DOUBLE) / count(*) / 1e6
+                     AS mean_norm
+            FROM documents d JOIN e ON d.doc_id = e.vec_id
+            GROUP BY lang ORDER BY lang"""))
+
   def qs: Seq[Q] = Seq(joinInnerEqui, joinBcastChain, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinCross, joinTheta,
     joinRange, joinRangeBucketed, joinAsof, joinAsofForward, joinAsofNearest,
     joinAsofTolerance, joinSkewSalted, joinStarFlagship, joinIntervalOverlap,
-    joinNullSafeEq, joinBloomPrefilter)
+    joinNullSafeEq, joinBloomPrefilter, joinTextEmbedding)
 }
