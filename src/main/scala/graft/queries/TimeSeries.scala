@@ -510,8 +510,10 @@ object TimeSeries {
         .withColumn("pv", lag("value", 1).over(w))
         .filter(col("pv").isNotNull)
         .groupBy("user_id")
+        // D.nz: a tiny-negative corr rounds to -0.0 in DuckDB but +0.0 in
+        // Spark (sf5 sweep, round-10) — normalize after the round
         .agg(count(lit(1)).as("n_pairs"),
-          round(corr(col("value"), col("pv")), 4).as("lag1_corr"))
+          D.nz(round(corr(col("value"), col("pv")), 4)).as("lag1_corr"))
         .orderBy("user_id")
     },
     Some("""WITH l AS (
@@ -519,7 +521,7 @@ object TimeSeries {
                      lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
               FROM events)
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
-                   round(corr(value, pv), 4) AS lag1_corr
+                   round(corr(value, pv), 4) + 0.0 AS lag1_corr
             FROM l WHERE pv IS NOT NULL
             GROUP BY user_id ORDER BY user_id"""))
 

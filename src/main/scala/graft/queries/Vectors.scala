@@ -263,8 +263,14 @@ object Vectors {
       emb.filter(col("vec_id") >= 8)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
         .crossJoin(broadcast(cents))
+        // D.nz BEFORE the rank window, on both engines: a tiny-negative
+        // cosine rounds to -0.0 in DuckDB vs +0.0 in Spark (sf5 sweep,
+        // round-10) — repr divergence in the output AND, in principle, a
+        // rank flip (Spark's double sort puts -0.0 < +0.0, DuckDB's
+        // treats them equal), so normalize the value the window orders by
         .select(col("vec_id"), col("centroid_id"),
-          round(expr("cosine_native(e, ce)"), 4).as("cos_sim"))
+          graft.util.D.nz(round(expr("cosine_native(e, ce)"), 4))
+            .as("cos_sim"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("vec_id", "centroid_id", "cos_sim")
@@ -273,10 +279,10 @@ object Vectors {
     Some(s"""SELECT vec_id, centroid_id, cos_sim FROM (
               SELECT v.vec_id, c.vec_id AS centroid_id,
                      round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
-                           (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) AS cos_sim,
+                           (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) + 0.0 AS cos_sim,
                      row_number() OVER (PARTITION BY v.vec_id
                                         ORDER BY round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
-                                                       (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) DESC,
+                                                       (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) + 0.0 DESC,
                                                  c.vec_id) AS rk
               FROM embeddings v CROSS JOIN embeddings c
               WHERE v.vec_id >= 8 AND c.vec_id < 8)
@@ -1229,8 +1235,11 @@ object Vectors {
       emb.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
         .crossJoin(broadcast(cents))
+        // D.nz at the source (sf5 sweep, round-10): min/max over rounded
+        // cosines must never emit -0.0, and the rank must not see it
         .select(col("vec_id"), col("centroid_id"),
-          round(expr("cosine_native(e, ce)"), 4).as("cos_sim"))
+          graft.util.D.nz(round(expr("cosine_native(e, ce)"), 4))
+            .as("cos_sim"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .groupBy("centroid_id")
@@ -1245,10 +1254,10 @@ object Vectors {
               SELECT vec_id, centroid_id, cos_sim FROM (
                 SELECT v.vec_id, c.vec_id AS centroid_id,
                        round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
-                             (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) AS cos_sim,
+                             (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) + 0.0 AS cos_sim,
                        row_number() OVER (PARTITION BY v.vec_id
                                           ORDER BY round(${oDot("v.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} /
-                                                         (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) DESC,
+                                                         (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("c.embedding::DOUBLE[]")}), 4) + 0.0 DESC,
                                                    c.vec_id) AS rk
                 FROM embeddings v CROSS JOIN embeddings c
                 WHERE v.vec_id % 2 = 1 AND c.vec_id % 2 = 0 AND c.vec_id < 16)

@@ -70,6 +70,19 @@ object D {
   /** Timestamp output normalization — all query outputs are timestamp_ntz. */
   def ntz(c: Column): Column = c.cast("timestamp_ntz")
 
+  /** Normalize IEEE negative zero on a ROUNDED double output (round-10,
+    * found by the sf5 full-suite parity sweep): a tiny NEGATIVE value
+    * rounding to zero diverges between engines — Spark's round() goes
+    * through BigDecimal HALF_UP and emits +0.0, DuckDB rounds the double
+    * bits and keeps -0.0; the two stringify as '0.0' vs '-0.0' and the
+    * driver hash-mismatches. `x + 0.0` maps -0.0 → +0.0 and is the
+    * identity on every other double (IEEE 754 addition), so appending it
+    * on BOTH engines (oracle: `+ 0.0`) closes the divergence without
+    * touching any nonzero value. Only needed where a rounded output can
+    * be tiny-negative (correlations, z-scores, cosines, signed deltas);
+    * unrounded outputs agree bit-for-bit already. */
+  def nz(c: Column): Column = c + lit(0.0)
+
   // Oracle-side (DuckDB SQL) mirrors of the same expressions, so every
   // module states the two sides adjacently and identically.
   def oDec(col: String): String = s"CAST($col AS DECIMAL(18,2))"
