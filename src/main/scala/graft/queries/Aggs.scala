@@ -571,14 +571,16 @@ object Aggs {
         .select(col("event_type"),
           hour(col("ts")).cast("double").as("x"), col("value").as("y"))
         .groupBy("event_type")
+        // D.nz on the signed fits: a tiny-negative slope/intercept rounds
+        // to -0.0 in DuckDB but +0.0 in Spark (the sf5-sweep class)
         .agg(count(lit(1)).as("n"),
-          round(regr_slope(col("y"), col("x")), 4).as("slope"),
-          round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+          D.nz(round(regr_slope(col("y"), col("x")), 4)).as("slope"),
+          D.nz(round(regr_intercept(col("y"), col("x")), 4)).as("intercept"),
           round(regr_r2(col("y"), col("x")), 4).as("r2"))
         .orderBy("event_type"),
     Some("""SELECT event_type, count(*) AS n,
-                   round(regr_slope(y, x), 4) AS slope,
-                   round(regr_intercept(y, x), 4) AS intercept,
+                   round(regr_slope(y, x), 4) + 0.0 AS slope,
+                   round(regr_intercept(y, x), 4) + 0.0 AS intercept,
                    round(regr_r2(y, x), 4) AS r2
             FROM (SELECT event_type,
                          CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,

@@ -166,8 +166,11 @@ object Vectors {
       val wa = Window.partitionBy("vec_id")
         .orderBy(col("csim").desc, col("cid"))
       val assigned = v.crossJoin(broadcast(cent))
+        // D.nz on the argmax key: Spark's double sort puts -0.0 < +0.0
+        // where DuckDB's treats them equal — normalize before ranking
         .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
-          round(expr("dot_native(e, c)") / (col("nrm") * col("cnrm")), 4)
+          graft.util.D.nz(
+            round(expr("dot_native(e, c)") / (col("nrm") * col("cnrm")), 4))
             .as("csim"))
         .withColumn("graft_rn", row_number().over(wa))
         .filter(col("graft_rn") === 1)
@@ -212,7 +215,7 @@ object Vectors {
               SELECT v.vec_id, cent.cid,
                      row_number() OVER (PARTITION BY v.vec_id ORDER BY
                        round(${oDot("v.e", "cent.c")} /
-                             (${oNorm("v.e")} * ${oNorm("cent.c")}), 4) DESC,
+                             (${oNorm("v.e")} * ${oNorm("cent.c")}), 4) + 0.0 DESC,
                        cent.cid) AS rn
               FROM v CROSS JOIN cent) WHERE rn = 1),
             m AS (SELECT asg.vec_id, asg.cid, v.e FROM asg JOIN v USING (vec_id)),
@@ -320,8 +323,10 @@ object Vectors {
                       * (col("mx") - col("mn")) / 255.0), lit(2.0))),
                 lit(0.0), (acc, x) => acc + x)
                 / size(col("e")).cast("double") * 1e6, 4)))
-        .select(col("vec_id"), round(col("mn"), 4).as("mn"),
-          round(col("mx"), 4).as("mx"), col("mse_ppm"))
+        // D.nz: embedding extrema are signed; a tiny-negative mn/mx must
+        // not round to -0.0 on one engine only (the sf5-sweep class)
+        .select(col("vec_id"), graft.util.D.nz(round(col("mn"), 4)).as("mn"),
+          graft.util.D.nz(round(col("mx"), 4)).as("mx"), col("mse_ppm"))
         .orderBy("vec_id"),
     Some("""WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -330,7 +335,7 @@ object Vectors {
               SELECT vec_id, e, list_aggregate(e, 'min') AS mn,
                      list_aggregate(e, 'max') AS mx
               FROM v)
-            SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx,
+            SELECT vec_id, round(mn, 4) + 0.0 AS mn, round(mx, 4) + 0.0 AS mx,
                    CASE WHEN mx = mn THEN 0.0 ELSE
                      round(list_aggregate(list_transform(e, x ->
                        pow(x - (mn + floor((x - mn) / (mx - mn) * 255.0)
@@ -871,8 +876,8 @@ object Vectors {
         .orderBy(col("hamming"), col("vec_id"))
         .limit(30)
         .select(col("vec_id"), col("hamming"),
-          round(dot(col("graft_e"), col("graft_qe"))
-            / (col("graft_en") * col("graft_qn")), 4).as("cos_sim"))
+          graft.util.D.nz(round(dot(col("graft_e"), col("graft_qe"))
+            / (col("graft_en") * col("graft_qn")), 4)).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
@@ -890,7 +895,7 @@ object Vectors {
                  s AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 30)
             SELECT vec_id, hamming,
                    round(${oDot("e", "(SELECT qe FROM qv)")} /
-                         (en * (SELECT qn FROM qv)), 4) AS cos_sim
+                         (en * (SELECT qn FROM qv)), 4) + 0.0 AS cos_sim
             FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
   /** One distributed power-iteration step toward the top principal
@@ -1105,7 +1110,9 @@ object Vectors {
         .crossJoin(broadcast(anchors))
         .filter(col("label") =!= col("anchor_label"))
         .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
-          col("label"), round(expr("cosine_native(e, ae)"), 4).as("cos_sim"))
+          col("label"),
+          graft.util.D.nz(round(expr("cosine_native(e, ae)"), 4))
+            .as("cos_sim"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("anchor_id"), col("anchor_label"),
@@ -1117,10 +1124,10 @@ object Vectors {
             FROM (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
                          v.vec_id AS negative_id, v.label AS negative_label,
                          round(${oDot("v.embedding::DOUBLE[]", "a.embedding::DOUBLE[]")} /
-                               (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("a.embedding::DOUBLE[]")}), 4) AS cos_sim,
+                               (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("a.embedding::DOUBLE[]")}), 4) + 0.0 AS cos_sim,
                          row_number() OVER (PARTITION BY a.vec_id
                            ORDER BY round(${oDot("v.embedding::DOUBLE[]", "a.embedding::DOUBLE[]")} /
-                                          (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("a.embedding::DOUBLE[]")}), 4) DESC,
+                                          (${oNorm("v.embedding::DOUBLE[]")} * ${oNorm("a.embedding::DOUBLE[]")}), 4) + 0.0 DESC,
                                     v.vec_id) AS rk
                   FROM embeddings v CROSS JOIN embeddings a
                   WHERE a.vec_id < 10 AND v.label != a.label)
@@ -1195,13 +1202,16 @@ object Vectors {
       val a = c.select(col("vec_id").as("c1"), col("e").as("e1"))
       val b = c.select(col("vec_id").as("c2"), col("e").as("e2"))
       a.join(broadcast(b), col("c1") < col("c2"))
+        // D.nz: centroid pairs can be near-orthogonal; a tiny-negative
+        // cosine must not round to -0.0 on one engine only
         .select(col("c1"), col("c2"),
-          round(expr("cosine_native(e1, e2)"), 4).as("cos_sim"))
+          graft.util.D.nz(round(expr("cosine_native(e1, e2)"), 4))
+            .as("cos_sim"))
         .orderBy("c1", "c2")
     },
     Some(s"""SELECT a.vec_id AS c1, b.vec_id AS c2,
                    round(${oDot("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} /
-                         (${oNorm("a.embedding::DOUBLE[]")} * ${oNorm("b.embedding::DOUBLE[]")}), 4) AS cos_sim
+                         (${oNorm("a.embedding::DOUBLE[]")} * ${oNorm("b.embedding::DOUBLE[]")}), 4) + 0.0 AS cos_sim
             FROM embeddings a JOIN embeddings b
               ON a.vec_id < b.vec_id
             WHERE a.vec_id < 8 AND b.vec_id < 8
