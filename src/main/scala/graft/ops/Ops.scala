@@ -71,6 +71,65 @@ object Ops {
       .drop("graft_rn")
   }
 
+  /** Incremental (against-prior-corpus) dedup — the daily-batch
+    * production shape (round-10): flag each `batch` row whose content
+    * already exists in `prior` (exact content-hash probe of the prior's
+    * DISTINCT hash set) or whose minhash band keys collide with any
+    * prior row's (the LSH near-dup candidate probe, counted per batch
+    * row); `admitted` = neither stage hit. Both stages are EQUI-joins —
+    * incremental cost O(batch), the prior corpus is never self-joined.
+    *
+    * At 100 TB the prior side is the PERSISTED signature store: write
+    * `md5(text)` + `minhashBandsArr(prior, ...)` once per corpus
+    * generation (hashes and band keys, not text) and probe the daily
+    * batch against it — this method is that plan with the store built
+    * inline. Output: (id, h, exact_dup, n_band_hits, admitted), one row
+    * per batch row. */
+  def incrementalDedup(prior: DataFrame, batch: DataFrame, id: Column,
+      text: Column, toks: Column, numHashes: Int = 8,
+      bands: Int = 2): DataFrame = {
+    val priorH = prior.select(md5(text).as("graft_ph")).distinct()
+    val exact = batch.select(id.as("graft_bid"), md5(text).as("h"))
+      .join(priorH, col("h") === col("graft_ph"), "left")
+      .select(col("graft_bid"), col("h"),
+        col("graft_ph").isNotNull.as("exact_dup"))
+    val pb = minhashBandsArr(prior, id, toks, numHashes, bands)
+      .select(col("id").as("graft_pid"), col("band_no").as("graft_pbn"),
+        col("bkey").as("graft_pbk"))
+    val hits = minhashBandsArr(batch, id, toks, numHashes, bands)
+      .join(pb, col("band_no") === col("graft_pbn")
+        && col("bkey") === col("graft_pbk"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("graft_pid")).as("graft_nbh"))
+    exact.join(hits, col("graft_bid") === col("id"), "left")
+      .select(col("graft_bid").as("id"), col("h"), col("exact_dup"),
+        coalesce(col("graft_nbh"), lit(0L)).as("n_band_hits"))
+      .withColumn("admitted", !col("exact_dup") && col("n_band_hits") === 0)
+  }
+
+  /** Key-skew census (round-10) — per-key group sizes bucketed into
+    * power-of-two bands (integer CASE, engine-exact), with key/row
+    * counts and the row fraction per band: the diagnostic consulted
+    * before a big join/agg to decide salting or AQE skew handling. Two
+    * hash aggs, both partial-agg-friendly; no per-key state beyond a
+    * count. */
+  def skewCensus(df: DataFrame, key: Column): DataFrame = {
+    val sizes = df.groupBy(key.as("graft_k"))
+      .agg(count(lit(1)).as("graft_n"))
+    val n = col("graft_n")
+    val bucketed = sizes.select(
+      when(n === 1, "01").when(n <= 3, "02-03").when(n <= 7, "04-07")
+        .when(n <= 15, "08-15").when(n <= 31, "16-31")
+        .when(n <= 63, "32-63").otherwise("64+").as("bucket"), n)
+    val total = df.agg(count(lit(1)).as("graft_total"))
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum(n).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_keys"), col("n_rows"),
+        (col("n_rows").cast("double") / col("graft_total").cast("double"))
+          .as("frac_rows"))
+  }
+
   /** Deterministic per-group reservoir sample: exactly min(k, |group|)
     * rows per `group`, chosen by md5 rank over `id` — reproducible across
     * engines, runs, and partitionings; parallelizes freely (no sequential

@@ -710,28 +710,10 @@ object Aggs {
     * materialized per-key list anywhere. */
   val aggSkewCensus = Q(
     "agg_skew_census",
-    (spark, sfDir) => {
-      val sizes = Tables.events(spark, sfDir)
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-      val bucketed = sizes.select(
-        when(col("n") === 1, "01")
-          .when(col("n") <= 3, "02-03")
-          .when(col("n") <= 7, "04-07")
-          .when(col("n") <= 15, "08-15")
-          .when(col("n") <= 31, "16-31")
-          .when(col("n") <= 63, "32-63")
-          .otherwise("64+").as("bucket"),
-        col("n"))
-      val total = Tables.events(spark, sfDir)
-        .agg(count(lit(1)).as("total"))
-      bucketed.groupBy("bucket")
-        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
-        .crossJoin(broadcast(total))
-        .select(col("bucket"), col("n_keys"), col("n_rows"),
-          (col("n_rows").cast("double") / col("total").cast("double"))
-            .as("frac_rows"))
-        .orderBy("bucket")
-    },
+    (spark, sfDir) =>
+      // through the ONE library implementation (Ops.skewCensus)
+      graft.ops.Ops.skewCensus(Tables.events(spark, sfDir), col("user_id"))
+        .orderBy("bucket"),
     Some("""WITH sizes AS (SELECT user_id, count(*) AS n FROM events
                            GROUP BY user_id),
                  tot AS (SELECT count(*) AS total FROM events)

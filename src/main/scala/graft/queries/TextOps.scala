@@ -1924,27 +1924,14 @@ object TextOps {
   val textIncrementalDedup = Q(
     "text_incremental_dedup",
     (spark, sfDir) => {
+      // through the ONE library implementation (Ops.incrementalDedup) —
+      // the graded query is its fixture-scale instantiation
       val docs = docToks(spark, sfDir).filter(col("doc_id") < 600)
-      val prior = docs.filter(col("doc_id") % 2 === 0)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
-      val priorH = prior.select(md5(col("text")).as("ph")).distinct()
-      val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
-        .join(priorH, col("h") === col("ph"), "left")
-        .select(col("doc_id"), col("h"), col("ph").isNotNull.as("exact_dup"))
-      val pb = graft.ops.Ops
-        .minhashBandsArr(prior, col("doc_id"), col("tk"), 8, 2)
-        .select(col("id").as("pid"), col("band_no").as("pbn"),
-          col("bkey").as("pbk"))
-      val hits = graft.ops.Ops
-        .minhashBandsArr(batch, col("doc_id"), col("tk"), 8, 2)
-        .join(pb, col("band_no") === col("pbn") && col("bkey") === col("pbk"))
-        .groupBy(col("id"))
-        .agg(countDistinct(col("pid")).as("nbh"))
-      exact.join(hits, exact("doc_id") === hits("id"), "left")
-        .select(col("doc_id"), col("h"), col("exact_dup"),
-          coalesce(col("nbh"), lit(0L)).as("n_band_hits"))
-        .withColumn("admitted",
-          !col("exact_dup") && col("n_band_hits") === 0)
+      graft.ops.Ops.incrementalDedup(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"), col("tk"), 8, 2)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
     Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
