@@ -136,6 +136,34 @@ object SqlSurface {
     },
     Some(q5Text))
 
+  private val existsText =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS through the raw-SQL path (round-10):
+    * customers with ≥1 urgent order and no finished order. The graded
+    * substance is Catalyst's subquery DECORRELATION — both predicates
+    * rewrite to semi/anti joins on o_custkey (RewritePredicateSubquery)
+    * from the string alone, the plan shape the DataFrame tier grades as
+    * join_semi/join_anti. Character-identical text in both engines.
+    *
+    * 100-TB shape: two hash joins keyed on the correlation column —
+    * never a per-row subquery execution. */
+  val sqlCorrelatedExists = Q(
+    "sql_correlated_exists",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(existsText)
+    },
+    Some(existsText))
+
   def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
-    sqlQ5LocalSupplier)
+    sqlQ5LocalSupplier, sqlCorrelatedExists)
 }
