@@ -180,6 +180,15 @@ class PlanShapeSpec extends SparkSpec {
       "centroids are not broadcast in vec_index_new_batch")
   }
 
+  test("sql_correlated_exists decorrelates to semi+anti joins") {
+    // round-10: EXISTS / NOT EXISTS from the raw-SQL face must rewrite to
+    // hash joins on the correlation column (RewritePredicateSubquery) —
+    // a per-row subquery execution would be the non-scalable shape.
+    val p = plan("sql_correlated_exists")
+    assert(p.contains("LeftSemi"), "EXISTS did not become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not become an anti join")
+  }
+
   test("vec_recall_curve cuts by TakeOrdered heaps, not corpus-wide windows") {
     // round-10: both the exact top-10 and the Hamming 30-shortlist must
     // plan as TakeOrderedAndProject (per-partition heaps); the only
