@@ -1827,6 +1827,57 @@ object TextOps {
             LEFT JOIN inter ON c.d1 = inter.d1 AND c.d2 = inter.d2
             ORDER BY c.d1, c.d2"""))
 
+  /** Hapax/type-token census per source (round-10) — the vocabulary-
+    * growth (Heaps'-law) diagnostic corpus linguists and tokenizer
+    * designers read next to the Zipf slope: token count, type count,
+    * hapax-legomena count (terms seen exactly once in that source) and
+    * the two ratios. A rising hapax share flags noisy/OCR-ish ingest; a
+    * falling one flags template spam — complementary to
+    * text_stopword_discovery (head of the distribution) and
+    * text_rarity_score (per-doc tail exposure). Counts are exact
+    * integers; ratios are one identical-integer division each.
+    *
+    * 100-TB shape: one (source, term) hash agg over the shared tokenized
+    * frame, then a source-level rollup — both partial-agg-friendly; no
+    * vocabulary broadcast anywhere. */
+  val textHapaxRatio = Q(
+    "text_hapax_ratio",
+    (spark, sfDir) => {
+      val terms = docToks(spark, sfDir)
+        .select(col("source"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      terms.groupBy("source")
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_ratio"))
+        .orderBy("source")
+    },
+    Some("""WITH terms AS (
+              SELECT source, term, count(*) AS n
+              FROM (SELECT source,
+                           unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+              WHERE length(term) > 0
+              GROUP BY source, term)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                     AS type_token_ratio,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS hapax_ratio
+            FROM terms GROUP BY source ORDER BY source"""))
+
   /** The curation filter funnel (round-10) — the composed admit/reject
     * census every production pipeline reports before a training run:
     * each doc flows through quality gate → blocklist gate → prefix-dedup
@@ -1988,5 +2039,6 @@ object TextOps {
     textRarityScore, textDedupSurvivors, textBm25Rank,
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
     textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
-    textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel)
+    textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
+    textHapaxRatio)
 }

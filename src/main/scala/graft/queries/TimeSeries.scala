@@ -1201,6 +1201,62 @@ object TimeSeries {
               UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3)
             ORDER BY stage"""))
 
+  /** Arrival burstiness (Fano factor) per event type (round-10) — the
+    * dispersion diagnostic that separates uniform from bursty arrival
+    * (Fano = variance/mean of per-hour event counts; 1 ≈ Poisson, ≫1 =
+    * bursty): the capacity-planning and bot-detection primitive.
+    * Computed over OBSERVED hourly buckets (hours containing ≥1 event —
+    * the ts_rolling_corr bucket convention; a wall-clock variant would
+    * gap-fill zeros first, the ts_gap_fill recipe). Determinism: bucket
+    * counts are exact integers; sample variance is assembled from the
+    * integer sum and sum-of-squares (n·Σx² − (Σx)², exact BIGINT) with
+    * one double division; Fano is a division of those finished operands.
+    *
+    * 100-TB shape: two-level hash agg ((type, hour) then type) — the
+    * agg_skew_census shape over time buckets. */
+  val tsBurstiness = Q(
+    "ts_burstiness",
+    (spark, sfDir) => {
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("s2"),
+          max(col("c")).as("max_hour"))
+        .filter(col("n_buckets") > 1)
+        .select(col("event_type"), col("n_buckets"), col("max_hour"),
+          (col("s").cast("double") / col("n_buckets").cast("double"))
+            .as("mean_per_hour"),
+          (((col("n_buckets") * col("s2") - col("s") * col("s"))
+            .cast("double")
+            / (col("n_buckets") * (col("n_buckets") - 1)).cast("double"))
+            / (col("s").cast("double") / col("n_buckets").cast("double")))
+            .as("fano"))
+        .orderBy("event_type")
+    },
+    Some("""WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     count(*) AS c
+              FROM events GROUP BY event_type, bucket),
+                 agg AS (
+              SELECT event_type,
+                     count(*) AS n_buckets,
+                     CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c * c) AS BIGINT) AS s2,
+                     CAST(max(c) AS BIGINT) AS max_hour
+              FROM hourly GROUP BY event_type)
+            SELECT event_type, n_buckets, max_hour,
+                   CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                     AS mean_per_hour,
+                   (CAST(n_buckets * s2 - s * s AS DOUBLE)
+                    / CAST(n_buckets * (n_buckets - 1) AS DOUBLE))
+                   / (CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE)) AS fano
+            FROM agg WHERE n_buckets > 1
+            ORDER BY event_type"""))
+
   /** Day-over-day percent change (round-9) — the dashboard primitive:
     * daily revenue per type with absolute and relative change vs the
     * previous day. Deltas are EXACT DECIMAL; the percent is one division
@@ -1390,5 +1446,5 @@ object TimeSeries {
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
     tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap,
-    tsStickiness, tsOrderViolations)
+    tsStickiness, tsOrderViolations, tsBurstiness)
 }
