@@ -277,7 +277,59 @@ object Sinks {
             FROM orders
             GROUP BY priority ORDER BY priority ASC NULLS FIRST"""))
 
-  def qs: Seq[Q] = Seq(sinkPartitionedManifest, sinkBucketedJoin,
+  /** Malformed-record ingest audit (round-10) — the bad-row handling
+    * every production lake greets raw feeds with: write a CSV feed in
+    * which every 7th record carries a non-numeric value field, read it
+    * back under PERMISSIVE mode with an explicit `_corrupt_record`
+    * column, and emit the ingest census (clean vs quarantined rows and
+    * the clean-side checksum). The graded substance is the PERMISSIVE
+    * contract itself: a type-unparseable row yields NULL for the typed
+    * column plus the RAW LINE in the corrupt column — never a dropped
+    * row, never a job failure. The oracle replays the synthesis
+    * arithmetic (doc parity decides corruption; n_chars is the value),
+    * so a quarantine miscount or a silently-dropped row fails parity.
+    *
+    * 100-TB shape: the read is a plain schema-applied CSV scan (row-
+    * local parse, no shuffle before the census agg); quarantine-by-
+    * column means the bad rows flow to a dead-letter sink by filter,
+    * not by rerun. */
+  val sinkCorruptRecordAudit = Q(
+    "sink_corrupt_record_audit",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.types._
+      val dir = s"/tmp/graft_sink/corrupt_csv_${Integer.toHexString(sfDir.hashCode)}"
+      graft.util.Memo(spark, s"$sfDir:corrupt_csv") {
+        Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+          .select(concat_ws(",", col("doc_id"),
+            when(col("doc_id") % 7 === 0, lit("not_a_number"))
+              .otherwise(col("n_chars").cast("string"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+        java.lang.Boolean.TRUE
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_quarantined"),
+          sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("clean_chars"))
+        .select(col("n_rows"), col("n_quarantined"),
+          (col("n_rows") - col("n_quarantined")).as("n_clean"),
+          col("clean_chars"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quarantined,
+                   CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_clean,
+                   CAST(sum(CASE WHEN doc_id % 7 != 0 THEN n_chars END)
+                        AS BIGINT) AS clean_chars
+            FROM documents WHERE doc_id < 100"""))
+
+  def qs: Seq[Q] = Seq(sinkCorruptRecordAudit, sinkPartitionedManifest, sinkBucketedJoin,
     sinkCsvRoundtrip, sinkJsonlRoundtrip, sinkPartitionPrunedRead,
     srcSchemaEvolution)
 }
