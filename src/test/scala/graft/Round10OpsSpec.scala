@@ -151,6 +151,57 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_bitmap_distinct: bitmap popcount equals count(DISTINCT) everywhere") {
+    val out = Registry.byName("agg_bitmap_distinct").build(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("agree"),
+        s"bitmap distinct diverged for ${r.getString(0)}")
+      assert(r.getAs[Long]("n_distinct_bitmap") ==
+        r.getAs[Long]("n_distinct_check"))
+    }
+  }
+
+  test("text_hapax_ratio: ratios bounded, hapax <= types <= tokens") {
+    val out = Registry.byName("text_hapax_ratio").build(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (tok, ty, hap) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
+      assert(hap <= ty && ty <= tok)
+      assert(r.getAs[Double]("type_token_ratio") > 0.0
+        && r.getAs[Double]("type_token_ratio") <= 1.0)
+      assert(r.getAs[Double]("hapax_ratio") >= 0.0
+        && r.getAs[Double]("hapax_ratio") <= 1.0)
+    }
+  }
+
+  test("ts_burstiness: Fano is positive and mean×buckets reproduces the total") {
+    val out = Registry.byName("ts_burstiness").build(spark, sf0001).collect()
+    val total = graft.util.Tables.events(spark, sf0001).count()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("fano") > 0.0))
+    val reconstructed = out.map(r =>
+      math.rint(r.getAs[Double]("mean_per_hour") * r.getAs[Long]("n_buckets")))
+      .sum
+    assert(reconstructed.toLong == total,
+      "per-type hourly means × bucket counts must reproduce the event total")
+  }
+
+  test("sink_corrupt_record_audit: quarantine census is exact") {
+    val r = Registry.byName("sink_corrupt_record_audit").build(spark, sf0001)
+      .head()
+    val n = graft.util.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 100).count()
+    val bad = graft.util.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 100 && col("doc_id") % 7 === 0).count()
+    assert(r.getAs[Long]("n_rows") == n)
+    assert(r.getAs[Long]("n_quarantined") == bad)
+    assert(r.getAs[Long]("n_clean") == n - bad)
+  }
+
   // ---- PQ Lloyd refinement (VERDICT-r9 #4): measurement-path lever ----
 
   test("pqAdcTopK with fitIters > 0 returns a full top-k and fit changes codes") {
