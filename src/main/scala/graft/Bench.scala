@@ -85,7 +85,11 @@ object Bench {
     // fully-contended host cannot stretch the run unboundedly.
     val maxSuiteRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "20").toInt
     var retriesUsed = 0
-    val retriedQ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per retried query: the retry's own wall seconds and whether the
+    // retry BECAME the graded reading (kept=false ⇒ the original median
+    // stood) — machine-readable so a consumer never has to reconstruct
+    // the kept side by comparing maps
+    val retriedQ = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val g0 = gcMillis
       val c0 = procCpuMillis
@@ -118,8 +122,10 @@ object Bench {
         val t2 = timeOnce(fn)
         val rs1 = stealJiffies
         val rSteal = if (rs0 < 0 || rs1 < 0) -1L else (rs1 - rs0) * 10L
-        retriedQ(name) = r3(t2)
-        if (t2 > 0 && t2 < med) { med = t2; stealMs = rSteal }
+        val kept = t2 > 0 && t2 < med
+        retriedQ(name) =
+          s"""{"retry_sec":${r3(t2)},"retry_steal_ms":$rSteal,"kept":$kept}"""
+        if (kept) { med = t2; stealMs = rSteal }
       }
       stealPer(name) = stealMs
       name -> med
@@ -139,7 +145,7 @@ object Bench {
       "\"cpu_ms\":" + jmap(cpuPer)(_.toString),
       "\"steal_ms\":" + jmap(stealPer)(_.toString),
       "\"load_1m\":" + jmap(loadPer)(v => r3(v).toString),
-      "\"retried\":" + jmap(retriedQ)(_.toString)).mkString(",")
+      "\"retried\":" + jmap(retriedQ)(identity)).mkString(",")
     // A run with a crashed query has no honest total: summing the healthy
     // rest would read as a speedup in naive run-over-run comparison
     // (ADVICE r4). value:-1 + valid:false make the invalidity visible to
