@@ -1827,6 +1827,184 @@ object TextOps {
             LEFT JOIN inter ON c.d1 = inter.d1 AND c.d2 = inter.d2
             ORDER BY c.d1, c.d2"""))
 
+  /** Jensen-Shannon divergence between the two doc-parity corpus slices
+    * (round-10) — the PRINCIPLED distribution-shift metric behind
+    * text_token_drift's top-10 table: symmetric, bounded [0, ln 2],
+    * the number a crawl-monitoring dashboard thresholds on. Per-term
+    * contributions 0.5·p·ln(p/m) + 0.5·q·ln(q/m) (m = (p+q)/2; a side
+    * with count 0 contributes only the other side's term) are
+    * leaf-quantized to exact NANO-units (round(c·1e9) as BIGINT — the
+    * unigram-LM recipe at higher precision, since contributions are
+    * tiny) so the vocabulary-sized sum is an order-free integer sum;
+    * the final value is one division of identical operands.
+    *
+    * 100-TB shape: two slice aggs + a full-outer term equi-join +
+    * broadcast totals — exactly the token_drift plan, with the
+    * corpus-sized sum running over exact integers. */
+  val textJsDivergence = Q(
+    "text_js_divergence",
+    (spark, sfDir) => {
+      val toks = docToks(spark, sfDir)
+        .select(col("doc_id"),
+          explode(transform(col("tk"), t => lower(t))).as("term"))
+        .filter(length(col("term")) > 0)
+      val ca = toks.filter(col("doc_id") % 2 === 0)
+        .groupBy("term").agg(count(lit(1)).as("ca"))
+      val cb = toks.filter(col("doc_id") % 2 === 1)
+        .groupBy("term").agg(count(lit(1)).as("cb"))
+      val na = ca.agg(sum(col("ca")).as("na"))
+      val nb = cb.agg(sum(col("cb")).as("nb"))
+      val p = coalesce(col("ca"), lit(0L)).cast("double") /
+        col("na").cast("double")
+      val q = coalesce(col("cb"), lit(0L)).cast("double") /
+        col("nb").cast("double")
+      val m = (p + q) / 2.0
+      val contrib =
+        when(coalesce(col("ca"), lit(0L)) > 0, p * log(p / m) / 2.0)
+          .otherwise(0.0) +
+        when(coalesce(col("cb"), lit(0L)) > 0, q * log(q / m) / 2.0)
+          .otherwise(0.0)
+      ca.join(cb, Seq("term"), "full_outer")
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(round(contrib * lit(1e9), 0).cast("bigint").as("nano"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("nano")).as("s"))
+        .select(col("n_terms"),
+          (col("s").cast("double") / 1e9).as("js_nats"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, term
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(lower(text), ' ')) AS term
+                                FROM documents)
+                          WHERE length(term) > 0),
+                 ca AS (SELECT term, count(*) AS ca FROM toks
+                        WHERE doc_id % 2 = 0 GROUP BY term),
+                 cb AS (SELECT term, count(*) AS cb FROM toks
+                        WHERE doc_id % 2 = 1 GROUP BY term),
+                 na AS (SELECT CAST(sum(ca) AS BIGINT) AS na FROM ca),
+                 nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb),
+                 terms AS (
+                   SELECT coalesce(ca.term, cb.term) AS term,
+                          CAST(coalesce(ca, 0) AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+                          CAST(coalesce(cb, 0) AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+                   FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+                   CROSS JOIN na CROSS JOIN nb),
+                 nano AS (
+                   SELECT CAST(round(
+                     (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) / 2.0
+                           ELSE 0.0 END +
+                      CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) / 2.0
+                           ELSE 0.0 END) * 1e9, 0) AS BIGINT) AS nano
+                   FROM terms)
+            SELECT count(*) AS n_terms,
+                   CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9
+                     AS js_nats
+            FROM nano"""))
+
+  /** Dedup-stage evaluation (round-10) — precision/recall of the LSH
+    * banding CANDIDATE generator against exact-Jaccard ground truth
+    * (near-dup ⇔ jaccard ≥ 0.5) on the capped doc_id < 50 slice where
+    * the exact all-pairs truth is computable: the evaluation-as-a-query
+    * face of the dedup tier (the ANN tier has vec_recall_curve, the
+    * sketch tier text_minhash_jaccard_est — this completes the family).
+    * A recall drop in the artifact means banding no longer catches the
+    * near-dups the verify stage would confirm — the re-tune alarm for
+    * numHashes/bands. All counts exact integers; P/R/F1 are divisions
+    * of identical finished operands (0-denominator → NULL on both
+    * engines via NULLIF / when-guard).
+    *
+    * 100-TB shape: the EVAL is capped by construction (ground truth is
+    * inherently quadratic — that is why it is an audit on a slice, run
+    * beside the uncapped banding pipeline, not inside it). */
+  val textDedupEval = Q(
+    "text_dedup_eval",
+    (spark, sfDir) => {
+      val docsF = docToks(spark, sfDir).filter(col("doc_id") < 50)
+      val toks = docsF
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0).distinct()
+      val card = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = toks.select(col("doc_id").as("a"), col("tok"))
+        .join(toks.select(col("doc_id").as("b"), col("tok")), "tok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(card.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(card.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("i").cast("double")
+          / (col("na") + col("nb") - col("i")).cast("double") >= 0.5)
+        .select(col("a"), col("b"))
+      val cand = graft.ops.Ops
+        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"), 8, 2)
+        .select(col("id1").as("ca"), col("id2").as("cb"))
+      val tp = truth.join(cand,
+        col("a") === col("ca") && col("b") === col("cb"), "left_semi")
+      val counts = cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
+      counts.select(col("n_cand"), col("n_true"), col("tp"),
+        when(col("n_cand") > 0,
+          col("tp").cast("double") / col("n_cand").cast("double"))
+          .as("precision"),
+        when(col("n_true") > 0,
+          col("tp").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 50)
+                          WHERE length(tok) > 0),
+                 card AS (SELECT doc_id, count(*) AS n FROM toks
+                          GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                                  count(*) AS i
+                           FROM toks x JOIN toks y ON x.tok = y.tok
+                             AND x.doc_id < y.doc_id
+                           GROUP BY x.doc_id, y.doc_id),
+                 truth AS (SELECT a, b FROM inter
+                           JOIN card ca ON inter.a = ca.doc_id
+                           JOIN card cb ON inter.b = cb.doc_id
+                           WHERE CAST(i AS DOUBLE)
+                                 / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.5),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT x.doc_id AS ca, y.doc_id AS cb
+                          FROM bands x JOIN bands y
+                            ON x.band_no = y.band_no AND x.bkey = y.bkey
+                          WHERE x.doc_id < y.doc_id),
+                 tp AS (SELECT a, b FROM truth
+                        WHERE EXISTS (SELECT 1 FROM cand
+                                      WHERE ca = a AND cb = b)),
+                 c AS (SELECT count(*) AS n_cand FROM cand),
+                 t AS (SELECT count(*) AS n_true FROM truth),
+                 p AS (SELECT count(*) AS tp FROM tp)
+            SELECT n_cand, n_true, tp,
+                   CASE WHEN n_cand > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) END
+                     AS precision,
+                   CASE WHEN n_true > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END
+                     AS recall
+            FROM c CROSS JOIN t CROSS JOIN p"""))
+
   /** Hapax/type-token census per source (round-10) — the vocabulary-
     * growth (Heaps'-law) diagnostic corpus linguists and tokenizer
     * designers read next to the Zipf slope: token count, type count,
@@ -2040,5 +2218,5 @@ object TextOps {
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
     textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
     textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
-    textHapaxRatio)
+    textHapaxRatio, textDedupEval, textJsDivergence)
 }
