@@ -864,7 +864,50 @@ object MlPrep {
             FROM ranked CROSS JOIN ks
             GROUP BY k ORDER BY k"""))
 
-  def qs: Seq[Q] = Seq(mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
+  /** Mixture entropy of the training-data source distribution (round-10)
+    * — the "how diverse is my mix" scalar the dataset card quotes: H =
+    * −Σ p·ln p over per-source document shares, plus the effective
+    * source count exp(H) (perplexity of the mix — 20 balanced sources
+    * → 20.0, one dominant source → →1). Pairs with ml_dataset_mix
+    * (which RESHAPES the mix) and ml_dataset_card (which reports raw
+    * shares). Per-source contributions are leaf-quantized to exact
+    * nano-units before the (small) sum; exp of the finished quotient is
+    * IEEE-identical on both engines.
+    *
+    * 100-TB shape: one source-keyed count agg + broadcast total; the
+    * entropy fold runs over the SOURCE VOCABULARY (tiny), not the
+    * corpus. */
+  val mlMixtureEntropy = Q(
+    "ml_mixture_entropy",
+    (spark, sfDir) => {
+      val counts = Tables.documents(spark, sfDir)
+        .groupBy("source").agg(count(lit(1)).as("c"))
+      val total = Tables.documents(spark, sfDir)
+        .agg(count(lit(1)).as("t"))
+      val p = col("c").cast("double") / col("t").cast("double")
+      counts.crossJoin(broadcast(total))
+        .select(round(-p * log(p) * lit(1e9), 0).cast("bigint").as("nano"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("nano")).as("s"))
+        .select(col("n_sources"),
+          (col("s").cast("double") / 1e9).as("entropy_nats"),
+          exp(col("s").cast("double") / 1e9).as("effective_sources"))
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS c FROM documents
+                       GROUP BY source),
+                 t AS (SELECT count(*) AS t FROM documents),
+                 nano AS (SELECT CAST(round(
+                     -(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9, 0)
+                     AS BIGINT) AS nano
+                   FROM c CROSS JOIN t)
+            SELECT count(*) AS n_sources,
+                   CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9
+                     AS entropy_nats,
+                   exp(CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9)
+                     AS effective_sources
+            FROM nano"""))
+
+  def qs: Seq[Q] = Seq(mlMixtureEntropy, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,

@@ -1257,6 +1257,60 @@ object TimeSeries {
             FROM agg WHERE n_buckets > 1
             ORDER BY event_type"""))
 
+  /** Inter-event gap histogram per event type (round-10) — the
+    * DISTRIBUTION behind ts_burstiness's Fano scalar: per-user
+    * consecutive-event gaps, log-banded by the explicit integer CASE
+    * (seconds: <1s, 1s-1m, 1m-30m, 30m-6h, 6h+ — the bands that
+    * separate bot bursts / sessions / daily returns), with counts and
+    * the band fraction. Gap computation is the ts_derivative lag shape
+    * (exact integer microseconds); bands are integer comparisons.
+    *
+    * 100-TB shape: per-user lag window (user-keyed, linear) + a 5-band
+    * hash agg + broadcast total. */
+  val tsInterEventHist = Q(
+    "ts_inter_event_hist",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables.events(spark, sfDir)
+        .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("pus", lag("us", 1).over(w))
+        .filter(col("pus").isNotNull)
+        .select(col("event_type"), (col("us") - col("pus")).as("gap_us"))
+      val g = col("gap_us")
+      val banded = gaps.select(col("event_type"),
+        when(g < 1000000L, "0_lt_1s")
+          .when(g < 60000000L, "1_1s_1m")
+          .when(g < 1800000000L, "2_1m_30m")
+          .when(g < 21600000000L, "3_30m_6h")
+          .otherwise("4_ge_6h").as("band"))
+      val total = banded.agg(count(lit(1)).as("t"))
+      banded.groupBy("event_type", "band")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("event_type"), col("band"), col("n"),
+          (col("n").cast("double") / col("t").cast("double")).as("frac"))
+        .orderBy("event_type", "band")
+    },
+    Some("""WITH gaps AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events),
+                 banded AS (
+              SELECT event_type,
+                     CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+                          WHEN gap_us < 60000000 THEN '1_1s_1m'
+                          WHEN gap_us < 1800000000 THEN '2_1m_30m'
+                          WHEN gap_us < 21600000000 THEN '3_30m_6h'
+                          ELSE '4_ge_6h' END AS band
+              FROM gaps WHERE gap_us IS NOT NULL),
+                 t AS (SELECT count(*) AS t FROM banded)
+            SELECT event_type, band, count(*) AS n,
+                   CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE) AS frac
+            FROM banded CROSS JOIN t
+            GROUP BY event_type, band, t
+            ORDER BY event_type, band"""))
+
   /** Day-over-day percent change (round-9) — the dashboard primitive:
     * daily revenue per type with absolute and relative change vs the
     * previous day. Deltas are EXACT DECIMAL; the percent is one division
@@ -1446,5 +1500,5 @@ object TimeSeries {
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
     tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap,
-    tsStickiness, tsOrderViolations, tsBurstiness)
+    tsStickiness, tsOrderViolations, tsBurstiness, tsInterEventHist)
 }
