@@ -2005,6 +2005,55 @@ object TextOps {
                      AS recall
             FROM c CROSS JOIN t CROSS JOIN p"""))
 
+  /** Per-language document-length five-number summary + boxplot outliers
+    * (round-10) — the analyst's first look at a new corpus slice and the
+    * Tukey-fence outlier rule (len > q3 + 1.5·IQR) curation pipelines
+    * use to flag concatenation artifacts: min/q1/median/q3/max of
+    * n_chars per lang, plus the count of fence-exceeding docs. The
+    * interpolated percentiles are the proven agg_percentile_corr pairing
+    * (Spark `percentile` ↔ DuckDB `quantile_cont`, identical linear
+    * interpolation over integer lengths); the fence compares against the
+    * ROUNDED q3/IQR on both engines, so the outlier decision is
+    * bit-identical.
+    *
+    * 100-TB shape: per-lang percentile agg (grouped, bounded state),
+    * rounded fences broadcast back by an equi-join on lang, one
+    * conditional count. */
+  val textLengthQuartiles = Q(
+    "text_length_quartiles",
+    (spark, sfDir) => {
+      val d = docToks(spark, sfDir).select(col("lang"), col("n_chars"))
+      val qs = d.groupBy("lang").agg(
+        min(col("n_chars")).as("min_len"),
+        round(expr("percentile(n_chars, 0.25)"), 4).as("q1"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("median_len"),
+        round(expr("percentile(n_chars, 0.75)"), 4).as("q3"),
+        max(col("n_chars")).as("max_len"))
+      d.join(qs, "lang")
+        .groupBy(col("lang"))
+        .agg(first(col("min_len")).as("min_len"), first(col("q1")).as("q1"),
+          first(col("median_len")).as("median_len"),
+          first(col("q3")).as("q3"), first(col("max_len")).as("max_len"),
+          sum(when(col("n_chars").cast("double")
+            > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("lang")
+    },
+    Some("""WITH q AS (SELECT lang,
+                              CAST(min(n_chars) AS BIGINT) AS min_len,
+                              round(quantile_cont(n_chars, 0.25), 4) AS q1,
+                              round(quantile_cont(n_chars, 0.5), 4) AS median_len,
+                              round(quantile_cont(n_chars, 0.75), 4) AS q3,
+                              CAST(max(n_chars) AS BIGINT) AS max_len
+                       FROM documents GROUP BY lang)
+            SELECT d.lang, q.min_len, q.q1, q.median_len, q.q3, q.max_len,
+                   CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                                      > q.q3 + 1.5 * (q.q3 - q.q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM documents d JOIN q ON d.lang = q.lang
+            GROUP BY d.lang, q.min_len, q.q1, q.median_len, q.q3, q.max_len
+            ORDER BY d.lang"""))
+
   /** Hapax/type-token census per source (round-10) — the vocabulary-
     * growth (Heaps'-law) diagnostic corpus linguists and tokenizer
     * designers read next to the Zipf slope: token count, type count,
@@ -2218,5 +2267,5 @@ object TextOps {
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
     textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
     textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
-    textHapaxRatio, textDedupEval, textJsDivergence)
+    textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles)
 }
