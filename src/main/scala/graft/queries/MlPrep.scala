@@ -871,8 +871,12 @@ object MlPrep {
     * → 20.0, one dominant source → →1). Pairs with ml_dataset_mix
     * (which RESHAPES the mix) and ml_dataset_card (which reports raw
     * shares). Per-source contributions are leaf-quantized to exact
-    * nano-units before the (small) sum; exp of the finished quotient is
-    * IEEE-identical on both engines.
+    * nano-units before the (small) sum, so entropy_nats is IEEE-identical
+    * on both engines; exp, however, is only ~1-ulp accurate in libm (it is
+    * NOT correctly rounded, unlike sqrt — ADVICE-r10), so
+    * effective_sources is rounded to 6 places on both engines to absorb a
+    * potential last-ulp platform divergence. exp > 0 always, so the
+    * negative-zero round guard (D.nz) is not needed here.
     *
     * 100-TB shape: one source-keyed count agg + broadcast total; the
     * entropy fold runs over the SOURCE VOCABULARY (tiny), not the
@@ -890,7 +894,8 @@ object MlPrep {
         .agg(count(lit(1)).as("n_sources"), sum(col("nano")).as("s"))
         .select(col("n_sources"),
           (col("s").cast("double") / 1e9).as("entropy_nats"),
-          exp(col("s").cast("double") / 1e9).as("effective_sources"))
+          round(exp(col("s").cast("double") / 1e9), 6)
+            .as("effective_sources"))
     },
     Some("""WITH c AS (SELECT source, count(*) AS c FROM documents
                        GROUP BY source),
@@ -903,8 +908,8 @@ object MlPrep {
             SELECT count(*) AS n_sources,
                    CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9
                      AS entropy_nats,
-                   exp(CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9)
-                     AS effective_sources
+                   round(exp(CAST(CAST(sum(nano) AS BIGINT) AS DOUBLE) / 1e9),
+                         6) AS effective_sources
             FROM nano"""))
 
   def qs: Seq[Q] = Seq(mlMixtureEntropy, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,

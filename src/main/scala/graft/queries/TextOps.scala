@@ -2111,7 +2111,12 @@ object TextOps {
     * gate with FIRST-FAIL attribution (a doc rejected for quality never
     * reaches the blocklist counter — the stage order is part of the
     * contract, exactly like a real pipeline's stage ordering decides its
-    * reject stats). Stage rules reuse the graded single-op definitions:
+    * reject stats). The dedup rank is computed AMONG SURVIVORS of the
+    * earlier gates (ADVICE-r10): a doc rejected for quality or blocklist
+    * never claims a prefix-cluster's canonical slot, so a duplicate's
+    * canonical twin is always itself admitted — corpus-wide ranking would
+    * let a rejected doc shadow the cluster. Stage rules reuse the graded
+    * single-op definitions:
     * quality = text_quality's keep rule (unrounded ratios), blocklist =
     * text_blocklist_filter's >10% hit rule, duplicate = non-canonical
     * per 100-char-prefix hash (text_prefix_cluster's key; exact-dup
@@ -2132,16 +2137,21 @@ object TextOps {
         "filter(tk, t -> t IN ('slow','error','big'))")).cast("bigint")
       val w = Window.partitionBy(md5(substring(col("text"), 1, 100)))
         .orderBy("doc_id")
-      val staged = docToks(spark, sfDir)
-        .withColumn("rn", row_number().over(w))
-        .select(col("doc_id"),
+      val gated = docToks(spark, sfDir)
+        .select(col("doc_id"), col("text"),
           when(!(nToks.between(20, 80)
               && stop.cast("double") / nToks.cast("double") < 0.3),
             "1_quality")
             .when(hits.cast("double") / nToks.cast("double") > 0.1,
-              "2_blocklist")
-            .when(col("rn") > 1, "3_duplicate")
+              "2_blocklist").as("pre"))
+      val rejected = gated.filter(col("pre").isNotNull)
+        .select(col("doc_id"), col("pre").as("outcome"))
+      val survivors = gated.filter(col("pre").isNull)
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"),
+          when(col("rn") > 1, "3_duplicate")
             .otherwise("4_admitted").as("outcome"))
+      val staged = rejected.unionByName(survivors)
       val total = staged.agg(count(lit(1)).as("total"))
       staged.groupBy("outcome").agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(total))
@@ -2150,13 +2160,10 @@ object TextOps {
         .orderBy("outcome")
     },
     Some("""WITH d AS (SELECT doc_id, text,
-                              string_split(text, ' ') AS tk,
-                              row_number() OVER (
-                                PARTITION BY md5(substring(text, 1, 100))
-                                ORDER BY doc_id) AS rn
+                              string_split(text, ' ') AS tk
                        FROM documents),
-                 staged AS (
-                   SELECT doc_id,
+                 gated AS (
+                   SELECT doc_id, text,
                           CASE
                             WHEN NOT (len(tk) BETWEEN 20 AND 80
                               AND CAST(len(list_filter(tk, t -> t IN
@@ -2167,10 +2174,20 @@ object TextOps {
                                 ('slow','error','big'))) AS DOUBLE)
                                 / len(tk) > 0.1
                               THEN '2_blocklist'
-                            WHEN rn > 1 THEN '3_duplicate'
-                            ELSE '4_admitted'
-                          END AS outcome
+                          END AS pre
                    FROM d),
+                 survivors AS (
+                   SELECT doc_id,
+                          CASE WHEN row_number() OVER (
+                                 PARTITION BY md5(substring(text, 1, 100))
+                                 ORDER BY doc_id) > 1
+                               THEN '3_duplicate' ELSE '4_admitted'
+                          END AS outcome
+                   FROM gated WHERE pre IS NULL),
+                 staged AS (
+                   SELECT doc_id, pre AS outcome FROM gated
+                   WHERE pre IS NOT NULL
+                   UNION ALL SELECT doc_id, outcome FROM survivors),
                  tot AS (SELECT count(*) AS total FROM staged)
             SELECT outcome, count(*) AS n,
                    CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE) AS frac

@@ -49,11 +49,33 @@ object Memo {
     * loser entry must not trigger the build it exists to avoid. */
   private final class Entry(build0: () => (AnyRef, () => Unit)) {
     @volatile private var evaluated = false
+    private var dead = false        // guarded by this
+    private var disposerRan = false // guarded by this
     private lazy val resolved: (AnyRef, () => Unit) = {
       val r = build0(); evaluated = true; r
     }
-    def value: AnyRef = resolved._1
-    def dispose(): Unit = synchronized { if (evaluated) resolved._2() }
+    /** Forces the build, then closes the remove-vs-force window
+      * (ADVICE-r10 medium): an evict/clear that ran while evaluated was
+      * still false no-op'd its dispose, after which this force would run
+      * a `.persist()`-ing build with the entry already out of the map —
+      * stranding cached blocks beyond Memo.clear's reach. dispose() now
+      * marks the entry dead, and a forced-after-dispose build runs its
+      * disposer immediately (under the same monitor the lazy init uses,
+      * so it cannot race a concurrent dispose). The caller still gets a
+      * usable value — an unpersisted frame merely recomputes on use. */
+    def value: AnyRef = {
+      val v = resolved._1
+      synchronized { if (dead) runDisposerOnce() }
+      v
+    }
+    def dispose(): Unit = synchronized {
+      dead = true
+      if (evaluated) runDisposerOnce()
+    }
+    // callers hold the monitor; disposer must fire at most once even when
+    // both the dispose() path and the forced-after-dispose path reach it
+    private def runDisposerOnce(): Unit =
+      if (!disposerRan) { disposerRan = true; resolved._2() }
   }
 
   private val perSession =

@@ -86,6 +86,30 @@ class MemoLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("an evict that races ahead of the force cannot strand a persist") {
+    // ADVICE-r10 (medium): withDispose publishes the Entry via putIfAbsent
+    // BEFORE forcing the lazy build, so an evict/clear can land while
+    // evaluated=false (disposer no-ops) and the subsequent force then runs
+    // a .persist()-ing build with the entry already out of the map —
+    // stranding cached blocks beyond Memo.clear's reach. Deterministic
+    // replay: the build evicts its OWN key mid-build (dispose() is
+    // re-entrant on the Entry monitor the lazy init holds), which is
+    // exactly the remove-before-force interleaving. Post-fix, the
+    // forced-after-dispose build must immediately run its disposer.
+    Memo.clear(spark)
+    val df = Memo.withDispose(spark, "race-key") {
+      val d = spark.range(32).toDF().persist()
+      d.count()
+      Memo.evict(spark, "race-key") // lands with evaluated still false
+      d
+    } { d => d.unpersist(false) }
+    assert(Memo.entryCount(spark) == 0)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "forced-after-dispose build must immediately self-dispose")
+    // and the value stays usable — unpersisted merely recomputes
+    assert(df.count() == 32)
+  }
+
   test("evict() frees one key, leaves the rest") {
     Memo.clear(spark)
     val a = Memo(spark, "k1") { spark.range(10).toDF().persist() }
