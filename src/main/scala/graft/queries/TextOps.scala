@@ -1124,42 +1124,57 @@ object TextOps {
     * exactly by the oracle, so convergence depth cannot diverge between
     * engines) assign each doc a cluster, and the keep-lowest rule marks
     * `cluster == doc_id` as the survivor. Per doc: (doc_id, cluster,
-    * is_survivor).
+    * is_survivor). The fixed 2-round depth labels only components of
+    * diameter ≤ 2 — text_dedup_cc is the convergence-checked sibling
+    * (Ops.ccFixpoint, round-11) that iterates the SAME edge list to
+    * fixpoint and grades against the true recursive-CTE answer.
     *
     * 100-TB shape: banding → EQUI-joins only; verify touches candidates
     * only; the edge frame is memoized + persisted (it feeds both
     * propagation rounds); propagation shuffles on ids. The doc_id < 200
     * cap matches the banding siblings (fixture-vocabulary bucket skew);
     * every stage is the uncapped production shape. */
+  /** The dedup tier's ONE verified near-dup edge list (factored round-11):
+    * LSH banding generates candidates (text_minhash_band_pairs' shape),
+    * exact Jaccard ≥ 0.5 verifies them, verified pairs are symmetrized.
+    * Memoized + persisted — it feeds every propagation round of BOTH
+    * text_dedup_survivors (bounded 2-round variant) and text_dedup_cc
+    * (fixpoint). doc_id < 200 cap as in the banding siblings. */
+  private def dedupVerifiedEdges(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
+    val toks = docsF
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val cand = graft.ops.Ops
+      .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"),
+        numHashes = 8, bands = 2)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val sets = toks.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+    val dup = cand
+      .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
+        col("d1") === col("sd1"))
+      .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
+        col("d2") === col("sd2"))
+      .select(col("d1"), col("d2"),
+        size(filter(col("t1"), x => array_contains(col("t2"), x))).as("inter"),
+        size(col("t1")).as("n1"), size(col("t2")).as("n2"))
+      .filter(round(col("inter").cast("double")
+        / (col("n1") + col("n2") - col("inter")), 4) >= 0.5)
+      .select("d1", "d2")
+    graft.util.Memo(spark, s"$sfDir:dedup_surv_edges") {
+      dup.unionByName(dup.select(col("d2").as("d1"), col("d1").as("d2")))
+        .persist()
+    }
+  }
+
   val textDedupSurvivors = Q(
     "text_dedup_survivors",
     (spark, sfDir) => {
       val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
-      val toks = docsF
-        .select(col("doc_id"), explode(col("tk")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .distinct()
-      val cand = graft.ops.Ops
-        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"),
-          numHashes = 8, bands = 2)
-        .select(col("id1").as("d1"), col("id2").as("d2"))
-      val sets = toks.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("tok"))).as("ts"))
-      val dup = cand
-        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
-          col("d1") === col("sd1"))
-        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
-          col("d2") === col("sd2"))
-        .select(col("d1"), col("d2"),
-          size(filter(col("t1"), x => array_contains(col("t2"), x))).as("inter"),
-          size(col("t1")).as("n1"), size(col("t2")).as("n2"))
-        .filter(round(col("inter").cast("double")
-          / (col("n1") + col("n2") - col("inter")), 4) >= 0.5)
-        .select("d1", "d2")
-      val edges = graft.util.Memo(spark, s"$sfDir:dedup_surv_edges") {
-        dup.unionByName(dup.select(col("d2").as("d1"), col("d1").as("d2")))
-          .persist()
-      }
+      val edges = dedupVerifiedEdges(spark, sfDir)
       def propagate(labels: org.apache.spark.sql.DataFrame) =
         labels.join(
           edges.join(labels.select(col("doc_id").as("dx"), col("lbl").as("nlbl")),
@@ -1229,6 +1244,88 @@ object TextOps {
                         FROM l1 LEFT JOIN n2 ON l1.doc_id = n2.d1)
             SELECT doc_id, lbl AS cluster, lbl = doc_id AS is_survivor
             FROM l2 ORDER BY doc_id"""))
+
+  /** Convergence-checked connected components over the verified near-dup
+    * graph (round-11, VERDICT-r10 #1) — the dedup tier's one disclosed
+    * semantic cap, closed: where text_dedup_survivors stops after a FIXED
+    * two propagation rounds (provably mislabeling any component of
+    * diameter > 2 — SemanticsSpec pins a diameter-4 chain the 2-round
+    * variant gets wrong), this iterates Ops.ccFixpoint's min-label
+    * propagation until NO label changes, with a bounded max-round guard
+    * (20) and a graded `converged` flag. The oracle computes the TRUE
+    * fixpoint independently — DuckDB's recursive reachability closure
+    * (WITH RECURSIVE + UNION dedup) + min-reachable-id per doc — and
+    * emits converged=TRUE, so a Spark run that hits the guard before
+    * fixpoint (flag false) or labels any node off the true component
+    * minimum FAILS the hash compare: the convergence claim itself is
+    * graded, not asserted.
+    *
+    * 100-TB shape: identical per-round cost to the 2-round variant (two
+    * id-keyed shuffles per round over the memoized edge frame); rounds ∝
+    * component diameter, which for near-dup clusters is small — the
+    * changed-count action per round is a cached-frame scan. See
+    * Ops.ccFixpoint for the persist/unpersist frontier discipline. */
+  val textDedupCc = Q(
+    "text_dedup_cc",
+    (spark, sfDir) => {
+      val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
+      val edges = dedupVerifiedEdges(spark, sfDir)
+      graft.util.Memo(spark, s"$sfDir:dedup_cc") {
+        graft.ops.Ops.ccFixpoint(
+          docsF.select("doc_id"), col("doc_id"),
+          edges, col("d1"), col("d2"), maxRounds = 20)
+      }
+        .select(col("id").as("doc_id"), col("cluster"), col("converged"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 200)
+                          WHERE length(tok) > 0),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                          FROM bands a JOIN bands b
+                            ON a.band_no = b.band_no AND a.bkey = b.bkey
+                          WHERE a.doc_id < b.doc_id),
+                 sets AS (SELECT doc_id, list_sort(list(tok)) AS ts
+                          FROM toks GROUP BY doc_id),
+                 dup AS (SELECT d1, d2 FROM cand
+                         JOIN sets s1 ON d1 = s1.doc_id
+                         JOIN sets s2 ON d2 = s2.doc_id
+                         WHERE round(CAST(len(list_filter(s1.ts, x -> list_contains(s2.ts, x))) AS DOUBLE)
+                                     / (len(s1.ts) + len(s2.ts)
+                                        - len(list_filter(s1.ts, x -> list_contains(s2.ts, x)))), 4) >= 0.5),
+                 edges AS (SELECT d1, d2 FROM dup
+                           UNION ALL SELECT d2 AS d1, d1 AS d2 FROM dup),
+                 reach(doc_id, lbl) AS (
+                   SELECT doc_id, doc_id AS lbl
+                   FROM documents WHERE doc_id < 200
+                   UNION
+                   SELECT e.d1 AS doc_id, r.lbl
+                   FROM edges e JOIN reach r ON e.d2 = r.doc_id)
+            SELECT doc_id, min(lbl) AS cluster, TRUE AS converged
+            FROM reach GROUP BY doc_id ORDER BY doc_id"""))
 
   /** BM25 term ranking — the retrieval scoring function LLM data
     * pipelines use for contamination search and quality-weighted
@@ -2284,5 +2381,6 @@ object TextOps {
     textUnigramLmScore, textEntropy, textZipfSlope, textPrefixCluster,
     textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
     textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
-    textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles)
+    textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles,
+    textDedupCc)
 }

@@ -137,9 +137,11 @@ object Vectors {
     * rounds of min-label propagation (vec_id < 200 graded cap, symmetric
     * edges). Each round is one groupBy over the edge list — the bounded-
     * iteration connected-components shape that runs as K shuffles at any
-    * scale (full CC would iterate to fixpoint; two rounds label every
-    * component of diameter ≤ 2, which near-dup clusters overwhelmingly
-    * are). Singletons keep their own id. The min-of-self-and-neighbors is
+    * scale (two rounds label every component of diameter ≤ 2, which
+    * near-dup clusters overwhelmingly are; the convergence-checked
+    * fixpoint variant is Ops.ccFixpoint, graded as text_dedup_cc against
+    * a recursive-CTE oracle — round-11). Singletons keep their own id.
+    * The min-of-self-and-neighbors is
     * spelled as an explicit CASE so both engines treat the no-neighbor
     * NULL identically.
     *

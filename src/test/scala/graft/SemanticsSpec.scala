@@ -144,4 +144,36 @@ class SemanticsSpec extends SparkSpec {
     val n = once.count()
     assert(n > 0 && n <= 1000)
   }
+
+  test("ccFixpoint converges on a diameter-4 chain the 2-round depth provably mislabels") {
+    // VERDICT-r10 #1's red case: chain 0-1-2-3-4 (diameter 4), pair 10-11,
+    // singleton 20. Fixed 2-round min-label propagation (the depth
+    // vec_dup_clusters / text_dedup_survivors use) leaves node 4 at label
+    // 2 (labels walk one hop per round: r1 -> 3, r2 -> 2); the fixpoint
+    // iteration must reach the true component minimum 0 and say so.
+    import spark.implicits._
+    import graft.ops.Ops
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val edges = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val fix = Ops.ccFixpoint(nodes, col("id"), edges, col("d1"), col("d2"))
+    val fixed = fix.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(Seq(0L, 1L, 2L, 3L, 4L).forall(n => fixed(n)._1 == 0L),
+      s"chain must collapse to label 0, got $fixed")
+    assert(fixed(10L)._1 == 10L && fixed(11L)._1 == 10L && fixed(20L)._1 == 20L)
+    assert(fixed.values.forall(_._2), "fixpoint run must report converged")
+    fix.unpersist()
+    val two = Ops.ccFixpoint(nodes, col("id"), edges, col("d1"), col("d2"),
+      maxRounds = 2)
+    val bounded = two.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(bounded(4L)._1 == 2L,
+      "2-round depth must stall one label short of the true minimum")
+    assert(bounded.values.forall(!_._2),
+      "a run cut off by maxRounds must report converged=false")
+    two.unpersist()
+  }
 }
