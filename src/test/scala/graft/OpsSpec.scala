@@ -170,4 +170,35 @@ class OpsSpec extends SparkSpec {
       Seq((0L, 0L, 100L), (1L, 100L, 100L), (2L, 200L, 50L)))
     assert(!out.exists(_.getLong(0) == 6L)) // empty payload -> no chunks
   }
+
+  test("sharedTokenRuns catches a boundary-offset duplicate the stride-4 chunk census misses") {
+    // VERDICT-r10 #2's red case: doc 2 repeats doc 1's 20-token span at
+    // offset 2 — NOT a multiple of the chunk stride — so every stride-4
+    // 8-token chunk hash misaligns (doc 1 windows cover span[1..8],
+    // [5..12], [9..16], [13..20]; doc 2's cover span[3..10], [7..14], ...)
+    // and the chunk census sees ZERO shared chunks, while the stride-1
+    // shingle pass shares all 13 interior windows -> one maximal run of
+    // 20 tokens at (d1_start=1, d2_start=3).
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"s$i")
+    val df = Seq(
+      (1L, span.mkString(" ")),
+      (2L, ("j1" +: "j2" +: span).mkString(" ") + " j3"))
+      .toDF("rid", "body")
+      .withColumn("toks", split(col("body"), " ", -1))
+    val chunks = Ops.tokenChunksArr(df, col("rid"), col("toks"),
+        chunkSize = 8, stride = 4)
+      .filter(col("n_chunk_tokens") === 8)
+      .select("doc_id", "chunk_hash").collect()
+    val byDoc = chunks.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).isEmpty,
+      "stride-4 chunk hashes must all misalign on an offset-2 duplicate")
+    val runs = Ops.sharedTokenRuns(df, col("rid"), col("toks"),
+        shingle = 8, minRunTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(runs.toSeq == Seq((1L, 2L, 1, 3, 20L)),
+      s"expected the single maximal 20-token run, got ${runs.toSeq}")
+  }
 }
