@@ -197,4 +197,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
       "expected both top-k cuts to plan TakeOrderedAndProject")
   }
+
+  test("agg_topk_udaf runs the Aggregator as partial + final ObjectHashAggregate") {
+    // VERDICT-r10 #4: the graded UDAF's whole point is the O(K) mergeable
+    // buffer pre-combining map-side — two ObjectHashAggregate levels
+    // (partial_topkagg below the exchange, topkagg above) or the promotion
+    // silently degraded to a shuffle-everything aggregate
+    val p = plan("agg_topk_udaf")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_topkagg".r.findAllIn(p.toLowerCase).nonEmpty,
+      s"no partial aggregation phase for the UDAF:\n$p")
+    assert(p.split("ObjectHashAggregate").length > 2,
+      s"expected two ObjectHashAggregate levels around the exchange:\n$p")
+  }
 }

@@ -1,42 +1,22 @@
 package graft
 
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** The typed-UDAF surface (SURVEY §2.13): a custom `Aggregator` is the
   * sanctioned way to add an aggregate Spark lacks — merge-able state, so
   * it runs as partial + final aggregation like any built-in (unlike a
-  * row-at-a-time UDF, which can't pre-combine map-side). Test-only: graded
-  * operators use built-ins, but the engine must expose the extension path.
+  * row-at-a-time UDF, which can't pre-combine map-side). Promoted to the graded
+  * surface in round-11: functions.TopKAgg backs the agg_topk_udaf key.
   *
   * The demo is an exact bounded top-K: the buffer keeps only K (balance,
   * custkey) pairs, so state is O(K) per group no matter how many rows flow
   * in — the property that makes it safe at 100 TB.
   */
-/** Top-K (value, key) pairs by value DESC then key ASC — bounded buffer.
-  * Top-level (not nested in the suite): an inner class would capture the
-  * suite instance in its $outer field and fail task serialization. */
-class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]]
-    with Serializable {
-    private def best(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      xs.sortBy { case (v, id) => (-v, id) }.take(k)
-    override def zero: Seq[(Double, Long)] = Seq.empty
-    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      best(b :+ a)
-    override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      best(b1 ++ b2)
-    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
-    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
-}
-
 class UdafSpec extends SparkSpec {
 
   test("custom Aggregator top-3 matches the window-function top-3 exactly") {
     import spark.implicits._
-    val topk = udaf(new TopKAgg(3))
+    val topk = udaf(new graft.functions.TopKAgg(3))
     val cust = spark.read.parquet(s"$sf0001/customer.parquet")
     val viaUdaf = cust
       .groupBy("c_mktsegment")
@@ -55,7 +35,7 @@ class UdafSpec extends SparkSpec {
 
   test("the Aggregator pre-combines map-side: plan shows partial + final aggregation") {
     import spark.implicits._
-    val topk = udaf(new TopKAgg(3))
+    val topk = udaf(new graft.functions.TopKAgg(3))
     val q = spark.read.parquet(s"$sf0001/customer.parquet")
       .groupBy("c_mktsegment")
       .agg(topk(col("c_acctbal"), col("c_custkey")).as("top"))
