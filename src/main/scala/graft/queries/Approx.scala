@@ -73,15 +73,19 @@ object Approx {
   // index frames are freed explicitly via Memo.clear / Graft.freeCaches —
   // see util.Memo's scaladoc for why weak keys alone cannot reclaim them
 
+  // `tables`: the fixture tables the build reads — their (size, mtime)
+  // footprint rides in the key so an in-place fixture regeneration misses
+  // the cache (round-11, VERDICT-r10 #5; Ops.indexKey's guard generalized)
   private def memo[T <: AnyRef](spark: SparkSession, sfDir: String,
-      what: String)(build: => T): T =
-    graft.util.Memo(spark, s"$sfDir:$what")(build)
+      what: String, tables: String*)(build: => T): T =
+    graft.util.Memo(spark,
+      s"$sfDir:$what:${Tables.tableKey(sfDir, tables: _*)}")(build)
 
   /** L2-normalized embeddings as MLlib vectors — shared input of both ANN
     * indexes. Persisted: the build phase reads it several times (fit,
     * assignment, query fetch) and the query phase scans it per call. */
   private def normalizedVecs(spark: SparkSession, sfDir: String): DataFrame =
-    memo(spark, sfDir, "vecs") {
+    memo(spark, sfDir, "vecs", "embeddings") {
       val raw = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"),
           org.apache.spark.ml.functions.array_to_vector(
@@ -95,7 +99,7 @@ object Approx {
     model: BucketedRandomProjectionLSHModel, qv: Vector)
 
   private def lshIndex(spark: SparkSession, sfDir: String): LshIndex =
-    memo(spark, sfDir, "lsh") {
+    memo(spark, sfDir, "lsh", "embeddings") {
       val vecs = normalizedVecs(spark, sfDir)
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("v").setOutputCol("hashes")
@@ -117,7 +121,8 @@ object Approx {
       nCells: Int = 8, nProbes: Int = 3): IvfIndex =
     // withDispose: the index value is not itself a DataFrame, so the memo's
     // default unpersist-on-evict can't see the persisted `assigned` frame
-    graft.util.Memo.withDispose(spark, s"$sfDir:ivf:$nCells:$nProbes") {
+    graft.util.Memo.withDispose(spark,
+        s"$sfDir:ivf:$nCells:$nProbes:${Tables.tableKey(sfDir, "embeddings")}") {
       val vecs = normalizedVecs(spark, sfDir)
       // Coarse quantizer only — 3 Lloyd iterations give stable-enough
       // cells for an inverted file (recall pinned by AnnRecallSpec) at a
@@ -176,7 +181,7 @@ object Approx {
   val minhashLshJaccard = Q(
     "minhash_lsh_jaccard",
     (spark, sfDir) => {
-      val vecs = memo(spark, sfDir, "minhash-vecs") {
+      val vecs = memo(spark, sfDir, "minhash-vecs", "documents") {
         val docs = TextOps.docToks(spark, sfDir)
           .filter(col("doc_id") < 50)
           .select(col("doc_id"), col("tk").as("tokens"))
@@ -184,7 +189,7 @@ object Approx {
           .setNumFeatures(1 << 18).setBinary(true)
         tf.transform(docs).select("doc_id", "features").persist()
       }
-      val model = memo[MinHashLSHModel](spark, sfDir, "minhash-model") {
+      val model = memo[MinHashLSHModel](spark, sfDir, "minhash-model", "documents") {
         new MinHashLSH().setInputCol("features").setOutputCol("hashes")
           .setNumHashTables(8).setSeed(42L).fit(vecs)
       }

@@ -561,7 +561,8 @@ object Joins {
       // driver ONCE per (session, sfDir) and inlined as a literal, the
       // same single-driver-fetch-at-index-build the ANN tier documents;
       // the per-row scan path stays fully distributed.
-      val bfBytes = graft.util.Memo(spark, s"$sfDir:bloom_orders_1996") {
+      val bfBytes = graft.util.Memo(spark,
+        s"$sfDir:bloom_orders_1996:${Tables.tableKey(sfDir, "orders")}") {
         keys.agg(
           expr("graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)")
             .as("bf")).head().getAs[Array[Byte]](0)

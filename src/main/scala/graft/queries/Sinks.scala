@@ -39,7 +39,8 @@ object Sinks {
   private def writeOrdersByMonth(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
     val dir = sinkDir(sfDir)
-    graft.util.Memo(spark, s"$sfDir:sink_orders_month") {
+    graft.util.Memo(spark,
+      s"$sfDir:sink_orders_month:${Tables.tableKey(sfDir, "orders")}") {
       Tables.orders(spark, sfDir)
         .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
         .repartition(col("month"))
@@ -95,7 +96,8 @@ object Sinks {
     (spark, sfDir) => {
       import graft.util.D
       val tag = Integer.toHexString(sfDir.hashCode)
-      graft.util.Memo(spark, s"$sfDir:bucketed_tables") {
+      graft.util.Memo(spark,
+        s"$sfDir:bucketed_tables:${Tables.tableKey(sfDir, "orders", "lineitem")}") {
         Tables.orders(spark, sfDir).write.mode("overwrite")
           .format("parquet")
           .option("path", s"/tmp/graft_sink/orders_b_$tag")
@@ -143,7 +145,8 @@ object Sinks {
     "sink_csv_roundtrip",
     (spark, sfDir) => {
       val dir = s"/tmp/graft_sink/docs_csv_${Integer.toHexString(sfDir.hashCode)}"
-      graft.util.Memo(spark, s"$sfDir:csv_roundtrip") {
+      graft.util.Memo(spark,
+        s"$sfDir:csv_roundtrip:${Tables.tableKey(sfDir, "documents")}") {
         Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .repartition(4) // a multi-file export, like any real extract
@@ -175,7 +178,8 @@ object Sinks {
     "sink_jsonl_roundtrip",
     (spark, sfDir) => {
       val dir = s"/tmp/graft_sink/docs_jsonl_${Integer.toHexString(sfDir.hashCode)}"
-      graft.util.Memo(spark, s"$sfDir:jsonl_roundtrip") {
+      graft.util.Memo(spark,
+        s"$sfDir:jsonl_roundtrip:${Tables.tableKey(sfDir, "documents")}") {
         Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text"), col("lang"))
           .repartition(4)
@@ -245,7 +249,8 @@ object Sinks {
   private def writeTwoGenerations(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
     val dir = s"/tmp/graft_sink/orders_evo_${Integer.toHexString(sfDir.hashCode)}"
-    graft.util.Memo(spark, s"$sfDir:sink_orders_evo") {
+    graft.util.Memo(spark,
+      s"$sfDir:sink_orders_evo:${Tables.tableKey(sfDir, "orders")}") {
       val o = Tables.orders(spark, sfDir)
       o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -298,7 +303,8 @@ object Sinks {
     (spark, sfDir) => {
       import org.apache.spark.sql.types._
       val dir = s"/tmp/graft_sink/corrupt_csv_${Integer.toHexString(sfDir.hashCode)}"
-      graft.util.Memo(spark, s"$sfDir:corrupt_csv") {
+      graft.util.Memo(spark,
+        s"$sfDir:corrupt_csv:${Tables.tableKey(sfDir, "documents")}") {
         Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
           .select(concat_ws(",", col("doc_id"),
             when(col("doc_id") % 7 === 0, lit("not_a_number"))

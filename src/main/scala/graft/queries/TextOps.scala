@@ -29,7 +29,8 @@ object TextOps {
     * terms — whitespace lowercases to itself, so split∘lower ≡ lower∘split
     * token-for-token. */
   def docToks(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo(spark, s"$sfDir:doctoks") {
+    graft.util.Memo(spark,
+        s"$sfDir:doctoks:${Tables.tableKey(sfDir, "documents")}") {
       Tables.documents(spark, sfDir)
         .repartition(spark.sessionState.conf.numShufflePartitions,
           col("doc_id"))
@@ -528,7 +529,8 @@ object TextOps {
       // persist + per-session memo: the signature frame feeds both sides
       // of the band self-join; the memo keeps bench reps from stacking a
       // fresh persisted copy per invocation
-      val sig = graft.util.Memo(spark, s"$sfDir:simhash_sig") {
+      val sig = graft.util.Memo(spark,
+          s"$sfDir:simhash_sig:${Tables.tableKey(sfDir, "documents")}") {
         docToks(spark, sfDir)
           .filter(col("doc_id") < 300)
           .select(col("doc_id"), explode(col("tk")).as("tok"))
@@ -1216,7 +1218,8 @@ object TextOps {
       .filter(round(col("inter").cast("double")
         / (col("n1") + col("n2") - col("inter")), 4) >= 0.5)
       .select("d1", "d2")
-    graft.util.Memo(spark, s"$sfDir:dedup_surv_edges") {
+    graft.util.Memo(spark,
+        s"$sfDir:dedup_surv_edges:${Tables.tableKey(sfDir, "documents")}") {
       dup.unionByName(dup.select(col("d2").as("d1"), col("d1").as("d2")))
         .persist()
     }
@@ -1322,7 +1325,8 @@ object TextOps {
     (spark, sfDir) => {
       val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
       val edges = dedupVerifiedEdges(spark, sfDir)
-      graft.util.Memo(spark, s"$sfDir:dedup_cc") {
+      graft.util.Memo(spark,
+        s"$sfDir:dedup_cc:${Tables.tableKey(sfDir, "documents")}") {
         graft.ops.Ops.ccFixpoint(
           docsF.select("doc_id"), col("doc_id"),
           edges, col("d1"), col("d2"), maxRounds = 20)
@@ -1871,7 +1875,8 @@ object TextOps {
       // — the call-site persist the minhashCandidatePairs doc prescribes;
       // without it the tokenize→minhash agg ran 3× per invocation
       // (measured 10.1 s process-CPU at sf0.1, r10).
-      val sigRaw = graft.util.Memo(spark, s"$sfDir:mhsig:200:8") {
+      val sigRaw = graft.util.Memo(spark,
+        s"$sfDir:mhsig:200:8:${Tables.tableKey(sfDir, "documents")}") {
         graft.ops.Ops
           .minhashSignatures(docsF, col("doc_id"), col("tk"), 8)
           .persist()

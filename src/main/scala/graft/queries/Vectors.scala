@@ -193,7 +193,8 @@ object Vectors {
       // repeat invocations reuse ONE cached frame instead of stacking a
       // fresh persist per call. Production CC loops persist each frontier
       // the same way.
-      val edges = graft.util.Memo(spark, s"$sfDir:dupc_edges") {
+      val edges = graft.util.Memo(spark,
+        s"$sfDir:dupc_edges:${Tables.tableKey(sfDir, "embeddings")}") {
         pairs.unionByName(
           pairs.select(col("v2").as("v1"), col("v1").as("v2"))).persist()
       }

@@ -44,6 +44,27 @@ object Tables {
     raw.withColumn("ts", ts)
   }
 
+  /** Memo-key suffix carrying the (name, size, mtime) footprint of the
+    * named fixture tables under sfDir — Ops.indexKey's staleness guard,
+    * generalized (round-11, VERDICT-r10 #5): a memo key built from sfDir
+    * alone survives the driver regenerating a fixture IN PLACE (r7 and r9
+    * both did), silently serving frames built from the old bytes. Every
+    * session memo whose build reads fixture tables appends this for the
+    * tables it reads; a regeneration changes size-or-mtime ⇒ new key ⇒
+    * rebuild (old entry reclaimed by the next Memo.clear/freeCaches).
+    * Files are walked recursively (a .parquet path may be a directory of
+    * part files) and sorted, so the footprint is deterministic. */
+  def tableKey(sfDir: String, tables: String*): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val fp = tables.flatMap(t => walk(new java.io.File(s"$sfDir/$t.parquet")))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(",")
+    fp.hashCode.toString
+  }
+
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")

@@ -86,6 +86,42 @@ class MemoLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("docToks and mhsig memo keys change when documents.parquet is regenerated in place") {
+    // VERDICT-r10 #5: the doctoks/mhsig session memos keyed on sfDir
+    // alone survived an in-place fixture regeneration (the r7/r9 driver
+    // hazard) and served frames built from the OLD bytes. Their keys now
+    // carry Tables.tableKey's (name, size, mtime) footprint. Replayed
+    // against a temp copy, same as the index-key test above.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dt-regen").toFile
+    val dir = tmp.getAbsolutePath
+    try {
+      Memo.clear(spark)
+      val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      src.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val n1 = graft.queries.TextOps.docToks(spark, dir).count()
+      Registry.byName("text_minhash_jaccard_est").build(spark, dir).count()
+      val entries = Memo.entryCount(spark)
+      graft.queries.TextOps.docToks(spark, dir).count()
+      Registry.byName("text_minhash_jaccard_est").build(spark, dir).count()
+      assert(Memo.entryCount(spark) == entries,
+        "stable fixture -> both memos must HIT")
+      // the regeneration: same path, new bytes (what gen_sf.py does)
+      src.limit(100).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val n2 = graft.queries.TextOps.docToks(spark, dir).count()
+      assert(n2 == 100 && n2 != n1,
+        "docToks must rebuild from the NEW bytes, not serve the stale frame")
+      Registry.byName("text_minhash_jaccard_est").build(spark, dir).count()
+      assert(Memo.entryCount(spark) > entries,
+        "regeneration must MISS both memos (new footprint-bearing keys)")
+    } finally {
+      Memo.clear(spark)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("an evict that races ahead of the force cannot strand a persist") {
     // ADVICE-r10 (medium): withDispose publishes the Entry via putIfAbsent
     // BEFORE forcing the lazy build, so an evict/clear can land while
