@@ -85,6 +85,15 @@ class ScaleTechniquesSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"expected AQE skew-split join in final plan, got:\n$plan")
+      // and the split itself: the AQEShuffleRead over the skewed side must
+      // report its skew-partition handling (VERDICT-r10 #6) — the node that
+      // actually replaces "1 giant reduce task" with N parallel sub-reads
+      assert(plan.contains("AQEShuffleRead"),
+        s"expected an AQEShuffleRead node in final plan, got:\n$plan")
+      val aqeReadsSkewed = plan.linesIterator
+        .exists(l => l.contains("AQEShuffleRead") && l.contains("skewed"))
+      assert(aqeReadsSkewed,
+        s"expected an AQEShuffleRead marked 'skewed', got:\n$plan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
