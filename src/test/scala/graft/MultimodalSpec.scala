@@ -87,4 +87,36 @@ class MultimodalSpec extends SparkSpec {
       Tables.documents(spark, sf0001).count())
     assert(frames.filter(col("frame_bytes") > 50).count() == 0)
   }
+
+  test("Ogg codec: encode->decode round-trips, multi-lacing and corrupt pages handled") {
+    import spark.implicits._
+    // short (single lacing value), exactly 255 (lacing [255, 0]), long
+    // (600 bytes -> [255, 255, 90]), empty (lacing [0])
+    val docs = Seq(
+      (1L, "x" * 10), (2L, "y" * 255), (3L, "z" * 600), (4L, ""))
+      .toDF("doc_id", "text")
+    val pages = docs.select(col("doc_id"),
+        Multimodal.encodeOggPayload(col("text"), col("doc_id")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val m10 = Multimodal.decodeOgg(pages(1L))
+    assert(m10.payloadBytes == 10 && m10.nSegments == 1 &&
+      m10.serial == 1L && m10.headerType == 6L && m10.granule == 10L)
+    val m255 = Multimodal.decodeOgg(pages(2L))
+    assert(m255.payloadBytes == 255 && m255.nSegments == 2,
+      "a 255-byte packet laces as [255, 0] per RFC 3533")
+    val m600 = Multimodal.decodeOgg(pages(3L))
+    assert(m600.payloadBytes == 600 && m600.nSegments == 3 &&
+      m600.pageBytes == 27 + 3 + 600)
+    val m0 = Multimodal.decodeOgg(pages(4L))
+    assert(m0.payloadBytes == 0 && m0.nSegments == 1 && m0.granule == 0)
+    // corrupt pages fail loudly, never decode garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeOgg("NotOggS".getBytes ++ pages(1L).drop(7))
+    }
+    val truncated = pages(3L).take(40) // cuts inside the lacing/payload
+    intercept[IllegalArgumentException] { Multimodal.decodeOgg(truncated) }
+    val badLacing = pages(2L).clone()
+    badLacing(28) = 7 // last lacing 0 -> 7: declared > actual payload
+    intercept[IllegalArgumentException] { Multimodal.decodeOgg(badLacing) }
+  }
 }
