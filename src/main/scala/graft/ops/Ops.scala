@@ -311,6 +311,33 @@ object Ops {
       posexplode(array(bandCols: _*)).as(Seq("band_no", "bkey")))
   }
 
+  /** ROW-LOCAL minhash band keys (round-11): the same signatures and
+    * band-key construction as minhashBandsArr, but computed as a scalar
+    * expression over the row's own token array (array_min over the
+    * hashed distinct tokens) instead of an explode + groupBy — min over
+    * a set equals min over its multiset, so the keys are value-identical
+    * (Round11OpsSpec proves it on fixtures). This is the STREAMING form:
+    * banding a micro-batch needs no streaming aggregation state, just a
+    * per-row expression — the incremental-dedup stream probe uses it
+    * (StreamingParitySpec). Returns an array of (band_no, bkey) structs;
+    * rows with NO nonempty tokens get null-keyed bands (the agg form
+    * drops such ids entirely — filter first if that matters). */
+  def minhashBandKeysExpr(toksCol: Column, numHashes: Int,
+      bands: Int): Column = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val dt = array_distinct(filter(toksCol, t => length(t) > 0))
+    def h(s: Int) = array_min(transform(dt, t =>
+      conv(substring(md5(concat(lit(s + ":"), t)), 1, 15), 16, 10)
+        .cast("bigint")))
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_no"),
+        md5(concat_ws("|",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(h): _*))
+          .as("bkey"))
+    }: _*)
+  }
+
   /** `minhashBands` over a pre-tokenized array column (shared-tokenize
     * path; the text variant delegates here after one split). */
   def minhashBandsArr(df: DataFrame, id: Column, toksCol: Column,

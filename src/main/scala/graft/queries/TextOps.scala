@@ -2369,7 +2369,11 @@ object TextOps {
     * text, are what lives in it); the daily batch is the small probe side
     * streaming through two hash joins keyed on content-hash / band-key.
     * No self-join, no all-pairs: incremental cost is O(batch), never
-    * O(corpus). */
+    * O(corpus). The production job is a STREAM — StreamingParitySpec
+    * (round-11) mirrors this exact semantics via transformWithState:
+    * prior-corpus signatures as frozen initial state, the daily batch
+    * micro-batched through row-local banding (Ops.minhashBandKeysExpr),
+    * verdicts proven row-identical to this batch op. */
   val textIncrementalDedup = Q(
     "text_incremental_dedup",
     (spark, sfDir) => {

@@ -44,4 +44,21 @@ class Round11OpsSpec extends SparkSpec {
     assert(enc("xyz") == "x y z")
     assert(enc("q") == "q")
   }
+
+  test("minhashBandKeysExpr (row-local) == minhashBandsArr (agg) on fixture docs") {
+    // the streaming probe's banding must be value-identical to the batch
+    // banding or the incremental-dedup stream mirror silently diverges
+    import graft.ops.Ops
+    val docs = graft.queries.TextOps.docToks(spark, sf0001)
+      .filter(col("doc_id") < 200)
+    val agg = Ops.minhashBandsArr(docs, col("doc_id"), col("tk"), 8, 2)
+      .select(col("id"), col("band_no").cast("int").as("band_no"),
+        col("bkey"))
+    val rowwise = docs.select(col("doc_id").as("id"),
+        explode(Ops.minhashBandKeysExpr(col("tk"), 8, 2)).as("b"))
+      .select(col("id"), col("b.band_no"), col("b.bkey"))
+    assert(rowwise.except(agg).count() == 0)
+    assert(agg.except(rowwise).count() == 0)
+    assert(agg.count() == 400) // 200 docs x 2 bands
+  }
 }

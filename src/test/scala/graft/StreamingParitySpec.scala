@@ -433,4 +433,119 @@ class StreamingParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState incremental dedup over frozen prior-corpus state == batch Ops.incrementalDedup") {
+    // VERDICT-r10 #8: the production daily-crawl job is a STREAM — today's
+    // batch probes the persisted signature store of the prior corpus. The
+    // mirror: prior corpus (even doc_ids < 600, the graded
+    // text_incremental_dedup convention) becomes transformWithState
+    // INITIAL STATE — one state row per probe key ('h:'+content-hash
+    // existence rows; 'b:'+band_no+':'+bkey rows carrying the prior doc
+    // ids sharing that band) — and the daily batch (odd doc_ids) streams
+    // through as per-row probe keys (Ops.minhashBandKeysExpr: banding
+    // with NO streaming aggregation). State stays FROZEN across
+    // micro-batches, matching the batch op's semantics (the op dedups
+    // batch-vs-prior, never batch-vs-batch); the production variant would
+    // append admitted signatures for the next day. Final per-doc verdict
+    // (exact_dup, n_band_hits, admitted) must equal the batch library
+    // call row-for-row regardless of how the stream was micro-batched.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+    import graft.ops.Ops
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.queries.TextOps.docToks(spark, sf0001)
+        .filter(col("doc_id") < 600)
+      val prior = docs.filter(col("doc_id") % 2 === 0)
+      val batchDocs = docs.filter(col("doc_id") % 2 === 1)
+      // ---- the persisted signature store, as initial state rows
+      val priorExact = prior
+        .select(concat(lit("h:"), md5(col("text"))).as("k"))
+        .distinct()
+        .withColumn("ids", array().cast("array<bigint>"))
+      val priorBands = Ops.minhashBandsArr(prior, col("doc_id"), col("tk"), 8, 2)
+        .groupBy(concat(lit("b:"), col("band_no"), lit(":"), col("bkey")).as("k"))
+        .agg(sort_array(collect_set(col("id"))).as("ids"))
+      val initState = priorExact.unionByName(priorBands)
+        .as[(String, Seq[Long])].groupByKey(_._1)
+      // ---- today's crawl, staged as four micro-batches of probe rows
+      val stageDir = Files.createTempDirectory("graft_incdedup_in_").toString
+      (0 until 4).foreach { i =>
+        batchDocs.filter(pmod((col("doc_id") - 1) / 2, lit(4)) === i)
+          .select("doc_id", "text", "tk")
+          .coalesce(1).write.mode("append").parquet(stageDir)
+      }
+      val schema = spark.read.parquet(stageDir).schema
+      val probes = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
+        .select(col("doc_id"),
+          explode(concat(
+            array(concat(lit("h:"), md5(col("text")))),
+            transform(Ops.minhashBandKeysExpr(col("tk"), 8, 2),
+              b => concat(lit("b:"), b.getField("band_no"), lit(":"),
+                b.getField("bkey"))))).as("k"))
+        .as[(Long, String)]
+      class Probe extends StatefulProcessorWithInitialState[
+          String, (Long, String), (Long, String, Boolean, Seq[Long]),
+          (String, Seq[Long])] {
+        @transient private var st: ValueState[Seq[Long]] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[Seq[Long]]("prior",
+            org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](),
+            TTLConfig.NONE)
+        override def handleInitialState(key: String,
+            initialState: (String, Seq[Long]), tv: TimerValues): Unit =
+          st.update(initialState._2)
+        override def handleInputRows(key: String,
+            rows: Iterator[(Long, String)],
+            tv: TimerValues): Iterator[(Long, String, Boolean, Seq[Long])] = {
+          val hit = st.exists()
+          val ids = if (hit) st.get() else Seq.empty[Long]
+          val kind = if (key.startsWith("h:")) "exact" else "band"
+          rows.map { case (docId, _) => (docId, kind, hit, ids) }
+        }
+      }
+      val outDir = Files.createTempDirectory("graft_incdedup_out_").toString
+      val verdicts = probes.groupByKey(_._2)
+        .transformWithState(new Probe, TimeMode.None(), OutputMode.Update(),
+          initState)
+        .toDF("doc_id", "kind", "hit", "ids")
+      val q = verdicts.writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "streaming query did not finish")
+      val streamed = spark.read.parquet(outDir)
+        .select(col("doc_id"), col("kind"), col("hit"),
+          explode_outer(col("ids")).as("pid"))
+        .groupBy("doc_id")
+        .agg(max(col("kind") === "exact" && col("hit")).as("exact_dup"),
+          countDistinct(when(col("kind") === "band", col("pid")))
+            .as("n_band_hits"))
+        .withColumn("admitted",
+          !col("exact_dup") && col("n_band_hits") === 0)
+    val expected = Ops.incrementalDedup(prior, batchDocs,
+        col("doc_id"), col("text"), col("tk"), 8, 2)
+        .select(col("id").as("doc_id"), col("exact_dup"),
+          col("n_band_hits"), col("admitted"))
+      assert(streamed.except(expected).count() == 0)
+      assert(expected.except(streamed).count() == 0)
+      assert(expected.count() == batchDocs.count())
+      // the fixture prior actually catches near-dups — the mirror is not
+      // vacuously comparing all-admitted verdicts
+      assert(expected.filter(!col("admitted")).count() > 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
