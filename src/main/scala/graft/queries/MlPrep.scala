@@ -730,6 +730,55 @@ object MlPrep {
           FROM t2 GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  /** Encoded-symbol vocabulary census (round-11) — the third face of the
+    * tokenizer story (train: ml_bpe_merge_step; encode: ml_bpe_encode;
+    * audit: this): run the frozen merge table over the corpus and count
+    * the resulting SYMBOLS — the distribution a tokenizer owner audits
+    * to decide whether the merge list still fits the corpus (merged
+    * symbols like 'er'/'in' should dominate; a drifted corpus shows the
+    * mass back in single characters). Top-20 symbols under the (count
+    * DESC, symbol) total order, with the corpus share (one identical
+    * division, rounded).
+    *
+    * 100-TB shape: map-side encode (chained codegen replaces) + explode
+    * + one symbol-keyed hash agg + broadcast total; the top-20 cut is an
+    * ordered limit over the vocabulary-sized aggregate. */
+  val mlBpeVocab = Q(
+    "ml_bpe_vocab",
+    (spark, sfDir) => {
+      val syms = graft.queries.TextOps.docToks(spark, sfDir)
+        .select(explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(explode(split(trim(bpeEncodeExpr), " ")).as("sym"))
+      val counts = syms.groupBy("sym").agg(count(lit(1)).as("n"))
+      val total = syms.agg(count(lit(1)).as("t"))
+      counts.crossJoin(broadcast(total))
+        .select(col("sym"), col("n"),
+          round(col("n").cast("double") / col("t").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("n").desc, col("sym"))
+        .limit(20)
+    },
+    Some {
+      val seq0 = "(' ' || array_to_string(list_transform(" +
+        "generate_series(1, length(tok)), " +
+        "i -> substring(tok, CAST(i AS INT), 1)), ' ') || ' ')"
+      val enc = bpeRules.foldLeft(seq0) { case (s, (a, b)) =>
+        val p = s"' $a $b '"; val r = s"' $a$b '"
+        s"replace(replace($s, $p, $r), $p, $r)"
+      }
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+               syms AS (SELECT unnest(string_split(trim($enc), ' ')) AS sym
+                        FROM toks WHERE length(tok) > 0),
+               c AS (SELECT sym, count(*) AS n FROM syms GROUP BY sym),
+               t AS (SELECT count(*) AS t FROM syms)
+          SELECT sym, n,
+                 round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+          FROM c CROSS JOIN t
+          ORDER BY n DESC, sym LIMIT 20"""
+    })
+
   /** Hashed feature cross (round-9) — the classic wide-model feature:
     * cross two categorical columns (lang × source) and hash the crossed
     * token into a bounded bucket space (32) with the engine-portable md5
@@ -994,7 +1043,7 @@ object MlPrep {
                          6) AS effective_sources
             FROM nano"""))
 
-  def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
+  def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlBpeVocab, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,

@@ -986,6 +986,110 @@ object TextOps {
             FROM runs WHERE run_tokens >= 16
             ORDER BY d1, d2, d1_start, d2_start"""))
 
+  /** Substring-dedup REMOVAL CRITERION (round-11) — the decision layer
+    * over text_substring_dedup's detections, completing the Lee-2021
+    * pass: per doc, what fraction of its tokens lies inside a ≥16-token
+    * run shared with ANY other doc. A run covers BOTH sides, so each
+    * (d1,d2) run contributes two one-sided intervals; overlapping /
+    * adjacent intervals on the same doc (a span shared with several
+    * partners) must not double-count, so coverage goes through
+    * Ops.intervalUnion (the ts tier's gaps-and-islands union — token
+    * positions ride as half-open [start, start+len) exactly like
+    * timestamps). drop_flag is the exact-integer form 2·covered ≥
+    * n_tokens (never a float threshold compare). Only docs with ≥1 run
+    * appear — the pipeline's removal worklist, not a full census.
+    *
+    * 100-TB shape: sharedTokenRuns' equi-join (runs are few), then one
+    * window + two aggs keyed on doc_id; the n_tokens join probes the
+    * tokenized cache. */
+  val textSubstringCoverage = Q(
+    "text_substring_coverage",
+    (spark, sfDir) => {
+      val runs = graft.ops.Ops.sharedTokenRuns(docToks(spark, sfDir),
+        col("doc_id"), col("tk"), shingle = 8, minRunTokens = 16)
+      val sides = runs.select(col("d1").as("doc_id"),
+          col("d1_start").cast("bigint").as("s"),
+          (col("d1_start") + col("run_tokens")).cast("bigint").as("e"),
+          col("d2").as("tb"))
+        .unionByName(runs.select(col("d2").as("doc_id"),
+          col("d2_start").cast("bigint").as("s"),
+          (col("d2_start") + col("run_tokens")).cast("bigint").as("e"),
+          col("d1").as("tb")))
+      val un = graft.ops.Ops.intervalUnion(sides, Seq(col("doc_id")),
+        col("s"), col("e"), col("tb"))
+      val nt = docToks(spark, sfDir)
+        .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"))
+      un.join(nt, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_intervals").as("n_runs"), col("n_islands"),
+          col("covered").as("covered_tokens"),
+          round(col("covered").cast("double")
+            / col("n_tokens").cast("double"), 6).as("coverage_frac"),
+          (col("covered") * 2 >= col("n_tokens")).as("drop_flag"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+                          FROM documents),
+                 sh AS (SELECT doc_id, p,
+                               md5(array_to_string(tk[p:p+7], ' ')) AS h
+                        FROM toks,
+                             unnest(generate_series(1, len(tk)-7)) AS t(p)
+                        WHERE len(tk) >= 8),
+                 m AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                              a.p AS p1, b.p AS p2
+                       FROM sh a JOIN sh b
+                         ON a.h = b.h AND a.doc_id < b.doc_id),
+                 isl0 AS (SELECT d1, d2, p1 - p2 AS g, p1, p2,
+                                 p1 - row_number() OVER (
+                                   PARTITION BY d1, d2, p1 - p2
+                                   ORDER BY p1) AS isle
+                          FROM m),
+                 runs AS (SELECT * FROM (
+                            SELECT d1, d2, min(p1) AS d1_start,
+                                   min(p2) AS d2_start,
+                                   count(*) + 7 AS run_tokens
+                            FROM isl0 GROUP BY d1, d2, g, isle)
+                          WHERE run_tokens >= 16),
+                 sides AS (SELECT d1 AS doc_id, d1_start AS s,
+                                  d1_start + run_tokens AS e, d2 AS tb
+                           FROM runs
+                           UNION ALL
+                           SELECT d2 AS doc_id, d2_start AS s,
+                                  d2_start + run_tokens AS e, d1 AS tb
+                           FROM runs),
+                 ord AS (SELECT doc_id, s, e, tb,
+                                max(e) OVER (PARTITION BY doc_id
+                                  ORDER BY s, e, tb
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS runmax
+                         FROM sides),
+                 brk AS (SELECT doc_id, s, e,
+                                sum(CASE WHEN runmax IS NULL OR s <= runmax
+                                         THEN 0 ELSE 1 END)
+                                  OVER (PARTITION BY doc_id
+                                        ORDER BY s, e, tb
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS island
+                         FROM ord),
+                 un AS (SELECT doc_id, island, min(s) AS s, max(e) AS e,
+                               count(*) AS niv
+                        FROM brk GROUP BY doc_id, island),
+                 agg AS (SELECT doc_id,
+                                CAST(sum(niv) AS BIGINT) AS n_runs,
+                                count(*) AS n_islands,
+                                CAST(sum(e - s) AS BIGINT) AS covered_tokens
+                         FROM un GROUP BY doc_id),
+                 nt AS (SELECT doc_id,
+                               CAST(len(string_split(text,' ')) AS BIGINT)
+                                 AS n_tokens
+                        FROM documents)
+            SELECT agg.doc_id, n_tokens, n_runs, n_islands, covered_tokens,
+                   round(CAST(covered_tokens AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE), 6) AS coverage_frac,
+                   covered_tokens * 2 >= n_tokens AS drop_flag
+            FROM agg JOIN nt USING (doc_id)
+            ORDER BY doc_id"""))
+
   /** Corpus-driven stopword discovery: terms present in more than 60% of
     * documents (document frequency, not raw counts — one distinct
     * (doc, term) explode + a df agg + a one-row broadcast total). The
@@ -2443,5 +2547,5 @@ object TextOps {
     textLangConfusion, textTokenDrift, textBigramCoverage, textReviewSample,
     textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
     textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles,
-    textDedupCc, textSubstringDedup)
+    textDedupCc, textSubstringDedup, textSubstringCoverage)
 }
