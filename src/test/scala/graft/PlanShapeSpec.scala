@@ -210,4 +210,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("ObjectHashAggregate").length > 2,
       s"expected two ObjectHashAggregate levels around the exchange:\n$p")
   }
+
+  test("text_substring_dedup content-addresses by hash equi-join, never a pair scan") {
+    // the shingle self-join must key on the content hash (broadcast or
+    // shuffled hash/SMJ are all fine — Catalyst picks by stats); a
+    // nested-loop anywhere means the equi-key was lost and the plan went
+    // quadratic in documents
+    val p = plan("text_substring_dedup")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never pair-scan:\n$p")
+  }
 }
