@@ -952,11 +952,23 @@ object TextOps {
     * 1.1·Σc), and the islands merge is one window + agg on (pair,
     * diagonal); production adds a hot-shingle frequency cap before the
     * join (boilerplate guard), the graded op is exact. */
+  /** The memoized maximal-shared-run frame (8-token shingles, ≥16-token
+    * runs) — the substring tier's materialized detection store, feeding
+    * BOTH text_substring_dedup (the run list) and text_substring_coverage
+    * (the removal criterion), same pattern as dedupVerifiedEdges: the
+    * shingle explode + content-address join runs once per (session,
+    * corpus generation), consumers re-read the tiny run frame. */
+  private def substringRuns(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo(spark,
+        s"$sfDir:subruns:${Tables.tableKey(sfDir, "documents")}") {
+      graft.ops.Ops.sharedTokenRuns(docToks(spark, sfDir),
+        col("doc_id"), col("tk"), shingle = 8, minRunTokens = 16).persist()
+    }
+
   val textSubstringDedup = Q(
     "text_substring_dedup",
     (spark, sfDir) =>
-      graft.ops.Ops.sharedTokenRuns(docToks(spark, sfDir),
-          col("doc_id"), col("tk"), shingle = 8, minRunTokens = 16)
+      substringRuns(spark, sfDir)
         .select(col("d1"), col("d2"),
           col("d1_start").cast("bigint").as("d1_start"),
           col("d2_start").cast("bigint").as("d2_start"),
@@ -1005,8 +1017,7 @@ object TextOps {
   val textSubstringCoverage = Q(
     "text_substring_coverage",
     (spark, sfDir) => {
-      val runs = graft.ops.Ops.sharedTokenRuns(docToks(spark, sfDir),
-        col("doc_id"), col("tk"), shingle = 8, minRunTokens = 16)
+      val runs = substringRuns(spark, sfDir)
       val sides = runs.select(col("d1").as("doc_id"),
           col("d1_start").cast("bigint").as("s"),
           (col("d1_start") + col("run_tokens")).cast("bigint").as("e"),
