@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming_sign_native"),
       new ExpressionInfo(classOf[HammingSign].getName, "hamming_sign_native"),
       Builders.arity2("hamming_sign_native")(HammingSign(_, _))))
+    // Optimizer rung of the extension ladder (round-11): users writing
+    // the portable aggregate(zip_with(...)) dot-product fold get the
+    // codegen'd DotProduct kernel automatically — see NativeDotFusion
+    // for the exact-semantics guard.
+    ext.injectOptimizerRule(_ => graft.plans.NativeDotFusion)
   }
 }
