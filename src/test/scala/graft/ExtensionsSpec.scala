@@ -104,7 +104,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val fused = emb.select(col("vec_id"), graft.util.V.dot(col("e"), col("e")).as("d"))
       assert(fused.queryExecution.optimizedPlan.toString.contains("dot_native"))
       val got = fused.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      spark.stop()
+      // do NOT stop(): sessions share the one JVM SparkContext, and
+      // stopping it here kills every later suite's session. Clearing and
+      // restoring the previous session is the whole teardown.
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
