@@ -200,6 +200,46 @@ object Sinks {
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** ORC roundtrip (round-11) — completes the write-path format matrix
+    * (parquet / csv / jsonl / orc: the four formats a Spark cluster
+    * ships without extra jars; spark-avro is not on this classpath,
+    * noted in SURVEY §2.12b). ORC is the other columnar production
+    * format — predicate pushdown, column pruning and zlib/zstd blocks
+    * like parquet, common as the interchange point with Hive/Trino
+    * estates. Same discipline as the siblings: write a projection
+    * INCLUDING the free-text payload (columnar string encoding must
+    * round-trip unicode exactly), read back under an explicit schema,
+    * aggregate with md5 content sensitivity; oracle recomputes from the
+    * SOURCE table, so a dropped row, encoding mangle or type drift
+    * breaks value parity. */
+  val sinkOrcRoundtrip = Q(
+    "sink_orc_roundtrip",
+    (spark, sfDir) => {
+      val dir = s"/tmp/graft_sink/docs_orc_${Integer.toHexString(sfDir.hashCode)}"
+      graft.util.Memo(spark,
+        s"$sfDir:orc_roundtrip:${Tables.tableKey(sfDir, "documents")}") {
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+          .repartition(4)
+          .write.mode("overwrite").orc(dir)
+        java.lang.Boolean.TRUE
+      }
+      spark.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+        .orc(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(md5(col("text"))).as("min_text_md5"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(length(col("text"))).as("total_text_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   min(md5(text)) AS min_text_md5,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS total_text_chars
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** Partition-pruned read over the month-partitioned sink: a one-year
     * filter on the PARTITION column must touch only the 12 matching
     * directories — the scan-cost mechanism partitioned layouts exist for
@@ -336,6 +376,6 @@ object Sinks {
             FROM documents WHERE doc_id < 100"""))
 
   def qs: Seq[Q] = Seq(sinkCorruptRecordAudit, sinkPartitionedManifest, sinkBucketedJoin,
-    sinkCsvRoundtrip, sinkJsonlRoundtrip, sinkPartitionPrunedRead,
+    sinkCsvRoundtrip, sinkJsonlRoundtrip, sinkOrcRoundtrip, sinkPartitionPrunedRead,
     srcSchemaEvolution)
 }
