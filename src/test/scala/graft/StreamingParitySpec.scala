@@ -548,4 +548,156 @@ class StreamingParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("event-time TIMER sessionization == batch ts_session on watermark-closed sessions") {
+    // Round-11: the one streaming pattern the mirrors lacked — TIMERS.
+    // Production streaming sessionization does not re-emit per batch; it
+    // registers an EVENT-TIME timer at (last event + gap) and emits each
+    // session exactly once, when the watermark proves no future event can
+    // join it. Mirror: per-user ListState event buffer + one registered
+    // timer (re-armed as later events extend the session); on expiry,
+    // sessionize the buffer (strict >30min gap breaks, (ts, event_id)
+    // order — the graded ts_session semantics), emit sessions whose
+    // end+gap the watermark has passed, retain the open tail. Files are
+    // staged in TIME order (ts quartiles), so the 10-min watermark never
+    // drops a late row — arrival order within a batch stays scrambled.
+    // Expected = batch sessionize restricted to sessions the FINAL
+    // watermark (global max ts − 10 min) had closed; open tails are
+    // exactly the sessions a live job would still be holding.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val dir = Files.createTempDirectory("graft_tsession_in_").toString
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "value")
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val staged = ev.withColumn("q", ntile(4).over(wq))
+    (1 to 4).foreach { i =>
+      staged.filter(col("q") === i).drop("q")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val outDir = Files.createTempDirectory("graft_tsession_out_").toString
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      val GAP_US = 1800L * 1000000L
+      val GAP_MS = 1800000L
+      class Sessions extends StatefulProcessor[Long,
+          (Long, Long, Long, Double), (Long, Long, Long, Long, Double)] {
+        @transient private var buf: ListState[(Long, Long, Double)] = _
+        @transient private var tmr: ValueState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+          buf = getHandle.getListState[(Long, Long, Double)]("events",
+            org.apache.spark.sql.Encoders.product[(Long, Long, Double)],
+            TTLConfig.NONE)
+          tmr = getHandle.getValueState[Long]("tmr",
+            org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        }
+        private def arm(expiryMs: Long): Unit = {
+          if (tmr.exists() && tmr.get() != expiryMs)
+            getHandle.deleteTimer(tmr.get())
+          if (!tmr.exists() || tmr.get() != expiryMs) {
+            getHandle.registerTimer(expiryMs)
+            tmr.update(expiryMs)
+          }
+        }
+        private def split(evs: Array[(Long, Long, Double)])
+            : Seq[Seq[(Long, Long, Double)]] = {
+          val sessions = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer(evs.head))
+          evs.tail.foreach { e =>
+            if (e._1 - sessions.last.last._1 > GAP_US)
+              sessions += scala.collection.mutable.ArrayBuffer(e)
+            else sessions.last += e
+          }
+          sessions.map(_.toSeq).toSeq
+        }
+        override def handleInputRows(uid: Long,
+            rows: Iterator[(Long, Long, Long, Double)],
+            tv: TimerValues): Iterator[(Long, Long, Long, Long, Double)] = {
+          rows.foreach(r => buf.appendValue((r._2, r._3, r._4)))
+          // arm at the EARLIEST unemitted session's close boundary: one
+          // timer per key must serve the OLDEST pending session, or a key
+          // with an old closed session plus recent activity would wait on
+          // the newest session's boundary and never emit the old one
+          val evs = buf.get().toArray.sortBy(e => (e._1, e._2))
+          arm(split(evs).head.last._1 / 1000L + GAP_MS + 1L)
+          Iterator.empty
+        }
+        override def handleExpiredTimer(uid: Long, tv: TimerValues,
+            info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Double)] = {
+          val wmMs = tv.getCurrentWatermarkInMs()
+          val evs = buf.get().toArray.sortBy(e => (e._1, e._2))
+          if (evs.isEmpty) { tmr.clear(); return Iterator.empty }
+          val sessions = split(evs)
+          // closed iff the watermark strictly passed end+gap: an event at
+          // exactly end+gap would still JOIN (closed interval, pinned in
+          // SemanticsSpec) and such an event is not yet provably absent
+          val (closed, open) =
+            sessions.partition(s => wmMs > s.last._1 / 1000L + GAP_MS)
+          buf.clear()
+          if (open.nonEmpty) {
+            open.flatten.foreach(buf.appendValue)
+            tmr.clear()
+            arm(open.head.last._1 / 1000L + GAP_MS + 1L)
+          } else tmr.clear()
+          closed.iterator.map { s =>
+            (uid, s.head._1, s.last._1, s.size.toLong, s.map(_._3).sum)
+          }
+        }
+      }
+      val emitted = stream.groupByKey(_._1)
+        .transformWithState(new Sessions, TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "start_us", "end_us", "n_events", "sum_value")
+      val q = emitted.writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "streaming query did not finish")
+      val streamed = spark.read.parquet(outDir)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), round(col("sum_value"), 4).as("sv"))
+      // batch truth, restricted to what the final watermark had closed
+      val maxTsUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val finalWmMs = maxTsUs / 1000L - 600000L
+      val expected = graft.queries.TimeSeries.sessionize(
+          ev.withColumnRenamed("value", "value"))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"),
+          round(col("sum_value").cast("double"), 4).as("sv"))
+        .filter(lit(finalWmMs) > expr("end_us div 1000") + 1800000L)
+      assert(streamed.except(expected).count() == 0,
+        "streaming emitted a session batch truth does not have")
+      assert(expected.except(streamed).count() == 0,
+        "batch has a watermark-closed session the stream never emitted")
+      val nClosed = expected.count()
+      val nAll = graft.queries.TimeSeries.sessionize(ev).count()
+      assert(nClosed > 0, "fixture must close at least one session")
+      assert(nClosed < nAll,
+        "some sessions must stay open at the final watermark, or the " +
+        "closed-only comparison is vacuous")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
