@@ -1360,11 +1360,87 @@ object Vectors {
               SELECT 10, CAST(sum(hit) FILTER (rk <= 10) AS BIGINT) FROM hits)
             ORDER BY k"""))
 
+  /** Matryoshka truncation-recall curve (round-11) — the EVALUATION face
+    * of vec_prefix_rerank (which hard-codes prefix dim 16 as its coarse
+    * stage): exact top-10 by cosine computed at prefix dims 8/16/32/64,
+    * each scored against the full-64-dim truth set as recall@10 — the
+    * measured readout that tells an embedding-pipeline owner how far MRL
+    * truncation can go before the coarse stage starts missing real
+    * neighbors (the dim-64 row is the 1.0 anchor by construction). Same
+    * eval family as vec_recall_curve (hamming shortlist) and
+    * text_dedup_eval (banding P/R): the tuning knob gets a graded,
+    * oracle-exact measurement, not a guess. Measured at sf0.1: recall@10
+    * = 0.0 / 0.1 / 0.3 / 1.0 at dims 8/16/32/64 — the fixture's
+    * embeddings are NOT MRL-trained (no variance front-loading), and the
+    * curve correctly exposes that truncation is unsafe on them; a real
+    * Matryoshka-trained space reads near-1.0 down to small dims, and
+    * THIS readout is how you know which regime you are in (it is also
+    * why vec_prefix_rerank's coarse-16 stage widens to a 50-candidate
+    * shortlist before the exact rerank). All four rankings use the
+    * rounded-4dp cosine with -0.0 canonicalized (D.nz / +0.0) and vec_id
+    * tiebreak — the repo's total-order discipline.
+    *
+    * 100-TB shape: one broadcast query row, one linear scan computing
+    * the four prefix cosines fused (each a codegen'd dot_native over a
+    * slice), four TakeOrdered(10) cuts, a tiny join census. */
+  val vecMatryoshkaRecall = Q(
+    "vec_matryoshka_recall",
+    (spark, sfDir) => {
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val v = emb.select(col("vec_id"), dbl(col("embedding")).as("e"))
+      val q = v.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      val dims = Seq(8, 16, 32, 64)
+      def c(d: Int) = graft.util.D.nz(round(
+        expr(s"dot_native(slice(e, 1, $d), slice(qe, 1, $d))")
+          / (sqrt(expr(s"dot_native(slice(e, 1, $d), slice(e, 1, $d))"))
+             * sqrt(expr(s"dot_native(slice(qe, 1, $d), slice(qe, 1, $d))"))),
+        4))
+      val scored = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id") +: dims.map(d => c(d).as(s"c$d")): _*)
+      val full10 = scored.orderBy(col("c64").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      dims.map { d =>
+        val topd = scored.orderBy(col(s"c$d").desc, col("vec_id"))
+          .limit(10).select(col("vec_id").as("tid"))
+        full10.join(topd, col("vec_id") === col("tid"), "left")
+          .agg(sum(col("tid").isNotNull.cast("long")).as("n_hits"))
+          .select(lit(d).cast("bigint").as("dim"), col("n_hits"),
+            (col("n_hits").cast("double") / 10.0).as("recall10"))
+      }.reduce(_.unionAll(_)).orderBy("dim")
+    },
+    Some {
+      val dims = Seq(8, 16, 32, 64)
+      def sl(x: String, d: Int) = s"($x)[1:$d]"
+      val scs = dims.map { d =>
+        s"""sc$d AS (SELECT vec_id,
+               round(${oDot(sl("embedding::DOUBLE[]", d), sl("(SELECT qe FROM qv)", d))}
+                     / (${oNorm(sl("embedding::DOUBLE[]", d))}
+                        * ${oNorm(sl("(SELECT qe FROM qv)", d))}), 4) + 0.0
+                 AS c
+             FROM embeddings WHERE vec_id != 0)"""
+      }
+      val tops = dims.map(d =>
+        s"top$d AS (SELECT vec_id FROM sc$d ORDER BY c DESC, vec_id LIMIT 10)")
+      val rows = dims.map(d =>
+        s"""SELECT CAST($d AS BIGINT) AS dim, n_hits,
+                   CAST(n_hits AS DOUBLE) / 10 AS recall10
+            FROM (SELECT CAST(count(t.vec_id) AS BIGINT) AS n_hits
+                  FROM top64 f LEFT JOIN top$d t ON f.vec_id = t.vec_id)""")
+      s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe
+                      FROM embeddings WHERE vec_id = 0),
+               ${(scs ++ tops).mkString(",\n")}
+          SELECT dim, n_hits, recall10
+          FROM (${rows.mkString(" UNION ALL ")})
+          ORDER BY dim"""
+    })
+
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
     vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
-    vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives,
+    vecPowerIter, vecInt8DotTopk, vecClusterStats, vecHardNegatives, vecMatryoshkaRecall,
     vecOodCentroid, vecCentroidDistances, vecIndexNewBatch, vecRecallCurve)
 }
