@@ -59,7 +59,11 @@ object TimeSeries {
     * SemanticsSpec), so the gaps-and-islands oracle breaks strictly on
     * `> INTERVAL 30 MINUTES`. */
   /** Core sessionization, factored out so the =30min gap tie is unit-
-    * testable on in-memory frames (SemanticsSpec). */
+    * testable on in-memory frames (SemanticsSpec). The STREAMING form —
+    * event-time timers emitting each session exactly once when the
+    * watermark passes its close — is mirrored in StreamingParitySpec
+    * (round-11) and proven equal to this operator on watermark-closed
+    * sessions. */
   def sessionize(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
