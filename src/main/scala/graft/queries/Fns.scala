@@ -299,7 +299,46 @@ object Fns {
                   FROM documents)
             ORDER BY doc_id"""))
 
+  /** Spark-4 VariantType extraction (round-11) — the semi-structured
+    * path a 100-TB ingest actually wants: parse each record's JSON ONCE
+    * into the binary variant encoding, then extract many typed paths
+    * (variant_get), instead of re-parsing the string per extraction the
+    * way chained get_json_object does. The record is a nested JSON
+    * constructed from document fields (top-level scalars, a nested
+    * object, an array), so the extraction exercises object paths, typed
+    * casts and array indexing; the oracle recomputes every extracted
+    * value from the SOURCE columns — value parity proves the
+    * encode→variant→typed-get pipeline is lossless, the same discipline
+    * as the sink roundtrips.
+    *
+    * 100-TB shape: parse_json + variant_get are row-local codegen'd
+    * expressions; one lang-keyed hash agg. */
+  val fnVariantExtract = Q(
+    "fn_variant_extract",
+    (spark, sfDir) => {
+      val v = parse_json(to_json(struct(col("doc_id"), col("lang"),
+        struct(col("n_chars"), col("source")).as("meta"),
+        slice(col("tk"), 1, 3).as("toks"))))
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(
+          variant_get(v, "$.lang", "string").as("vlang"),
+          variant_get(v, "$.meta.n_chars", "bigint").as("nc"),
+          variant_get(v, "$.meta.source", "string").as("vsource"),
+          variant_get(v, "$.toks[0]", "string").as("tok0"))
+        .groupBy("vlang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("total_chars"),
+          countDistinct(col("vsource")).as("n_sources"),
+          min(col("tok0")).as("min_tok0"))
+        .orderBy("vlang")
+    },
+    Some("""SELECT lang AS vlang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(DISTINCT source) AS n_sources,
+                   min(string_split(text, ' ')[1]) AS min_tok0
+            FROM documents GROUP BY lang ORDER BY vlang"""))
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
     fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast,
-    fnMaskPii, fnUrlParse)
+    fnMaskPii, fnUrlParse, fnVariantExtract)
 }
