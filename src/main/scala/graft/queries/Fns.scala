@@ -338,7 +338,58 @@ object Fns {
                    min(string_split(text, ' ')[1]) AS min_tok0
             FROM documents GROUP BY lang ORDER BY vlang"""))
 
+  /** Z-order (Morton) layout key (round-11) — the multi-dimensional
+    * data-layout primitive behind Delta/Iceberg `OPTIMIZE ZORDER`: bit-
+    * interleave two bounded dimensions (customer bucket x order-date day
+    * bucket, 10 bits each) so that rows close in BOTH dimensions land
+    * close on the one sort key; files range-partitioned on the z-key
+    * then carry tight per-file min/max ranges in EVERY interleaved
+    * dimension, and a 2-d box predicate prunes files that a 1-d sort
+    * layout must read (ScaleTechniquesSpec demonstrates the bounding-box
+    * shrinkage against a custkey-sorted baseline). Graded artifact: the
+    * z-bucket census (top-6-bit buckets, per-bucket row count and exact
+    * z min/max) — pure integer bit arithmetic, identical on both
+    * engines.
+    *
+    * 100-TB shape: the z-key is a row-local codegen'd expression; the
+    * census one hash agg. The layout write itself is
+    * repartitionByRange(zkey) + sortWithinPartitions — the sink tier's
+    * write shape, demonstrated in test. */
+  val fnZorderKey = Q(
+    "fn_zorder_key",
+    (spark, sfDir) => {
+      val x = (col("o_custkey") % 1024).cast("int")
+      val y = (datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+        % 1024).cast("int")
+      def interleave(xc: org.apache.spark.sql.Column,
+          yc: org.apache.spark.sql.Column) =
+        (0 until 10).map { i =>
+          shiftleft(shiftright(xc, i).bitwiseAND(lit(1)), 2 * i)
+            .bitwiseOR(
+              shiftleft(shiftright(yc, i).bitwiseAND(lit(1)), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
+      Tables.orders(spark, sfDir)
+        .select(interleave(x, y).cast("bigint").as("zkey"))
+        .groupBy(shiftright(col("zkey"), 14).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+        .orderBy("zbucket")
+    },
+    Some {
+      val terms = (0 until 10).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""WITH d AS (SELECT CAST(o_custkey % 1024 AS INT) AS x,
+                            CAST(date_diff('day', DATE '1992-01-01',
+                                           o_orderdate) % 1024 AS INT) AS y
+                     FROM orders),
+               z AS (SELECT CAST($terms AS BIGINT) AS zkey FROM d)
+          SELECT zkey >> 14 AS zbucket, count(*) AS n,
+                 min(zkey) AS min_z, max(zkey) AS max_z
+          FROM z GROUP BY 1 ORDER BY zbucket"""
+    })
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
     fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast,
-    fnMaskPii, fnUrlParse, fnVariantExtract)
+    fnMaskPii, fnUrlParse, fnVariantExtract, fnZorderKey)
 }

@@ -201,4 +201,43 @@ class ScaleTechniquesSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
+
+  test("z-order layout confines a 2-d box predicate to fewer files than a 1-d sort layout") {
+    // the fn_zorder_key primitive, demonstrated as a LAYOUT (round-11):
+    // range-partition 16 files by the interleaved key vs by custkey alone,
+    // then ask which files contain rows matching a quarter-by-quarter box
+    // (x < 256, y < 256) — the set a min/max-stats-pruning reader must
+    // touch. The box is power-of-2 aligned, so in z-space it is one
+    // contiguous prefix (z < 2^16 of a 2^20 space): the z-layout confines
+    // it to ~1/16 of the files, while the custkey sort spreads the date
+    // dimension across every custkey-range file it touches.
+    val dims = spark.read.parquet(s"$sf001/orders.parquet")
+      .withColumn("x", (col("o_custkey") % 1024).cast("int"))
+      .withColumn("y", (datediff(col("o_orderdate"),
+        to_date(lit("1992-01-01"))) % 1024).cast("int"))
+    val zkey = (0 until 10).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _).cast("bigint")
+    val zdir = Files.createTempDirectory("graft_zorder_").toString
+    val cdir = Files.createTempDirectory("graft_csort_").toString
+    dims.withColumn("zkey", zkey)
+      .repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(zdir)
+    dims.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(cdir)
+    def probe(dir: String): (Long, Long) = {
+      val hit = spark.read.parquet(dir)
+        .filter(col("x") < 256 && col("y") < 256)
+      (hit.count(), hit.select(input_file_name()).distinct().count())
+    }
+    val (zRows, zFiles) = probe(zdir)
+    val (cRows, cFiles) = probe(cdir)
+    assert(zRows == cRows && zRows > 0, "both layouts hold the same rows")
+    assert(zFiles < cFiles,
+      s"z-order must confine the box to fewer files ($zFiles vs $cFiles)")
+    assert(zFiles <= 3, s"aligned box should stay in ~1/16 of z-range files, got $zFiles")
+  }
 }
