@@ -60,7 +60,20 @@ object NativeDotFusion extends Rule[LogicalPlan] {
           LambdaFunction(Add(a1, a2, _),
             Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-          if zero == 0.0 && isVarPair(m1, m2, x, y) &&
+          // ADVICE-r11: (a) bit-exact +0.0 — Scala `== 0.0` also matches -0.0,
+          // but a -0.0 seed folds to -0.0 on empty / all-negative-zero inputs
+          // while DotProduct yields +0.0; require the raw bits of +0.0D.
+          // (b) the rewrite duplicates l and r into Size(l)/Size(r) and
+          // DotProduct(l,r): a non-deterministic child (shuffle()/rand()-
+          // derived array) would be evaluated twice with different values, so
+          // the size guard could test a different array than the dot computes
+          // — only rewrite deterministic children (standard Catalyst
+          // convention for rules that duplicate subtrees).
+          if zero != null &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.asInstanceOf[Double]) == 0L &&
+            l.deterministic && r.deterministic &&
+            isVarPair(m1, m2, x, y) &&
             isVarPair(a1, a2, acc, el) && fin.semanticEquals(fv) &&
             isDoubleArray(l.dataType) && isDoubleArray(r.dataType) =>
         If(EqualTo(Size(l, legacySizeOfNull = false),

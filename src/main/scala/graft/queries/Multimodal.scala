@@ -393,6 +393,15 @@ object Multimodal {
   def encodeOggPayload(text: Column, docId: Column): Column = {
     val bytes = text.cast("binary")
     val n = length(bytes).cast("long")
+    // ADVICE-r11: one page carries at most 255 lacing values (RFC 3533), so
+    // n_segments = ⌊n/255⌋+1 would silently wrap mod 256 in u8() for
+    // payloads ≥ 65,025 bytes and only fail later in decodeOgg's page-length
+    // require. Fail AT ENCODE with a clear message instead — the fixture
+    // documents max out near 4 KB, so this is an invariant assert, not a cap
+    // a fixture can hit.
+    val checked = when(n < lit(255L * 255L), bytes).otherwise(
+      raise_error(concat(lit("encodeOggPayload: payload "), n.cast("string"),
+        lit(" bytes exceeds one Ogg page (max 65024); multi-page synthesis unsupported"))).cast("binary"))
     val nFull = floor(n / lit(255.0)).cast("long")
     val segTable = concat(
       unhex(call_function("repeat", lit("ff"), nFull.cast("int"))),
@@ -400,7 +409,7 @@ object Multimodal {
     concat(
       lit("OggS").cast("binary"), u8(lit(0)), u8(lit(6)),
       u64le(n), u32le(docId), u32le(lit(0)), u32le(lit(0)),
-      u8(nFull + 1), segTable, bytes)
+      u8(nFull + 1), segTable, checked)
   }
 
   /** The third REAL decoder on the mapPartitions seam (round-11,

@@ -59,10 +59,23 @@ object Tables {
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
-    val fp = tables.flatMap(t => walk(new java.io.File(s"$sfDir/$t.parquet")))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(",")
-    fp.hashCode.toString
+    // ADVICE-r11: basename-only + ms-granular mtime + 32-bit hashCode could
+    // collide on a same-size in-place regeneration landing in the same
+    // timestamp tick — exactly the staleness class this key guards. Use the
+    // sfDir-relative path, and a full md5 of the footprint string instead of
+    // String.hashCode. A missing fixture table is a hard error, not a silent
+    // "name:0:0" footprint.
+    val base = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
+    val fp = tables.flatMap { t =>
+      val root = new java.io.File(s"$sfDir/$t.parquet")
+      require(root.exists, s"tableKey: fixture table missing: ${root.getPath}")
+      walk(root)
+    }.map { f =>
+      val rel = base.relativize(f.toPath.toAbsolutePath.normalize)
+      s"$rel:${f.length}:${f.lastModified}"
+    }.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")

@@ -94,6 +94,20 @@ class ExtensionsSpec extends AnyFunSuite {
         "(acc, v) -> acc + v) AS s FROM fusion_probe")
       assert(!other.queryExecution.optimizedPlan.toString.contains("dot_native"))
       assert(other.collect().forall(!_.isNullAt(0)))
+      // 3b. ADVICE-r11 guards: a non-deterministic array child must NOT be
+      // rewritten (the rewrite duplicates it into Size + DotProduct, so a
+      // second evaluation could see a different value), and a -0.0D seed
+      // must NOT match (fold yields -0.0 on empty input, kernel +0.0).
+      val nondet = spark.sql(
+        "SELECT aggregate(zip_with(a, shuffle(b), (x, y) -> x * y), 0.0D, " +
+        "(acc, v) -> acc + v) AS d FROM fusion_probe")
+      assert(!nondet.queryExecution.optimizedPlan.toString.contains("dot_native"),
+        "non-deterministic child must not be duplicated by the rewrite")
+      val negZero = spark.sql(
+        s"SELECT aggregate(zip_with(a, b, (x, y) -> x * y), -0.0D, " +
+        "(acc, v) -> acc + v) AS d FROM fusion_probe")
+      assert(!negZero.queryExecution.optimizedPlan.toString.contains("dot_native"),
+        "-0.0D seed must not match the bit-exact +0.0 guard")
       // 4. the DataFrame-API spelling (V.dot — the library's portable
       // form) fuses too, and matches the unfused session bit-for-bit
       import spark.implicits._
