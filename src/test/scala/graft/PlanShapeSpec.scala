@@ -211,6 +211,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected two ObjectHashAggregate levels around the exchange:\n$p")
   }
 
+  test("full-corpus dedup candidate generation is equi-join-only (VERDICT-r11 #1)") {
+    // text_dedup_cc's lifted (uncapped) edge frame: shingle-hash minhash
+    // banding must candidate-generate through the band-key EQUI-join —
+    // a nested-loop or cartesian anywhere means the full-corpus lift
+    // silently went quadratic in documents
+    import org.apache.spark.sql.functions._
+    val withSh = graft.queries.TextOps.docToks(spark, sf0001)
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))").as("sh"))
+    val cand = graft.ops.Ops.minhashCandidatePairsArr(
+      withSh, col("doc_id"), col("sh"), numHashes = 8, bands = 4)
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"band join must be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"full-corpus candidate generation must never pair-scan:\n$p")
+  }
+
   test("text_substring_dedup content-addresses by hash equi-join, never a pair scan") {
     // the shingle self-join must key on the content hash (broadcast or
     // shuffled hash/SMJ are all fine — Catalyst picks by stats); a

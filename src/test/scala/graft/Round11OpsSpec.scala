@@ -17,15 +17,16 @@ class Round11OpsSpec extends SparkSpec {
 
   test("bpeEncodeExpr applies the frozen merges in rank order") {
     val enc = encode("tower", "tor", "stat", "miner")
-    // t o w e r: rule3 (o,w) -> ow, rule1 (e,r) -> er (applied first):
-    // rules run in rank order er,in,ow,or,st,me,to,at
+    // t o w e r: rank-0 (e,r) -> er, rank-2 (o,w) -> ow; no later rule
+    // merges 't ow' or 'ow er'
     assert(enc("tower") == "t ow er")
-    // t o r: rank-4 (o,r) merges BEFORE rank-7 (t,o) can see 't o' —
-    // after 'or' forms, the (t,o) rule no longer matches symbol 'or'
+    // t o r: rank-3 (o,r) consumes the 'o' — once 'or' forms no rule
+    // touches 't or' (the (or,der) rule needs 'der', absent here)
     assert(enc("tor") == "t or")
-    // s t a t: rank-5 (s,t) wins the first 't'; rank-8 (a,t) the second
+    // s t a t: rank-4 (s,t) wins the first 't'; rank-6 (a,t) the second
     assert(enc("stat") == "st at")
-    // m i n e r: (i,n) and (e,r) merge, (m,e) cannot — 'e' is consumed
+    // m i n e r: (i,n) and (e,r) merge; rank-5 (m,er) CANNOT — 'in' sits
+    // between 'm' and 'er', so the pair is never adjacent
     assert(enc("miner") == "m in er")
   }
 
