@@ -338,6 +338,50 @@ object Fns {
                    min(string_split(text, ' ')[1]) AS min_tok0
             FROM documents GROUP BY lang ORDER BY vlang"""))
 
+  /** Variant ARRAY-OF-OBJECTS explosion (round-12, VERDICT-r11 #4) — the
+    * real semi-structured ingest shape fn_variant_extract's scalar paths
+    * left ungraded: each record carries an array of objects under a
+    * nested field; the query extracts the array as a VARIANT
+    * (variant_get with no target type), explodes it positionally with
+    * Spark-4's `variant_explode` table generator (pos, key, value), then
+    * typed-extracts per-element fields from each element variant. The
+    * oracle recomputes every exploded value from the SOURCE columns, so
+    * parity proves encode→variant→explode→typed-get lossless end to end
+    * (fn_variant_extract's discipline, extended one nesting level).
+    *
+    * 100-TB shape: parse_json/variant_get are row-local; the generator
+    * is a flatMap (no shuffle); one pos-keyed hash agg (3 groups). */
+  val fnVariantExplode = Q(
+    "fn_variant_explode",
+    (spark, sfDir) => {
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("doc_id"),
+            transform(slice(col("tk"), 1, 3),
+              t => struct(t.as("t"),
+                length(t).cast("long").as("l"))).as("toks")))).as("v"))
+        .createOrReplaceTempView("graft_variant_probe")
+      spark.sql(
+        """SELECT e.pos,
+                  count(*) AS n,
+                  min(variant_get(e.value, '$.t', 'string')) AS min_tok,
+                  max(variant_get(e.value, '$.t', 'string')) AS max_tok,
+                  sum(variant_get(e.value, '$.l', 'bigint')) AS total_len
+           FROM graft_variant_probe p,
+                LATERAL variant_explode(variant_get(p.v, '$.toks')) e
+           GROUP BY e.pos ORDER BY e.pos""")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                          FROM documents),
+                 ev AS (SELECT CAST(i - 1 AS INT) AS pos, tk[i] AS tok
+                        FROM (SELECT doc_id, tk,
+                                     unnest(range(1, least(len(tk), 3) + 1)) AS i
+                              FROM toks))
+            SELECT pos, count(*) AS n, min(tok) AS min_tok,
+                   max(tok) AS max_tok,
+                   CAST(sum(length(tok)) AS BIGINT) AS total_len
+            FROM ev GROUP BY pos ORDER BY pos"""))
+
   /** Z-order (Morton) layout key (round-11) — the multi-dimensional
     * data-layout primitive behind Delta/Iceberg `OPTIMIZE ZORDER`: bit-
     * interleave two bounded dimensions (customer bucket x order-date day
@@ -355,21 +399,27 @@ object Fns {
     * census one hash agg. The layout write itself is
     * repartitionByRange(zkey) + sortWithinPartitions — the sink tier's
     * write shape, demonstrated in test. */
+  /** 10+10-bit Morton interleave — shared by fn_zorder_key (the census)
+    * and fn_zorder_files (the graded layout-pruning read). */
+  private def zInterleave(xc: org.apache.spark.sql.Column,
+      yc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 10).map { i =>
+      shiftleft(shiftright(xc, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(yc, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The z-dimensions over orders: x = customer bucket, y = day bucket —
+    * the same derivation in both z-order keys. */
+  private def zx = (col("o_custkey") % 1024).cast("int")
+  private def zy = (datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+    % 1024).cast("int")
+
   val fnZorderKey = Q(
     "fn_zorder_key",
     (spark, sfDir) => {
-      val x = (col("o_custkey") % 1024).cast("int")
-      val y = (datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
-        % 1024).cast("int")
-      def interleave(xc: org.apache.spark.sql.Column,
-          yc: org.apache.spark.sql.Column) =
-        (0 until 10).map { i =>
-          shiftleft(shiftright(xc, i).bitwiseAND(lit(1)), 2 * i)
-            .bitwiseOR(
-              shiftleft(shiftright(yc, i).bitwiseAND(lit(1)), 2 * i + 1))
-        }.reduce(_ bitwiseOR _)
       Tables.orders(spark, sfDir)
-        .select(interleave(x, y).cast("bigint").as("zkey"))
+        .select(zInterleave(zx, zy).cast("bigint").as("zkey"))
         .groupBy(shiftright(col("zkey"), 14).as("zbucket"))
         .agg(count(lit(1)).as("n"),
           min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
@@ -389,7 +439,89 @@ object Fns {
           FROM z GROUP BY 1 ORDER BY zbucket"""
     })
 
+  /** Write orders into the z-ordered layout once per (session, sfDir):
+    * one file per 6-bit z-bucket directory (`repartition(zb)` routes each
+    * bucket to one task; `partitionBy(zb)` gives it its own directory) —
+    * the file-level realization of OPTIMIZE ZORDER that fn_zorder_files
+    * reads back. Memoized like the sink tier (build once, audit many). */
+  private def writeOrdersZordered(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val dir = s"/tmp/graft_sink/orders_zorder_${Integer.toHexString(sfDir.hashCode)}"
+    graft.util.Memo(spark,
+      s"$sfDir:sink_orders_zorder:${Tables.tableKey(sfDir, "orders")}") {
+      Tables.orders(spark, sfDir)
+        .withColumn("x", zx).withColumn("y", zy)
+        .withColumn("zkey", zInterleave(col("x"), col("y")).cast("bigint"))
+        .withColumn("zb", shiftright(col("zkey"), 14).cast("int"))
+        .select("o_orderkey", "o_totalprice", "x", "y", "zkey", "zb")
+        .repartition(col("zb"))
+        .write.mode("overwrite").partitionBy("zb").parquet(dir)
+      java.lang.Boolean.TRUE
+    }
+    dir
+  }
+
+  /** Z-order pruning GRADED (round-12, VERDICT-r11 #3 — the file-pruning
+    * win fn_zorder_key's census only implied, promoted to a hash-graded
+    * output exactly as sink_partition_pruned_read grades month pruning):
+    * read the z-ordered layout back under a 2-d box predicate
+    * x ∈ [0,128) × y ∈ [0,512), plus the box's derived z-bucket
+    * decomposition zb ∈ {0,2,8,10} — the REAL z-order query rewrite: an
+    * axis-aligned box maps to a set of Morton prefix ranges, here the
+    * four 128×128 quadrants the box covers, NON-contiguous on the curve
+    * (bits 15/17 free, 14/16/18/19 zero) — which partition-prunes the
+    * scan to those 4 of 64 directories (FnsSpec pins PartitionFilters).
+    * The graded output carries `n_files_touched` (distinct
+    * input_file_name) against the oracle's source-recomputed distinct
+    * z-bucket count: if the one-file-per-bucket layout fragmented or the
+    * box→bucket rewrite routed wrong, the file count diverges from the
+    * data-derived bucket count and parity breaks.
+    *
+    * 100-TB shape: this is the scan-cost mechanism multi-dim layouts
+    * exist for — the box reads 4/64ths of the table instead of a full
+    * scan + post-filter; the agg is one row. (x stays < 128 because the
+    * sf0.001 fixture has only 150 customers — the box must be populated
+    * at every graded SF.) */
+  val fnZorderFiles = Q(
+    "fn_zorder_files",
+    (spark, sfDir) => {
+      val dir = writeOrdersZordered(spark, sfDir)
+      spark.read.parquet(dir)
+        .filter(col("zb").isin(0, 2, 8, 10)
+          && col("x") >= 0 && col("x") <= 127
+          && col("y") >= 0 && col("y") <= 511)
+        .withColumn("graft_file", input_file_name())
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("graft_file")).as("n_files_touched"),
+          countDistinct(col("zb")).as("n_buckets"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          D.sumDec(col("o_totalprice")).as("sum_price"))
+    },
+    Some {
+      val terms = (0 until 10).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""WITH d AS (SELECT o_orderkey, o_totalprice,
+                            CAST(o_custkey % 1024 AS INT) AS x,
+                            CAST(date_diff('day', DATE '1992-01-01',
+                                           o_orderdate) % 1024 AS INT) AS y
+                     FROM orders),
+               z AS (SELECT o_orderkey, o_totalprice, x, y,
+                            CAST($terms AS BIGINT) AS zkey
+                     FROM d
+                     WHERE x BETWEEN 0 AND 127 AND y BETWEEN 0 AND 511)
+          SELECT count(*) AS n_rows,
+                 count(DISTINCT zkey >> 14) AS n_files_touched,
+                 count(DISTINCT zkey >> 14) AS n_buckets,
+                 min(o_orderkey) AS min_key,
+                 max(o_orderkey) AS max_key,
+                 ${D.oSumDec("o_totalprice")} AS sum_price
+          FROM z"""
+    })
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
     fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast,
-    fnMaskPii, fnUrlParse, fnVariantExtract, fnZorderKey)
+    fnMaskPii, fnUrlParse, fnVariantExtract, fnVariantExplode,
+    fnZorderKey, fnZorderFiles)
 }

@@ -57,6 +57,16 @@ class SinkSpec extends SparkSpec {
       s"month filter did not reach PartitionFilters:\n$plan")
   }
 
+  test("z-ordered read prunes to the box's 4 z-bucket directories (VERDICT-r11 #3)") {
+    val plan = Registry.byName("fn_zorder_files")
+      .build(spark, sf001).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"zb IN (0,2,8,10) did not reach PartitionFilters:\n$plan")
+    // the derived bucket set must appear in the partition filter — the
+    // box→Morton-prefix rewrite is what makes the layout prunable
+    assert(plan.contains("zb"), s"no zb predicate in the scan:\n$plan")
+  }
+
   test("csv and jsonl roundtrips preserve every row (spot totals vs source)") {
     val src = graft.util.Tables.documents(spark, sf001)
     val nSrc = src.count()
