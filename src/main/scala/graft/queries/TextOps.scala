@@ -238,33 +238,38 @@ object TextOps {
                   FROM documents)
             ORDER BY doc_id"""))
 
+  /** The langid scoring + argmax frame (doc_id, lang, s_*, predicted) —
+    * shared by text_langid (the per-doc readout) and text_langid_f1 (the
+    * round-12 macro evaluation face). */
+  private def langidPredictions(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val tokens = col("tk")
+    def score(ms: String*) =
+      round(size(filter(tokens, t => t.isin(ms: _*))).cast("double") / size(tokens), 4)
+    docToks(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        score("the", "a", "and", "of").as("s_en"),
+        score("der", "und", "die", "das").as("s_de"),
+        score("el", "y", "la", "los").as("s_es"),
+        score("le", "et", "la", "les").as("s_fr"),
+        score("de", "shi", "zai", "he").as("s_zh"))
+      .withColumn("predicted",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+          col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+  }
+
   /** Marker-token language-ID heuristic: score each candidate language by
     * its stopword-marker hit rate; argmax with a fixed tiebreak chain.
     * (Fixture text is synthetic, so this grades the scoring mechanics —
     * the per-language profiles are the real-world plug-in point.) */
   val textLangid = Q(
     "text_langid",
-    (spark, sfDir) => {
-      val tokens = col("tk")
-      def score(ms: String*) =
-        round(size(filter(tokens, t => t.isin(ms: _*))).cast("double") / size(tokens), 4)
-      docToks(spark, sfDir)
-        .select(col("doc_id"), col("lang"),
-          score("the", "a", "and", "of").as("s_en"),
-          score("der", "und", "die", "das").as("s_de"),
-          score("el", "y", "la", "los").as("s_es"),
-          score("le", "et", "la", "les").as("s_fr"),
-          score("de", "shi", "zai", "he").as("s_zh"))
-        .withColumn("predicted",
-          when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
-            col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
-            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-              col("s_en") >= col("s_zh"), "en")
-            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-            .when(col("s_fr") >= col("s_zh"), "fr")
-            .otherwise("zh"))
-        .orderBy("doc_id")
-    },
+    (spark, sfDir) => langidPredictions(spark, sfDir).orderBy("doc_id"),
     Some("""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
                    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
                         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
@@ -279,6 +284,77 @@ object TextOps {
                     round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('de','shi','zai','he'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS s_zh
                   FROM documents)
             ORDER BY doc_id"""))
+
+  /** Macro per-class evaluation of the langid classifier (round-12) —
+    * the metric face of text_langid/text_lang_confusion: per GOLD class,
+    * exact-integer tp / fp / fn from the shared prediction frame, then
+    * precision = tp/n_pred, recall = tp/n_gold and the rational
+    * F1 = 2·tp/(2·tp+fp+fn) — each a SINGLE integer division rounded at
+    * 6dp (the engine-portable form; the F1 denominator n_pred+n_gold is
+    * never zero for a gold class, and precision is NULL when the class
+    * is never predicted). This is the readout a curation pipeline owner
+    * watches before trusting langid-based filtering at 100 TB.
+    *
+    * 100-TB shape: one row per doc through the shared scoring
+    * expressions, two class-keyed hash aggs (≤ vocabulary-of-languages
+    * groups), one tiny left join. */
+  val textLangidF1 = Q(
+    "text_langid_f1",
+    (spark, sfDir) => {
+      val pred = langidPredictions(spark, sfDir)
+        .select(col("lang"), col("predicted"))
+      val g = pred.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("n_gold"),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+            .as("tp"))
+      val p = pred.groupBy(col("predicted").as("pcls"))
+        .agg(count(lit(1)).as("n_pred"))
+      g.join(p, col("cls") === col("pcls"), "left")
+        .select(col("cls"), col("tp"),
+          (coalesce(col("n_pred"), lit(0L)) - col("tp")).as("fp"),
+          (col("n_gold") - col("tp")).as("fn"),
+          when(coalesce(col("n_pred"), lit(0L)) > 0L,
+            round(col("tp").cast("double")
+              / col("n_pred").cast("double"), 6)).as("prec"),
+          round(col("tp").cast("double")
+            / col("n_gold").cast("double"), 6).as("rec"),
+          round((lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + (coalesce(col("n_pred"), lit(0L))
+              - col("tp")) + (col("n_gold") - col("tp"))).cast("double"), 6)
+            .as("f1"))
+        .orderBy("cls")
+    },
+    Some("""WITH pred AS (
+              SELECT lang,
+                     CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                          WHEN s_fr >= s_zh THEN 'fr'
+                          ELSE 'zh' END AS predicted
+              FROM (SELECT doc_id, lang,
+                      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS s_en,
+                      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der','und','die','das'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS s_de,
+                      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el','y','la','los'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS s_es,
+                      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le','et','la','les'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS s_fr,
+                      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('de','shi','zai','he'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS s_zh
+                    FROM documents)),
+                 g AS (SELECT lang AS cls, count(*) AS n_gold,
+                              sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS tp
+                       FROM pred GROUP BY lang),
+                 p AS (SELECT predicted AS pcls, count(*) AS n_pred
+                       FROM pred GROUP BY predicted)
+            SELECT cls, CAST(tp AS BIGINT) AS tp,
+                   CAST(coalesce(n_pred, 0) - tp AS BIGINT) AS fp,
+                   CAST(n_gold - tp AS BIGINT) AS fn,
+                   CASE WHEN coalesce(n_pred, 0) > 0
+                        THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+                   END AS prec,
+                   round(CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE), 6) AS rec,
+                   round(CAST(2 * tp AS DOUBLE)
+                         / CAST(2 * tp + (coalesce(n_pred, 0) - tp)
+                                + (n_gold - tp) AS DOUBLE), 6) AS f1
+            FROM g LEFT JOIN p ON cls = pcls
+            ORDER BY cls"""))
 
   /** Token counting three ways: whitespace split, a BPE-ish regex lexer
     * (word / number / other-symbol), and unique regex tokens. */
@@ -1432,13 +1508,19 @@ object TextOps {
     * Memoized + persisted; symmetrized. 100-TB shape: one explode +
     * hash-agg for signatures, band-key EQUI-join for candidates,
     * candidate-only verify — every stage linear or candidate-bounded. */
-  private def dedupShingleEdges(spark: SparkSession, sfDir: String)
-      : DataFrame = {
-    val withSh = docToks(spark, sfDir)
+  /** Per-doc stride-1 8-token shingle array — the unit of the full-corpus
+    * dedup-graph tier (shared by dedupShingleEdges and
+    * text_containment_pairs). */
+  private def shingleFrame(spark: SparkSession, sfDir: String): DataFrame =
+    docToks(spark, sfDir)
       .filter(size(col("tk")) >= 8)
       .select(col("doc_id"), expr(
         """transform(sequence(1, size(tk) - 7),
           |  i -> array_join(slice(tk, i, 8), ' '))""".stripMargin).as("sh"))
+
+  private def dedupShingleEdges(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val withSh = shingleFrame(spark, sfDir)
     val cand = graft.ops.Ops
       .minhashCandidatePairsArr(withSh, col("doc_id"), col("sh"),
         numHashes = 8, bands = 4)
@@ -1557,6 +1639,107 @@ object TextOps {
                    FROM edges e JOIN reach r ON e.d2 = r.doc_id)
             SELECT doc_id, min(lbl) AS cluster, TRUE AS converged
             FROM reach GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Asymmetric shingle-set CONTAINMENT over banded candidates
+    * (round-12) — the quote/subset detector Jaccard cannot see: a short
+    * doc fully embedded in a long one has high containment
+    * C(A,B) = |A∩B|/|A| but low Jaccard (the union is dominated by the
+    * long doc), so a Jaccard-thresholded dedup pass keeps both while a
+    * containment pass flags the near-subset. Candidates come from the
+    * SAME full-corpus shingle-hash banding as text_dedup_cc (equi-join
+    * only, never all pairs); per candidate pair the exact intersection
+    * over shingle-hash sets yields both directions' containment
+    * (rounded 4dp) plus the near-subset flag at 0.9. Both engines
+    * replay the identical md5 minhash family, so the candidate set is
+    * deterministic by construction.
+    *
+    * 100-TB shape: banding linear + band-key equi-join; the exact
+    * intersection touches candidates only. */
+  val textContainmentPairs = Q(
+    "text_containment_pairs",
+    (spark, sfDir) => {
+      val withSh = shingleFrame(spark, sfDir)
+      val cand = graft.ops.Ops
+        .minhashCandidatePairsArr(withSh, col("doc_id"), col("sh"),
+          numHashes = 8, bands = 4)
+        .select(col("id1").as("d1"), col("id2").as("d2"))
+      val sets = withSh
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(md5(col("s")))).as("ts"))
+      cand
+        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
+          col("d1") === col("sd1"))
+        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
+          col("d2") === col("sd2"))
+        .select(col("d1"), col("d2"),
+          size(filter(col("t1"), x => array_contains(col("t2"), x)))
+            .cast("bigint").as("inter"),
+          size(col("t1")).cast("bigint").as("n1"),
+          size(col("t2")).cast("bigint").as("n2"))
+        .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+          round(col("inter").cast("double") / col("n1").cast("double"), 4)
+            .as("c_1in2"),
+          round(col("inter").cast("double") / col("n2").cast("double"), 4)
+            .as("c_2in1"))
+        .withColumn("near_subset",
+          greatest(col("c_1in2"), col("c_2in1")) >= 0.9)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                          FROM documents
+                          WHERE len(string_split(text, ' ')) >= 8),
+                 shing AS (SELECT DISTINCT doc_id,
+                                  array_to_string(tk[i:i+7], ' ') AS s
+                           FROM (SELECT doc_id, tk,
+                                        unnest(range(1, len(tk) - 6)) AS i
+                                 FROM toks)),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || s), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || s), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || s), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || s), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || s), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || s), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || s), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || s), 1, 15))::BIGINT) AS h7
+                         FROM shing GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 2 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 3 AS band_no,
+                          md5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                          FROM bands a JOIN bands b
+                            ON a.band_no = b.band_no AND a.bkey = b.bkey
+                          WHERE a.doc_id < b.doc_id),
+                 sets AS (SELECT doc_id, list_sort(list(DISTINCT md5(s))) AS ts
+                          FROM shing GROUP BY doc_id),
+                 m AS (SELECT d1, d2,
+                              CAST(len(list_filter(s1.ts, x -> list_contains(s2.ts, x))) AS BIGINT) AS inter,
+                              CAST(len(s1.ts) AS BIGINT) AS n1,
+                              CAST(len(s2.ts) AS BIGINT) AS n2
+                       FROM cand
+                       JOIN sets s1 ON d1 = s1.doc_id
+                       JOIN sets s2 ON d2 = s2.doc_id)
+            SELECT d1, d2, inter, n1, n2,
+                   round(CAST(inter AS DOUBLE) / CAST(n1 AS DOUBLE), 4) AS c_1in2,
+                   round(CAST(inter AS DOUBLE) / CAST(n2 AS DOUBLE), 4) AS c_2in1,
+                   greatest(round(CAST(inter AS DOUBLE) / CAST(n1 AS DOUBLE), 4),
+                            round(CAST(inter AS DOUBLE) / CAST(n2 AS DOUBLE), 4)) >= 0.9
+                     AS near_subset
+            FROM m ORDER BY d1, d2"""))
 
   /** BM25 term ranking — the retrieval scoring function LLM data
     * pipelines use for contamination search and quality-weighted
@@ -2729,5 +2912,5 @@ object TextOps {
     textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
     textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles,
     textDedupCc, textSubstringDedup, textSubstringCoverage,
-    textBigramLmScore)
+    textBigramLmScore, textLangidF1, textContainmentPairs)
 }
