@@ -730,15 +730,34 @@ object MlPrep {
       s"replace(replace($s, $p, $r), $p, $r)"
     }
 
+  /** Per-DISTINCT-token encode frame (tok, nc, ns) — round-12: the
+    * 64-rule table runs ~128 chained replaces, and paying that per token
+    * INSTANCE (480k at sf0.1) is wasted work when the encode is a pure
+    * function of the token: encode each DISTINCT token once, then
+    * equi-join the tiny result back to the instance stream — the
+    * dictionary-encode shape a 100-TB tokenizer pass uses anyway
+    * (measured: ml_bpe_vocab 1.40 s → per-vocab cost, instance join).
+    * Values are identical by purity, so both BPE oracles stay on the
+    * straightforward per-instance spelling. */
+  private def bpeVocabEncoded(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.queries.TextOps.docToks(spark, sfDir)
+      .select(explode(col("tk")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .select(col("tok"), length(col("tok")).cast("bigint").as("nc"),
+        split(trim(bpeEncodeExpr), " ").as("syms"))
+
   val mlBpeEncode = Q(
     "ml_bpe_encode",
     (spark, sfDir) => {
-      val enc = bpeEncodeExpr
+      val enc = bpeVocabEncoded(spark, sfDir)
+        .select(col("tok").as("vtok"), col("nc"),
+          size(col("syms")).cast("bigint").as("ns"))
       graft.queries.TextOps.docToks(spark, sfDir)
         .select(col("doc_id"), explode(col("tk")).as("tok"))
         .filter(length(col("tok")) > 0)
-        .select(col("doc_id"), length(col("tok")).cast("bigint").as("nc"),
-          size(split(trim(enc), " ")).cast("bigint").as("ns"))
+        .join(broadcast(enc), col("tok") === col("vtok"))
         .groupBy("doc_id")
         .agg(sum(col("nc")).as("n_chars"), sum(col("ns")).as("n_symbols"))
         .select(col("doc_id"), col("n_chars"), col("n_symbols"),
@@ -779,18 +798,27 @@ object MlPrep {
     * DESC, symbol) total order, with the corpus share (one identical
     * division, rounded).
     *
-    * 100-TB shape: map-side encode (chained codegen replaces) + explode
-    * + one symbol-keyed hash agg + broadcast total; the top-20 cut is an
-    * ordered limit over the vocabulary-sized aggregate. */
+    * 100-TB shape (round-12): the chained-replace encode runs once per
+    * DISTINCT token (dictionary encode — bpeVocabEncoded), instance
+    * counts arrive as an exact integer weight through a vocabulary-sized
+    * equi-join; one symbol-keyed hash agg + broadcast total; the top-20
+    * cut is an ordered limit over the vocabulary-sized aggregate. */
   val mlBpeVocab = Q(
     "ml_bpe_vocab",
     (spark, sfDir) => {
-      val syms = graft.queries.TextOps.docToks(spark, sfDir)
-        .select(explode(col("tk")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .select(explode(split(trim(bpeEncodeExpr), " ")).as("sym"))
-      val counts = syms.groupBy("sym").agg(count(lit(1)).as("n"))
-      val total = syms.agg(count(lit(1)).as("t"))
+      // instance counts × the per-distinct-token encode (bpeVocabEncoded):
+      // each symbol of a token's encoding contributes that token's
+      // instance count — exact integer weighting, identical values to the
+      // per-instance spelling the oracle keeps
+      val instCounts = graft.queries.TextOps.docToks(spark, sfDir)
+        .select(explode(col("tk")).as("itok"))
+        .filter(length(col("itok")) > 0)
+        .groupBy("itok").agg(count(lit(1)).as("cnt"))
+      val syms = bpeVocabEncoded(spark, sfDir)
+        .join(instCounts, col("tok") === col("itok"))
+        .select(explode(col("syms")).as("sym"), col("cnt"))
+      val counts = syms.groupBy("sym").agg(sum(col("cnt")).as("n"))
+      val total = syms.agg(sum(col("cnt")).as("t"))
       counts.crossJoin(broadcast(total))
         .select(col("sym"), col("n"),
           round(col("n").cast("double") / col("t").cast("double"), 6)
