@@ -2899,6 +2899,110 @@ object TextOps {
             WHERE d.doc_id % 2 = 1
             ORDER BY d.doc_id"""))
 
+  /** Gopher-rule quality census (round-12) — the published pretraining
+    * heuristic rule-set (Rae et al. 2021, "Scaling Language Models",
+    * table A1) applied per doc and graded as a PER-RULE fail table: word
+    * count outside [50, 100k], mean word length outside [3, 10],
+    * symbol-to-word ratio (# or …) > 0.1, words-with-an-alphabetic-char
+    * fraction < 0.80, required-stopword count < 2 — plus the any-rule
+    * composite. This is the reject-attribution report a curation run
+    * publishes next to its funnel (text_filter_funnel grades stage
+    * ORDER; this grades the independent per-rule rates that size each
+    * stage). Every threshold comparison is EXACT INTEGER arithmetic
+    * (sum_len < 3·n_words, 10·n_sym > n_words, 5·n_alpha < 4·n_words) —
+    * no ratio ever materializes as a float, so a boundary doc can't flip
+    * between engines; the only division is the final fail_rate of
+    * identical integer operands. 100-TB shape: per-doc metrics are
+    * array-local lambdas on the shared docToks frame (no explode, no
+    * shuffle), the unpivot is a 6-element generate, the census a
+    * 6-group hash agg. */
+  val textGopherRules = Q(
+    "text_gopher_rules",
+    (spark, sfDir) => {
+      val tks = filter(col("tk"), t => length(t) > 0)
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val m = docToks(spark, sfDir).select(
+        size(tks).cast("long").as("n_words"),
+        aggregate(tks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .as("sum_len"),
+        size(filter(tks, t =>
+          instr(t, "#") > 0 || instr(t, "...") > 0)).cast("long").as("n_sym"),
+        size(filter(tks, t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(tks, t => lower(t).isInCollection(stops))).cast("long")
+          .as("n_stop"))
+      val f = m.select(
+        (col("n_words") < 50 || col("n_words") > 100000).as("f_wc"),
+        (col("sum_len") < lit(3L) * col("n_words") ||
+          col("sum_len") > lit(10L) * col("n_words")).as("f_mwl"),
+        (lit(10L) * col("n_sym") > col("n_words")).as("f_sym"),
+        (lit(5L) * col("n_alpha") < lit(4L) * col("n_words")).as("f_alpha"),
+        (col("n_stop") < 2).as("f_stop"))
+      f.select(explode(array(
+          struct(lit("word_count").as("rule"), col("f_wc").as("fail")),
+          struct(lit("mean_word_length").as("rule"), col("f_mwl").as("fail")),
+          struct(lit("symbol_ratio").as("rule"), col("f_sym").as("fail")),
+          struct(lit("alpha_words").as("rule"), col("f_alpha").as("fail")),
+          struct(lit("stopwords").as("rule"), col("f_stop").as("fail")),
+          struct(lit("any_rule").as("rule"),
+            (col("f_wc") || col("f_mwl") || col("f_sym") || col("f_alpha") ||
+              col("f_stop")).as("fail")))).as("r"))
+        .select(col("r.rule").as("rule"), col("r.fail").as("fail"))
+        .groupBy("rule")
+        .agg(sum(when(col("fail"), 1L).otherwise(0L)).as("n_fail"),
+          count(lit(1)).as("n_docs"))
+        .select(col("rule"), col("n_fail"), col("n_docs"),
+          round(col("n_fail").cast("double") / col("n_docs").cast("double"),
+            4).as("fail_rate"))
+        .orderBy("rule")
+    },
+    Some("""WITH toks AS (SELECT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents)
+                          WHERE length(tok) > 0),
+                 mr AS (SELECT doc_id, count(*) AS n_words,
+                               sum(length(tok)) AS sum_len,
+                               sum(CASE WHEN instr(tok, '#') > 0
+                                          OR instr(tok, '...') > 0
+                                        THEN 1 ELSE 0 END) AS n_sym,
+                               sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                                        THEN 1 ELSE 0 END) AS n_alpha,
+                               sum(CASE WHEN lower(tok) IN
+                                     ('the','be','to','of','and','that',
+                                      'have','with')
+                                        THEN 1 ELSE 0 END) AS n_stop
+                        FROM toks GROUP BY doc_id),
+                 m AS (SELECT d.doc_id,
+                              coalesce(n_words, 0) AS n_words,
+                              coalesce(sum_len, 0) AS sum_len,
+                              coalesce(n_sym, 0) AS n_sym,
+                              coalesce(n_alpha, 0) AS n_alpha,
+                              coalesce(n_stop, 0) AS n_stop
+                       FROM documents d LEFT JOIN mr USING (doc_id)),
+                 f AS (SELECT doc_id,
+                              (n_words < 50 OR n_words > 100000) AS f_wc,
+                              (sum_len < 3 * n_words
+                                OR sum_len > 10 * n_words) AS f_mwl,
+                              (10 * n_sym > n_words) AS f_sym,
+                              (5 * n_alpha < 4 * n_words) AS f_alpha,
+                              (n_stop < 2) AS f_stop
+                       FROM m),
+                 r AS (SELECT 'word_count' AS rule, f_wc AS fail FROM f
+                       UNION ALL SELECT 'mean_word_length', f_mwl FROM f
+                       UNION ALL SELECT 'symbol_ratio', f_sym FROM f
+                       UNION ALL SELECT 'alpha_words', f_alpha FROM f
+                       UNION ALL SELECT 'stopwords', f_stop FROM f
+                       UNION ALL SELECT 'any_rule',
+                         (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop) FROM f)
+            SELECT rule,
+                   CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_fail,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS fail_rate
+            FROM r GROUP BY rule ORDER BY rule"""))
+
   def qs: Seq[Q] = Seq(textExactDedup, textJaccardPairs, textStats,
     textNgramJaccard, textSimhash, textQuality, textLangid, textTokenCount,
     textWinnowFingerprint, textTfidf, textMinhashBandPairs,
@@ -2912,5 +3016,5 @@ object TextOps {
     textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
     textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles,
     textDedupCc, textSubstringDedup, textSubstringCoverage,
-    textBigramLmScore, textLangidF1, textContainmentPairs)
+    textBigramLmScore, textLangidF1, textContainmentPairs, textGopherRules)
 }

@@ -52,6 +52,71 @@ class Round12OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("pos")).toSeq == Seq(0, 1, 2))
   }
 
+  test("decodePdf resolves objects through the xref table and verifies every offset") {
+    import graft.queries.Multimodal
+    val row = spark.sql("SELECT 7 AS doc_id, 'stream data here' AS text")
+      .select(Multimodal.encodePdfPayload(col("text"), col("doc_id")).as("p"))
+      .head()
+    val bytes = row.getAs[Array[Byte]](0)
+    val m = Multimodal.decodePdf(bytes)
+    assert(m.versionMinor == 5L) // 4 + 7%3
+    assert(m.nObjects == 3L)
+    assert(m.streamLen == "stream data here".length.toLong)
+    // startxref = 93 + digits(n) + n with n = 16
+    assert(m.startxref == 93L + 2 + 16)
+    assert(m.payloadBytes == bytes.length.toLong)
+    // total = startxref + 120 + digits(startxref)
+    assert(m.payloadBytes == m.startxref + 120 + m.startxref.toString.length)
+    // corrupt an xref offset digit: the table no longer resolves object 1
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val entryAt = s.indexOf("0000000009 00000 n")
+    val bad = bytes.clone(); bad(entryAt + 9) = '8'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodePdf(bad))
+    // truncate the stream by one byte: endstream is no longer /Length
+    // bytes after stream, so the length-prefix contract fails loudly
+    val streamAt = s.indexOf("stream\n") + 7
+    val cut = (bytes.take(streamAt + 15) ++ bytes.drop(streamAt + 16))
+    intercept[IllegalArgumentException](Multimodal.decodePdf(cut))
+  }
+
+  test("text_gopher_rules census matches a plain-Scala recompute of the published rules") {
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = graft.util.Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    var expected = Map("word_count" -> 0L, "mean_word_length" -> 0L,
+      "symbol_ratio" -> 0L, "alpha_words" -> 0L, "stopwords" -> 0L,
+      "any_rule" -> 0L)
+    docs.foreach { text =>
+      val w = text.split(" ", -1).filter(_.nonEmpty)
+      val n = w.length.toLong
+      val sumLen = w.map(_.length.toLong).sum
+      val nSym = w.count(t => t.contains("#") || t.contains("...")).toLong
+      val nAlpha = w.count(_.exists(_.isLetter)).toLong // fixture is ASCII
+      val nStop = w.count(t => stops(t.toLowerCase)).toLong
+      val fails = Map(
+        "word_count" -> (n < 50 || n > 100000),
+        "mean_word_length" -> (sumLen < 3 * n || sumLen > 10 * n),
+        "symbol_ratio" -> (10 * nSym > n),
+        "alpha_words" -> (5 * nAlpha < 4 * n),
+        "stopwords" -> (nStop < 2))
+      (fails + ("any_rule" -> fails.values.exists(identity))).foreach {
+        case (k, true) => expected = expected.updated(k, expected(k) + 1)
+        case _ =>
+      }
+    }
+    val got = Registry.byName("text_gopher_rules").build(spark, sf0001)
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_fail"), r.getAs[Long]("n_docs"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (rule, nf) =>
+      assert(got(rule) == ((nf, docs.length.toLong)),
+        s"$rule: got ${got(rule)}, expected ($nf, ${docs.length})")
+    }
+    // the fixture exercises the rules non-trivially: some docs fail,
+    // some pass (a census of all-0s or all-N would grade nothing)
+    assert(expected("any_rule") > 0 && expected("any_rule") < docs.length)
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
