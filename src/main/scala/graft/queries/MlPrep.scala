@@ -848,6 +848,68 @@ object MlPrep {
           ORDER BY n DESC, sym LIMIT 20"""
     })
 
+  /** Per-language tokenizer fertility (round-12) — the fourth face of
+    * the tokenizer story (train / encode / audit / FIT-BY-SLICE): run
+    * the frozen 64-rule merge table over the corpus and report, per
+    * fixture language, symbols-per-word (fertility — the number a
+    * multilingual tokenizer owner checks before committing to a vocab:
+    * a language whose fertility runs high is paying more context budget
+    * per word) and chars-per-symbol (compression). ml_bpe_encode grades
+    * the per-doc readout; this grades the per-slice aggregate that
+    * drives the actual vocab-allocation decision. Counts are exact
+    * integer sums; the two divisions are final, of identical operands,
+    * rounded at 6 (the ml_bpe_encode discipline).
+    *
+    * 100-TB shape: the chained-replace encode runs once per DISTINCT
+    * token (bpeVocabEncoded dictionary frame, broadcast), instances
+    * stream through a map-side equi-join, then one language-sized hash
+    * agg — no shuffle proportional to the encode cost. */
+  val mlTokenizerFertility = Q(
+    "ml_tokenizer_fertility",
+    (spark, sfDir) => {
+      val enc = bpeVocabEncoded(spark, sfDir)
+        .select(col("tok").as("vtok"), col("nc"),
+          size(col("syms")).cast("bigint").as("ns"))
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(col("lang"), explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .join(broadcast(enc), col("tok") === col("vtok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+          sum(col("ns")).as("n_symbols"))
+        .select(col("lang"), col("n_words"), col("n_symbols"),
+          round(col("n_symbols").cast("double")
+            / col("n_words").cast("double"), 6).as("fertility"),
+          round(col("n_chars").cast("double")
+            / col("n_symbols").cast("double"), 6).as("compression"))
+        .orderBy("lang")
+    },
+    Some {
+      // staged CTE chain — see ml_bpe_encode's oracle for why (DuckDB's
+      // 128-deep expression-binder cap vs the 64-rule chain)
+      val stages = bpeRules.grouped(8).toSeq
+      val ctes = stages.zipWithIndex.map { case (g, i) =>
+        s"t${i + 1} AS (SELECT lang, tok, ${bpeChainSql("enc", g)} AS enc FROM t$i)"
+      }.mkString(",\n               ")
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+               t0 AS (SELECT lang, tok, $bpeSeq0Sql AS enc
+                      FROM toks WHERE length(tok) > 0),
+               $ctes,
+               m AS (SELECT lang, count(*) AS n_words,
+                            sum(length(tok)) AS n_chars,
+                            sum(len(string_split(trim(enc), ' ')))
+                              AS n_symbols
+                     FROM t${stages.size} GROUP BY lang)
+          SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+                 CAST(n_symbols AS BIGINT) AS n_symbols,
+                 round(CAST(n_symbols AS DOUBLE)
+                       / CAST(n_words AS DOUBLE), 6) AS fertility,
+                 round(CAST(n_chars AS DOUBLE)
+                       / CAST(n_symbols AS DOUBLE), 6) AS compression
+          FROM m ORDER BY lang"""
+    })
+
   /** Hashed feature cross (round-9) — the classic wide-model feature:
     * cross two categorical columns (lang × source) and hash the crossed
     * token into a bounded bucket space (32) with the engine-portable md5
@@ -1112,7 +1174,8 @@ object MlPrep {
                          6) AS effective_sources
             FROM nano"""))
 
-  def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlBpeVocab, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
+  def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlBpeVocab,
+    mlTokenizerFertility, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,

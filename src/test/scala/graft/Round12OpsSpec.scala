@@ -117,6 +117,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(expected("any_rule") > 0 && expected("any_rule") < docs.length)
   }
 
+  test("ml_tokenizer_fertility totals reconcile with the per-doc encode face") {
+    val byLang = Registry.byName("ml_tokenizer_fertility").build(spark, sf0001)
+      .collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { r =>
+      val fert = r.getAs[Double]("fertility")
+      val comp = r.getAs[Double]("compression")
+      // each word is >= 1 symbol; each symbol is >= 1 char
+      assert(fert >= 1.0 && comp >= 1.0,
+        s"${r.getAs[String]("lang")}: fertility $fert compression $comp")
+    }
+    // the per-slice aggregate and the per-doc readout are two groupings
+    // of the SAME encode — their symbol totals must agree exactly
+    val slices = byLang.map(_.getAs[Long]("n_symbols")).sum
+    val docs = Registry.byName("ml_bpe_encode").build(spark, sf0001)
+      .agg(sum(col("n_symbols"))).head().getLong(0)
+    assert(slices == docs, s"slice total $slices != per-doc total $docs")
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
