@@ -1497,6 +1497,86 @@ object TimeSeries {
             SELECT user_id, n_pairs, n_violations, worst_back_us
             FROM g WHERE n_violations > 0 ORDER BY user_id"""))
 
+  /** Holt double-exponential smoothing (level + trend) per event type
+    * (round-12) — the forecasting face past ts_forecast_error_naive's
+    * baseline: daily revenue series smoothed with α=β=0.5 (l' = ½y +
+    * ½(l+b); b' = ½(l'−l) + ½b; init l=y₁, b=0), reporting final level,
+    * trend, the one-step-ahead forecast l+b, and the in-sample MAE of
+    * the one-step forecasts — the trend-aware capacity-planning readout.
+    * Determinism: daily totals are order-free DECIMAL sums cast to
+    * double ONCE; the recursion is a FIXED-ORDER chain of IEEE +,·½ ops
+    * (no libm), so Spark's array fold and DuckDB's recursive CTE run the
+    * bit-identical op sequence (ts_ewma's argument, extended to a
+    * stateful fold); outputs round at 4.
+    *
+    * 100-TB shape: one (type, day) hash agg, then a per-type fold over
+    * the CALENDAR-sized daily array (collect is bounded by days, never
+    * events — the same bounded-collect contract as ts_downsample_lttb);
+    * types parallelize across partitions. */
+  val tsHoltTrend = Q(
+    "ts_holt_trend",
+    (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("revd"))
+      val series = daily
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"),
+          col("revd").cast("double").as("y")))).as("s"))
+        .select(col("event_type"), size(col("s")).cast("long").as("n_days"),
+          aggregate(
+            slice(col("s"), lit(2), size(col("s")) - 1),
+            struct(element_at(col("s"), 1).getField("y").as("l"),
+              lit(0.0).as("b"), lit(0.0).as("sae")),
+            (st, e) => {
+              val y = e.getField("y")
+              val l = st.getField("l"); val b = st.getField("b")
+              val lNew = lit(0.5) * y + lit(0.5) * (l + b)
+              struct(lNew.as("l"),
+                (lit(0.5) * (lNew - l) + lit(0.5) * b).as("b"),
+                (st.getField("sae") + abs(y - (l + b))).as("sae"))
+            }).as("st"))
+      series.select(col("event_type"), col("n_days"),
+        round(col("st.l"), 4).as("level"),
+        round(col("st.b"), 4).as("trend"),
+        round(col("st.l") + col("st.b"), 4).as("forecast_next"),
+        when(col("n_days") > 1,
+          round(col("st.sae") / (col("n_days") - 1).cast("double"), 4))
+          .as("mae"))
+        .orderBy("event_type")
+    },
+    Some("""WITH RECURSIVE
+                 daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                  sum(CAST(value AS DECIMAL(18,6))) AS revd
+                           FROM events GROUP BY event_type, day),
+                 d AS (SELECT event_type, CAST(revd AS DOUBLE) AS y,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY day) AS i
+                       FROM daily),
+                 n AS (SELECT event_type, count(*) AS n_days FROM d
+                       GROUP BY event_type),
+                 rec(event_type, i, l, b, sae) AS (
+                   SELECT event_type, 1, y, CAST(0.0 AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)
+                   FROM d WHERE i = 1
+                   UNION ALL
+                   SELECT r.event_type, r.i + 1,
+                          0.5 * d.y + 0.5 * (r.l + r.b),
+                          0.5 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l)
+                            + 0.5 * r.b,
+                          r.sae + abs(d.y - (r.l + r.b))
+                   FROM rec r JOIN d ON d.event_type = r.event_type
+                     AND d.i = r.i + 1)
+            SELECT n.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+                   round(l, 4) AS level, round(b, 4) AS trend,
+                   round(l + b, 4) AS forecast_next,
+                   CASE WHEN n.n_days > 1
+                        THEN round(sae / CAST(n.n_days - 1 AS DOUBLE), 4)
+                   END AS mae
+            FROM rec JOIN n ON rec.event_type = n.event_type
+              AND rec.i = n.n_days
+            ORDER BY n.event_type"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
@@ -1504,5 +1584,6 @@ object TimeSeries {
     tsUserLifetime, tsMarkovTransitions, tsRollingCorr, tsIntervalUnion,
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
     tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap,
-    tsStickiness, tsOrderViolations, tsBurstiness, tsInterEventHist)
+    tsStickiness, tsOrderViolations, tsBurstiness, tsInterEventHist,
+    tsHoltTrend)
 }

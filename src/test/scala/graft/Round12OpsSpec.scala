@@ -136,6 +136,40 @@ class Round12OpsSpec extends SparkSpec {
     assert(slices == docs, s"slice total $slices != per-doc total $docs")
   }
 
+  test("ts_holt_trend matches a plain-Scala Holt recursion over the daily series") {
+    val daily = graft.util.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rows) =>
+        t -> rows.sortBy(_.getAs[java.sql.Date]("day").toString)
+          .map(_.getAs[Double]("y")).toSeq
+      }
+    val got = Registry.byName("ts_holt_trend").build(spark, sf0001)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (t, ys) =>
+      var l = ys.head; var b = 0.0; var sae = 0.0
+      ys.tail.foreach { y =>
+        sae += math.abs(y - (l + b))
+        val lNew = 0.5 * y + 0.5 * (l + b)
+        b = 0.5 * (lNew - l) + 0.5 * b
+        l = lNew
+      }
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") == ys.length.toLong)
+      def rd(x: Double) = BigDecimal(x).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("level") == rd(l), s"$t level")
+      assert(r.getAs[Double]("trend") == rd(b), s"$t trend")
+      assert(r.getAs[Double]("forecast_next") == rd(l + b), s"$t forecast")
+      assert(r.getAs[Double]("mae") == rd(sae / (ys.length - 1)), s"$t mae")
+      // the fixture series is long enough that smoothing is non-trivial
+      assert(ys.length > 10)
+    }
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
