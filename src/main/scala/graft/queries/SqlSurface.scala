@@ -164,6 +164,47 @@ object SqlSurface {
     },
     Some(existsText))
 
+  private val q7Text =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |       $revenue AS revenue,
+       |       count(*) AS n_items
+       |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |             l_extendedprice, l_discount
+       |      FROM supplier
+       |      JOIN lineitem ON s_suppkey = l_suppkey
+       |      JOIN orders ON o_orderkey = l_orderkey
+       |      JOIN customer ON c_custkey = o_custkey
+       |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+       |          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+       |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q7 (volume shipping, adapted to the fixture schema) through
+    * the raw-SQL path — the SELF-JOIN-on-a-dimension shape Q5 doesn't
+    * cover: nation joins twice under two aliases (supplier side and
+    * customer side) with a symmetric nation-pair disjunction that
+    * Catalyst must keep ABOVE both dimension joins (it references
+    * columns of both aliases), while still broadcasting each nation
+    * alias independently and pushing the shipdate range to the lineitem
+    * scan. Character-identical text in both engines.
+    *
+    * 100-TB shape: the two fact-fact joins (lineitem×orders on
+    * orderkey, ×customer on custkey) shuffle on their keys; both nation
+    * aliases and supplier broadcast; the pair filter prunes before the
+    * aggregate, which is a 2×2×years-sized hash agg. */
+  val sqlQ7VolumeShipping = Q(
+    "sql_q7_volume_shipping",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(q7Text)
+    },
+    Some(q7Text))
+
   def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
-    sqlQ5LocalSupplier, sqlCorrelatedExists)
+    sqlQ5LocalSupplier, sqlCorrelatedExists, sqlQ7VolumeShipping)
 }
