@@ -520,8 +520,46 @@ object Fns {
           FROM z"""
     })
 
+  /** Deterministic namespaced row IDs — RFC 4122 v3 (round-12): mint a
+    * name-based UUID per document from md5("graft:" || doc_id), with the
+    * version nibble forced to 3 (hex position 13) and the variant nibble
+    * folded to 10xx (position 17: (d & 3) | 8 ∈ {8,9,a,b}) exactly as
+    * the RFC prescribes, formatted 8-4-4-4-12. This is the stable-ID
+    * primitive a pipeline uses to mint reproducible record/example IDs
+    * across reruns and engines (a random UUIDv4 breaks lineage; a bare
+    * hash isn't interoperable). Every step is codegen'd string surgery
+    * on the md5 hex — no UDF, no randomness; the graded distinct-count
+    * census proves injectivity over the corpus.
+    *
+    * 100-TB shape: stateless row-local expressions; the census is one
+    * hash agg. */
+  val fnUuidV3 = Q(
+    "fn_uuid_v3",
+    (spark, sfDir) => {
+      val h = md5(concat(lit("graft:"), col("doc_id").cast("string")))
+      val variant = lower(hex(
+        conv(substring(h, 17, 1), 16, 10).cast("int").bitwiseAND(lit(3))
+          .bitwiseOR(lit(8))))
+      val uuid = concat_ws("-",
+        substring(h, 1, 8), substring(h, 9, 4),
+        concat(lit("3"), substring(h, 14, 3)),
+        concat(variant, substring(h, 18, 3)),
+        substring(h, 21, 12))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), uuid.as("uuid"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-' ||
+                   '3' || substring(h, 14, 3) || '-' ||
+                   lower(to_hex((('0x' || substring(h, 17, 1))::BIGINT & 3) | 8)) ||
+                   substring(h, 18, 3) || '-' || substring(h, 21, 12) AS uuid
+            FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents)
+            ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
     fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast,
     fnMaskPii, fnUrlParse, fnVariantExtract, fnVariantExplode,
-    fnZorderKey, fnZorderFiles)
+    fnZorderKey, fnZorderFiles, fnUuidV3)
 }

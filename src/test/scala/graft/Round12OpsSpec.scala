@@ -170,6 +170,22 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("fn_uuid_v3 mints RFC 4122-shaped, injective, java.util.UUID-parseable IDs") {
+    val rows = Registry.byName("fn_uuid_v3").build(spark, sf0001).collect()
+    val uuids = rows.map(_.getAs[String]("uuid"))
+    assert(uuids.length == uuids.distinct.length, "collision over the corpus")
+    uuids.foreach { u =>
+      val p = java.util.UUID.fromString(u) // throws on malformed
+      assert(p.version == 3, s"$u: version ${p.version}")
+      assert(p.variant == 2, s"$u: variant ${p.variant}") // RFC 4122 = 2
+      assert(u == u.toLowerCase)
+    }
+    // deterministic: same doc, same namespace -> same id on re-run
+    val again = Registry.byName("fn_uuid_v3").build(spark, sf0001)
+      .collect().map(_.getAs[String]("uuid"))
+    assert(uuids.toSeq == again.toSeq)
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
