@@ -376,6 +376,94 @@ object MlPrep {
                         AS BIGINT) AS bin_offset
             FROM c ORDER BY source, doc_id"""))
 
+  /** Greedy no-split sequence packing efficiency (round-12) —
+    * ml_pack_sequences grades the contiguous-split layout (docs span bin
+    * boundaries, waste ≈ 0 by construction); THIS grades the other real
+    * packing regime: whole-example packing, where a doc goes entire into
+    * the current 512-token bin if it fits, else a new bin opens — the
+    * layout attention-mask-per-example training needs, whose WASTE is
+    * the number a pipeline owner actually tunes (bin size vs doc-length
+    * distribution). Packing runs within FIXED 64-doc shards (doc_id/64)
+    * and the graded output is the per-source census (shards, bins, used
+    * tokens, capacity, fill rate) — bounded per-shard state is exactly
+    * how packing distributes at 100 TB (pack within shards, accept
+    * boundary waste; an unbounded per-source sequential scan would not
+    * shard). Docs longer than the bin clamp to 512 (the chunking tier —
+    * ml_token_chunks — owns long-doc splitting upstream). All integer
+    * arithmetic; the one division is the final fill_rate.
+    *
+    * 100-TB shape: one (source, shard) hash agg collecting ≤64-element
+    * arrays, an array-local integer fold, then a source-sized census. */
+  val mlPackGreedy = Q(
+    "ml_pack_greedy",
+    (spark, sfDir) => {
+      val shards = Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"),
+          expr("CAST(doc_id DIV 64 AS BIGINT)").as("shard"),
+          least(size(split(col("text"), " ", -1)).cast("long"), lit(512L))
+            .as("t"))
+        .groupBy("source", "shard")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("t"))))
+          .as("s"))
+        .select(col("source"),
+          aggregate(col("s"),
+            struct(lit(1L).as("bins"), lit(0L).as("cur"),
+              lit(0L).as("used")),
+            (st, e) => {
+              val t = e.getField("t")
+              val fits = st.getField("cur") + t <= 512L
+              struct(
+                when(fits, st.getField("bins"))
+                  .otherwise(st.getField("bins") + 1L).as("bins"),
+                when(fits, st.getField("cur") + t).otherwise(t).as("cur"),
+                (st.getField("used") + t).as("used"))
+            }).as("st"))
+      shards.groupBy("source")
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("st.bins")).as("n_bins"),
+          sum(col("st.used")).as("used_tokens"))
+        .select(col("source"), col("n_shards"), col("n_bins"),
+          col("used_tokens"),
+          (col("n_bins") * 512).as("capacity"),
+          round(col("used_tokens").cast("double")
+            / (col("n_bins") * 512).cast("double"), 6).as("fill_rate"))
+        .orderBy("source")
+    },
+    Some("""WITH RECURSIVE
+                 d AS (SELECT source, doc_id,
+                              CAST(doc_id // 64 AS BIGINT) AS shard,
+                              least(CAST(len(string_split(text, ' '))
+                                    AS BIGINT), 512) AS t
+                       FROM documents),
+                 i AS (SELECT *, row_number() OVER (PARTITION BY source, shard
+                                                    ORDER BY doc_id) AS i
+                       FROM d),
+                 n AS (SELECT source, shard, count(*) AS n FROM i
+                       GROUP BY source, shard),
+                 rec(source, shard, i, bins, cur, used) AS (
+                   SELECT source, shard, 0, CAST(1 AS BIGINT),
+                          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                   FROM n
+                   UNION ALL
+                   SELECT r.source, r.shard, r.i + 1,
+                          CASE WHEN r.cur + d.t <= 512 THEN r.bins
+                               ELSE r.bins + 1 END,
+                          CASE WHEN r.cur + d.t <= 512 THEN r.cur + d.t
+                               ELSE d.t END,
+                          r.used + d.t
+                   FROM rec r JOIN i d ON d.source = r.source
+                     AND d.shard = r.shard AND d.i = r.i + 1),
+                 fin AS (SELECT r.source, r.bins, r.used
+                         FROM rec r JOIN n ON r.source = n.source
+                           AND r.shard = n.shard AND r.i = n.n)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_shards,
+                   CAST(sum(bins) AS BIGINT) AS n_bins,
+                   CAST(sum(used) AS BIGINT) AS used_tokens,
+                   CAST(512 * sum(bins) AS BIGINT) AS capacity,
+                   round(CAST(sum(used) AS DOUBLE)
+                         / CAST(512 * sum(bins) AS DOUBLE), 6) AS fill_rate
+            FROM fin GROUP BY source ORDER BY source"""))
+
   /** Temperature-balanced dataset mix (T = 2): per-source sampling rates
     * ∝ sqrt(count) scaled to a 50% target volume, applied as a stateless
     * md5-threshold per doc — the standard multi-source rebalance before
@@ -1178,7 +1266,8 @@ object MlPrep {
     mlTokenizerFertility, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
-    mlClassWeights, mlPackSequences, mlDatasetMix, mlPadMask, mlTargetEncode,
+    mlClassWeights, mlPackSequences, mlPackGreedy, mlDatasetMix, mlPadMask,
+    mlTargetEncode,
     mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
     mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard, mlOovRate)
 }

@@ -186,6 +186,44 @@ class Round12OpsSpec extends SparkSpec {
     assert(uuids.toSeq == again.toSeq)
   }
 
+  test("ml_pack_greedy matches a plain-Scala greedy fold and beats no packing") {
+    val docs = graft.util.Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"),
+        least(size(split(col("text"), " ", -1)).cast("long"), lit(512L))
+          .as("t"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("t")))
+    val expected = docs.groupBy(d => (d._1, d._2 / 64)).toSeq
+      .map { case ((src, _), ds) =>
+        var bins = 1L; var cur = 0L; var used = 0L
+        ds.sortBy(_._2).foreach { case (_, _, t) =>
+          if (cur + t <= 512) cur += t else { bins += 1; cur = t }
+          used += t
+        }
+        (src, bins, used)
+      }
+      .groupBy(_._1)
+      .map { case (src, xs) =>
+        src -> (xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+      }
+    val got = Registry.byName("ml_pack_greedy").build(spark, sf0001)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_shards"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("used_tokens"))).toMap
+    assert(got == expected)
+    // non-degenerate census: bins are non-empty and waste is nonzero
+    // (docs don't tile 512 exactly; sources are sparse within global
+    // doc-id shards, so fill can legitimately run well under capacity)
+    got.values.foreach { case (_, bins, used) =>
+      assert(used > 0 && bins > 0)
+      assert(used < bins * 512, "zero waste would mean split packing")
+    }
+    // at least one shard actually packs >1 doc into a bin somewhere:
+    // total bins < total docs, else the fold degenerated to 1 doc/bin
+    assert(got.values.map(_._2).sum < docs.length)
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
