@@ -2627,6 +2627,133 @@ object TextOps {
                      AS recall
             FROM c CROSS JOIN t CROSS JOIN p"""))
 
+  /** Banding calibration CURVE (round-12) — text_dedup_eval grades the
+    * single τ=0.5 operating point; this sweeps the near-dup definition
+    * across τ ∈ {0.3, 0.5, 0.7} and grades precision/recall PER
+    * THRESHOLD — the curve a dedup owner reads to decide whether the
+    * 8-hash/2-band config matches their aggressiveness target (loose
+    * τ=0.3 dedup wants more recall than strict τ=0.7). Same capped
+    * doc_id < 50 all-pairs truth slice (ground truth is inherently
+    * quadratic — audit-on-a-slice beside the uncapped pipeline). Every
+    * threshold test is EXACT INTEGER arithmetic (10·i ≥ num·u, never a
+    * float jaccard vs a float τ — a pair sitting exactly on a threshold
+    * cannot flip engines); candidate membership computed once, the
+    * sweep is a 3-element unpivot over the same pair frame.
+    *
+    * 100-TB shape: one pair frame + one candidate flag join + a 3-group
+    * agg; the quadratic part stays capped by construction. */
+  val textDedupThresholdSweep = Q(
+    "text_dedup_threshold_sweep",
+    (spark, sfDir) => {
+      val docsF = docToks(spark, sfDir).filter(col("doc_id") < 50)
+      val toks = docsF
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0).distinct()
+      val card = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = toks.select(col("doc_id").as("a"), col("tok"))
+        .join(toks.select(col("doc_id").as("b"), col("tok")), "tok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val cand = graft.ops.Ops
+        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"), 8, 2)
+        .select(col("id1").as("ca"), col("id2").as("cb"), lit(1).as("c"))
+      val pairs = inter
+        .join(card.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(card.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), col("i"),
+          (col("na") + col("nb") - col("i")).as("u"))
+        .join(cand, col("a") === col("ca") && col("b") === col("cb"),
+          "left_outer")
+        .select(col("i"), col("u"), coalesce(col("c"), lit(0)).as("c"))
+      val swept = pairs.select(col("c"), explode(array(
+          struct(lit(0.3).as("tau"),
+            (col("i") * 10 >= col("u") * 3).as("is_true")),
+          struct(lit(0.5).as("tau"),
+            (col("i") * 10 >= col("u") * 5).as("is_true")),
+          struct(lit(0.7).as("tau"),
+            (col("i") * 10 >= col("u") * 7).as("is_true")))).as("r"))
+        .select(col("r.tau").as("tau"), col("r.is_true").as("is_true"),
+          col("c"))
+        .groupBy("tau")
+        .agg(sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("is_true") && col("c") === 1, 1L).otherwise(0L))
+            .as("tp"))
+      swept
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .select(col("tau"), col("n_cand"), col("n_true"), col("tp"),
+          when(col("n_cand") > 0,
+            col("tp").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          when(col("n_true") > 0,
+            col("tp").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+        .orderBy("tau")
+    },
+    Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
+                          FROM (SELECT doc_id,
+                                       unnest(string_split(text, ' ')) AS tok
+                                FROM documents WHERE doc_id < 50)
+                          WHERE length(tok) > 0),
+                 card AS (SELECT doc_id, count(*) AS n FROM toks
+                          GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                                  count(*) AS i
+                           FROM toks x JOIN toks y ON x.tok = y.tok
+                             AND x.doc_id < y.doc_id
+                           GROUP BY x.doc_id, y.doc_id),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || tok), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || tok), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || tok), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || tok), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || tok), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || tok), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || tok), 1, 15))::BIGINT) AS h7
+                         FROM toks GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' ||
+                              CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' ||
+                              CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT x.doc_id AS ca, y.doc_id AS cb
+                          FROM bands x JOIN bands y
+                            ON x.band_no = y.band_no AND x.bkey = y.bkey
+                          WHERE x.doc_id < y.doc_id),
+                 pairs AS (SELECT i.a, i.b, i.i,
+                                  ca.n + cb.n - i.i AS u,
+                                  CASE WHEN EXISTS (SELECT 1 FROM cand
+                                                    WHERE cand.ca = i.a
+                                                      AND cand.cb = i.b)
+                                       THEN 1 ELSE 0 END AS c
+                           FROM inter i
+                           JOIN card ca ON i.a = ca.doc_id
+                           JOIN card cb ON i.b = cb.doc_id),
+                 th(tau, num) AS (VALUES (0.3, 3), (0.5, 5), (0.7, 7)),
+                 swept AS (SELECT tau,
+                                  sum(CASE WHEN 10 * i >= num * u
+                                           THEN 1 ELSE 0 END) AS n_true,
+                                  sum(CASE WHEN 10 * i >= num * u AND c = 1
+                                           THEN 1 ELSE 0 END) AS tp
+                           FROM pairs CROSS JOIN th GROUP BY tau),
+                 nc AS (SELECT count(*) AS n_cand FROM cand)
+            SELECT CAST(tau AS DOUBLE) AS tau,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   CAST(n_true AS BIGINT) AS n_true,
+                   CAST(tp AS BIGINT) AS tp,
+                   CASE WHEN n_cand > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) END
+                     AS precision,
+                   CASE WHEN n_true > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END
+                     AS recall
+            FROM swept CROSS JOIN nc ORDER BY tau"""))
+
   /** Per-language document-length five-number summary + boxplot outliers
     * (round-10) — the analyst's first look at a new corpus slice and the
     * Tukey-fence outlier rule (len > q3 + 1.5·IQR) curation pipelines
@@ -3016,5 +3143,6 @@ object TextOps {
     textIncrementalDedup, textMinhashJaccardEst, textFilterFunnel,
     textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles,
     textDedupCc, textSubstringDedup, textSubstringCoverage,
-    textBigramLmScore, textLangidF1, textContainmentPairs, textGopherRules)
+    textBigramLmScore, textLangidF1, textContainmentPairs, textGopherRules,
+    textDedupThresholdSweep)
 }

@@ -224,6 +224,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum < docs.length)
   }
 
+  test("text_dedup_threshold_sweep: counts are consistent and monotone in tau") {
+    val rows = Registry.byName("text_dedup_threshold_sweep")
+      .build(spark, sf001).collect().sortBy(_.getAs[Double]("tau"))
+    assert(rows.map(_.getAs[Double]("tau")).toSeq == Seq(0.3, 0.5, 0.7))
+    val nCand = rows.head.getAs[Long]("n_cand")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cand") == nCand) // candidates don't vary with tau
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("tp") <= nCand)
+    }
+    // tightening the near-dup definition can only shrink the truth set
+    // and the matched subset
+    val trues = rows.map(_.getAs[Long]("n_true"))
+    val tps = rows.map(_.getAs[Long]("tp"))
+    assert(trues.zip(trues.tail).forall { case (a, b) => a >= b })
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    assert(trues.head > 0, "degenerate truth set grades nothing")
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
