@@ -970,6 +970,60 @@ object TextOps {
             FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
             ORDER BY t.doc_id"""))
 
+  /** Per-doc shingle novelty (round-12) — for each doc, the fraction of
+    * its distinct 8-token shingles whose FIRST occurrence (min doc_id —
+    * ingestion order's stand-in) is this doc: the novelty profile a
+    * curation team plots as a corpus grows (novelty trending toward 0
+    * while volume grows = the crawl is re-fetching what it has; the
+    * doc-level readout ranks which shards still contribute new text).
+    * Complements text_contamination (overlap vs a FIXED benchmark) and
+    * text_chunk_dedup (global duplicated-chunk census) with the
+    * per-document incremental-value signal. Exact integer counts; one
+    * identical-operand division rounded at 4. Docs under 8 tokens have
+    * no shingles and drop out in BOTH engines by construction.
+    *
+    * 100-TB shape: shingle explode (guarded sequence) + one min-over-
+    * shingle window (hash-partitioned on the content address, exactly
+    * text_contamination's one-pass trick) + doc-keyed census — equi-hash
+    * shuffles only, never a pair scan. */
+  val textShingleNovelty = Q(
+    "text_shingle_novelty",
+    (spark, sfDir) => {
+      val sh = docToks(spark, sfDir)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, greatest(size(tk) - 7, 1))")).as("p"))
+        .filter(col("p") <= size(col("tk")) - 7)
+        .select(col("doc_id"),
+          md5(expr("array_join(slice(tk, p, 8), ' ')")).as("shingle"))
+        .distinct()
+      sh.withColumn("fd",
+          min(col("doc_id")).over(Window.partitionBy("shingle")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double")
+            / col("n_shingles").cast("double"), 4).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 0)),
+                            p -> md5(array_to_string(tk[p:p+7], ' ')))) AS shingle
+              FROM toks),
+            f AS (SELECT doc_id, shingle,
+                         min(doc_id) OVER (PARTITION BY shingle) AS fd
+                  FROM sh)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 4) AS novelty
+            FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Chunk-level (sub-document) dedup census: 8-token chunks at stride 4,
     * content-addressed by md5; chunks occurring more than once — the
     * passage/boilerplate-level near-dup signal document-level hashing
@@ -3144,5 +3198,5 @@ object TextOps {
     textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles,
     textDedupCc, textSubstringDedup, textSubstringCoverage,
     textBigramLmScore, textLangidF1, textContainmentPairs, textGopherRules,
-    textDedupThresholdSweep)
+    textDedupThresholdSweep, textShingleNovelty)
 }
