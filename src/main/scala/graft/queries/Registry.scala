@@ -27,7 +27,8 @@ object Registry {
   def all: Seq[Q] =
     Scans.qs ++ Aggs.qs ++ Joins.qs ++ Windows.qs ++ SetOps.qs ++
       Fns.qs ++ Arrays.qs ++ TimeSeries.qs ++ MlPrep.qs ++ TextOps.qs ++
-      Vectors.qs ++ Approx.qs ++ Multimodal.qs ++ Sinks.qs ++ SqlSurface.qs
+      Vectors.qs ++ Approx.qs ++ Multimodal.qs ++ Sinks.qs ++
+      SqlSurface.qs ++ Streaming.qs
 
   // Every Q listed in `all` has passed tools/parity.py at sf0.001/sf0.01
   // before being committed — the gate is enforced by process, so the

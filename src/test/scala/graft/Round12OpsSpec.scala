@@ -243,6 +243,21 @@ class Round12OpsSpec extends SparkSpec {
     assert(trues.head > 0, "degenerate truth set grades nothing")
   }
 
+  test("stream_tumbling_parity equals ts_tumbling and memoizes the streaming run") {
+    val streamed = Registry.byName("stream_tumbling_parity").build(spark, sf0001)
+    val batch = Registry.byName("ts_tumbling").build(spark, sf0001)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    // second build serves the memoized frame — no new streaming query
+    val before = spark.streams.active.length
+    Registry.byName("stream_tumbling_parity").build(spark, sf0001).count()
+    assert(spark.streams.active.length == before)
+    // and the AvailableNow run itself terminated (no stream left behind)
+    assert(!spark.streams.active.exists(q =>
+      q.name != null && q.name.startsWith("stream_tumbling_parity")))
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
