@@ -72,5 +72,63 @@ object Streaming {
             FROM events GROUP BY bucket, event_type
             ORDER BY bucket, event_type"""))
 
-  def qs: Seq[Q] = Seq(streamTumblingParity)
+  /** Streaming tumbling aggregation through the PRODUCTION sink shape
+    * (round-12, the second graded streaming key): APPEND output mode to
+    * a parquet FILE sink with a checkpoint — the pipeline a real
+    * backfill runs (stream → files, exactly-once via checkpoint +
+    * manifest), where a window emits ONLY once the event-time watermark
+    * passes its end. The graded frame is the parquet output read back —
+    * never a driver materialization (the memory-sink key above grades
+    * complete mode; this grades append + close semantics). The ORACLE
+    * replays the emission rule in SQL: with AvailableNow the final
+    * watermark is max(ts) − delay, so exactly the buckets with
+    * bucket_end ≤ max(ts) − 10 minutes appear — the watermark contract
+    * itself is what hash parity grades (a late-tail bucket leaking into
+    * the files, or an eager eviction, breaks parity).
+    *
+    * 100-TB shape: bounded per-(window, type) state, file-sink append,
+    * no collect anywhere; outputs land as data files a downstream job
+    * scans. */
+  val streamFileSinkParity = Q(
+    "stream_file_sink_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamfilesink:${Tables.tableKey(sfDir, "events")}") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val ts = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        case _ => col("ts").cast("timestamp")
+      }
+      val agg = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", ts)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+        .select(D.ntz(col("window.start")).as("bucket"), col("event_type"),
+          col("n"), col("sum_value"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_sink_").toString
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.orderBy("bucket", "event_type"),
+    // batch aggregate + the append-mode emission rule: only buckets whose
+    // end the final watermark (max ts − 10 min) has passed are in the files
+    Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+                 b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                              event_type, count(*) AS n,
+                              ${D.oSumDec("value")} AS sum_value
+                       FROM events GROUP BY bucket, event_type)
+            SELECT bucket, event_type, n, sum_value
+            FROM b CROSS JOIN mx
+            WHERE bucket + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTES
+            ORDER BY bucket, event_type"""))
+
+  def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity)
 }

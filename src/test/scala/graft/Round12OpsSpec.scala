@@ -258,6 +258,23 @@ class Round12OpsSpec extends SparkSpec {
       q.name != null && q.name.startsWith("stream_tumbling_parity")))
   }
 
+  test("stream_file_sink_parity: append sink holds exactly the watermark-closed buckets") {
+    val appended = Registry.byName("stream_file_sink_parity").build(spark, sf0001)
+    val complete = Registry.byName("stream_tumbling_parity").build(spark, sf0001)
+    // append ⊂ complete, and the difference is exactly the buckets whose
+    // end the final watermark (max ts − 10 min) has not passed
+    assert(appended.except(complete).count() == 0)
+    val maxTs = graft.util.Tables.events(spark, sf0001)
+      .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+    val open = complete.except(appended).collect()
+    assert(open.nonEmpty, "no open tail bucket — watermark rule untested")
+    open.foreach { r =>
+      val bucketEnd = r.getAs[java.time.LocalDateTime]("bucket").plusHours(1)
+      assert(bucketEnd.isAfter(maxTs.minusMinutes(10)),
+        s"closed bucket $r missing from the append sink")
+    }
+  }
+
   test("encodeOggPayload refuses a payload that exceeds one page (ADVICE-r11)") {
     import graft.queries.Multimodal
     val ok = spark.sql(s"SELECT 1 AS doc_id, repeat('x', 65024) AS text")
