@@ -1262,6 +1262,60 @@ object MlPrep {
                          6) AS effective_sources
             FROM nano"""))
 
+  /** Temperature-based multilingual sampling weights (round-12): the
+    * published up/down-sampling rule for multilingual pretraining
+    * (p_i^α / Σ p_j^α over language token mass) at α = 0.5 — chosen
+    * because p^0.5 = sqrt(p) is the ONE libm-free exponent: sqrt is
+    * IEEE-754 correctly rounded in both engines, where a general pow(x,
+    * 0.7) is not cross-engine reproducible. Mass = total whitespace
+    * tokens per language (doc counts are uniform by construction in the
+    * fixtures — the token mass is what a real sampler weighs anyway);
+    * p_raw is an exact-operand division; the temperature numerator is
+    * leaf-quantized to nano-units (round(sqrt(p)·1e9) BIGINT, the
+    * text_js_divergence recipe) so the normalizing sum is order-free
+    * integer addition; p_temp and the per-language BOOST factor
+    * (p_temp/p_raw — the up/down-sampling multiplier the data loader
+    * applies) divide identical finished operands. Measured: en (largest)
+    * downsampled ~0.7×, tail languages boosted ~1.3–1.6×.
+    *
+    * 100-TB shape: one language-keyed hash agg + two 1-row broadcast
+    * totals; language cardinality-sized everywhere after the scan. */
+  val mlSampleTemperature = Q(
+    "ml_sample_temperature",
+    (spark, sfDir) => {
+      val base = Tables.documents(spark, sfDir)
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " ", -1)).cast("bigint"))
+          .as("mass"))
+      val tot = base.agg(sum(col("mass")).as("tot"))
+      val q = base.crossJoin(broadcast(tot))
+        .withColumn("p_raw", col("mass").cast("double") / col("tot"))
+        .withColumn("qv",
+          round(sqrt(col("p_raw")) * lit(1e9), 0).cast("bigint"))
+      val qtot = q.agg(sum(col("qv")).as("qt"))
+      q.crossJoin(broadcast(qtot))
+        .select(col("lang"), col("mass"),
+          round(col("p_raw"), 6).as("p_raw"),
+          round(col("qv").cast("double") / col("qt"), 6).as("p_temp"),
+          round((col("qv").cast("double") / col("qt")) / col("p_raw"), 4)
+            .as("boost"))
+        .orderBy("lang")
+    },
+    Some("""WITH m AS (SELECT lang,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS mass
+            FROM documents GROUP BY lang),
+            t AS (SELECT sum(mass) AS tot FROM m),
+            q AS (SELECT lang, mass,
+                         CAST(mass AS DOUBLE) / tot AS p_raw,
+                         CAST(round(sqrt(CAST(mass AS DOUBLE) / tot) * 1e9)
+                              AS BIGINT) AS qv
+                  FROM m CROSS JOIN t),
+            qt AS (SELECT sum(qv) AS qtot FROM q)
+            SELECT lang, mass, round(p_raw, 6) AS p_raw,
+                   round(CAST(qv AS DOUBLE) / qtot, 6) AS p_temp,
+                   round((CAST(qv AS DOUBLE) / qtot) / p_raw, 4) AS boost
+            FROM q CROSS JOIN qt ORDER BY lang"""))
+
   def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlBpeVocab,
     mlTokenizerFertility, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
@@ -1269,5 +1323,6 @@ object MlPrep {
     mlClassWeights, mlPackSequences, mlPackGreedy, mlDatasetMix, mlPadMask,
     mlTargetEncode,
     mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
-    mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard, mlOovRate)
+    mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard, mlOovRate,
+    mlSampleTemperature)
 }

@@ -1712,6 +1712,122 @@ object TextOps {
             SELECT doc_id, min(lbl) AS cluster, TRUE AS converged
             FROM reach GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Leakage-safe train/eval fold assignment (round-12): the split a
+    * training pipeline MUST use once near-duplicates exist — hash the
+    * CLUSTER representative (text_dedup_cc's connected-component label,
+    * the same memoized frame), not the document id, so every member of a
+    * near-dup cluster lands in the same fold and no eval document has a
+    * near-copy in train. Graded per fold: document count, cluster count,
+    * and `n_rescued` — members of multi-doc clusters whose naive
+    * doc-id-hash fold DIFFERS from their cluster fold, i.e. exactly the
+    * documents that would have leaked across the split under the naive
+    * scheme (the measured value of doing the split cluster-aware). The
+    * fold hash is the engine-portable md5-prefix of ml_kfold_assign.
+    * The oracle recomputes the full pipeline independently: recursive-CTE
+    * reachability for the clusters (text_dedup_cc's oracle), then the
+    * same census — so a cluster split across folds, or a wrong cluster
+    * label, breaks parity.
+    *
+    * 100-TB shape: cc labels are the memoized fixpoint frame (computed
+    * once, shared with text_dedup_cc); the census is one broadcast-free
+    * hash-agg keyed by fold. */
+  val mlDedupSafeSplit = Q(
+    "ml_dedup_safe_split",
+    (spark, sfDir) => {
+      val docs = docToks(spark, sfDir)
+      val edges = dedupShingleEdges(spark, sfDir)
+      val cc = graft.util.Memo(spark,
+        s"$sfDir:dedup_cc_full:${Tables.tableKey(sfDir, "documents")}") {
+        graft.ops.Ops.ccFixpoint(
+          docs.select("doc_id"), col("doc_id"),
+          edges, col("d1"), col("d2"), maxRounds = 20)
+      }
+      def foldOf(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit("fold"), c.cast("string"))), 1, 8),
+          16, 10).cast("bigint") % 5
+      val assign = cc
+        .select(col("id").as("doc_id"), col("cluster"))
+        .withColumn("fold", foldOf(col("cluster")))
+        .withColumn("naive_fold", foldOf(col("doc_id")))
+      val sizes = assign.groupBy("cluster")
+        .agg(count(lit(1)).as("csz"))
+      assign.join(sizes, "cluster")
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(when(col("csz") > 1 && col("naive_fold") =!= col("fold"), 1L)
+            .otherwise(0L)).as("n_rescued"))
+        .orderBy("fold")
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                          FROM documents
+                          WHERE len(string_split(text, ' ')) >= 8),
+                 shing AS (SELECT DISTINCT doc_id,
+                                  array_to_string(tk[i:i+7], ' ') AS s
+                           FROM (SELECT doc_id, tk,
+                                        unnest(range(1, len(tk) - 6)) AS i
+                                 FROM toks)),
+                 sig AS (SELECT doc_id,
+                           min(('0x' || substring(md5('0:' || s), 1, 15))::BIGINT) AS h0,
+                           min(('0x' || substring(md5('1:' || s), 1, 15))::BIGINT) AS h1,
+                           min(('0x' || substring(md5('2:' || s), 1, 15))::BIGINT) AS h2,
+                           min(('0x' || substring(md5('3:' || s), 1, 15))::BIGINT) AS h3,
+                           min(('0x' || substring(md5('4:' || s), 1, 15))::BIGINT) AS h4,
+                           min(('0x' || substring(md5('5:' || s), 1, 15))::BIGINT) AS h5,
+                           min(('0x' || substring(md5('6:' || s), 1, 15))::BIGINT) AS h6,
+                           min(('0x' || substring(md5('7:' || s), 1, 15))::BIGINT) AS h7
+                         FROM shing GROUP BY doc_id),
+                 bands AS (
+                   SELECT doc_id, 0 AS band_no,
+                          md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 1 AS band_no,
+                          md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 2 AS band_no,
+                          md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) AS bkey
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, 3 AS band_no,
+                          md5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) AS bkey
+                   FROM sig),
+                 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                          FROM bands a JOIN bands b
+                            ON a.band_no = b.band_no AND a.bkey = b.bkey
+                          WHERE a.doc_id < b.doc_id),
+                 sets AS (SELECT doc_id, list_sort(list(DISTINCT md5(s))) AS ts
+                          FROM shing GROUP BY doc_id),
+                 dup AS (SELECT d1, d2 FROM cand
+                         JOIN sets s1 ON d1 = s1.doc_id
+                         JOIN sets s2 ON d2 = s2.doc_id
+                         WHERE round(CAST(len(list_filter(s1.ts, x -> list_contains(s2.ts, x))) AS DOUBLE)
+                                     / (len(s1.ts) + len(s2.ts)
+                                        - len(list_filter(s1.ts, x -> list_contains(s2.ts, x)))), 4) >= 0.5),
+                 edges AS (SELECT d1, d2 FROM dup
+                           UNION ALL SELECT d2 AS d1, d1 AS d2 FROM dup),
+                 reach(doc_id, lbl) AS (
+                   SELECT doc_id, doc_id AS lbl FROM documents
+                   UNION
+                   SELECT e.d1 AS doc_id, r.lbl
+                   FROM edges e JOIN reach r ON e.d2 = r.doc_id),
+                 labels AS (SELECT doc_id, min(lbl) AS cluster
+                            FROM reach GROUP BY doc_id),
+                 assign AS (SELECT doc_id, cluster,
+                              ('0x' || substring(md5('fold' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
+                              ('0x' || substring(md5('fold' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS naive_fold
+                            FROM labels),
+                 sizes AS (SELECT cluster, count(*) AS csz
+                           FROM assign GROUP BY cluster)
+            SELECT fold, count(*) AS n_docs,
+                   CAST(count(DISTINCT a.cluster) AS BIGINT) AS n_clusters,
+                   CAST(sum(CASE WHEN csz > 1 AND naive_fold <> fold
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued
+            FROM assign a JOIN sizes sz ON a.cluster = sz.cluster
+            GROUP BY fold ORDER BY fold"""))
+
   /** Asymmetric shingle-set CONTAINMENT over banded candidates
     * (round-12) — the quote/subset detector Jaccard cannot see: a short
     * doc fully embedded in a long one has high containment
@@ -3198,5 +3314,5 @@ object TextOps {
     textHapaxRatio, textDedupEval, textJsDivergence, textLengthQuartiles,
     textDedupCc, textSubstringDedup, textSubstringCoverage,
     textBigramLmScore, textLangidF1, textContainmentPairs, textGopherRules,
-    textDedupThresholdSweep, textShingleNovelty)
+    textDedupThresholdSweep, textShingleNovelty, mlDedupSafeSplit)
 }

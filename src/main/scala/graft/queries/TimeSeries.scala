@@ -1577,6 +1577,49 @@ object TimeSeries {
               AND rec.i = n.n_days
             ORDER BY n.event_type"""))
 
+  /** Seasonal-residual variance decomposition (round-12): how much of
+    * each event type's value variance the hour-of-day profile explains —
+    * the audit a pipeline runs BEFORE deploying an anomaly detector
+    * (ts_anomaly_mad, ts_moving_zscore): if the seasonal share is high,
+    * detect on the residual, not the raw series. seasonal = the
+    * per-(type, hour) mean (ts_hourly_profile's frame as a window, so no
+    * join); residual = value - seasonal; variance_explained =
+    * 1 - var(residual)/var(raw), which is within-groups/total sum of
+    * squares, so it is >= 0 mathematically (`+ 0.0` canonicalizes the
+    * float-boundary -0.0 per the determinism policy). Measured ~0.01 on
+    * the fixtures: a truthful "values are not hour-seasonal here"
+    * readout, like vec_matryoshka_recall's regime detection.
+    *
+    * 100-TB shape: one (type, hour)-keyed window (24 x types cells) +
+    * one hash aggregate; no global ordering anywhere before the final
+    * output sort. */
+  val tsSeasonalResidual = Q(
+    "ts_seasonal_residual",
+    (spark, sfDir) => {
+      val hw = Window.partitionBy(col("event_type"), hour(col("ts")))
+      Tables.events(spark, sfDir)
+        .withColumn("seasonal", avg(col("value")).over(hw))
+        .withColumn("resid", col("value") - col("seasonal"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("value")), 4).as("sd_raw"),
+          round(stddev_samp(col("resid")), 4).as("sd_resid"),
+          (round(lit(1.0) - var_samp(col("resid")) / var_samp(col("value")),
+            4) + lit(0.0)).as("var_explained"))
+        .orderBy("event_type")
+    },
+    Some("""WITH s AS (SELECT event_type, value,
+                   avg(value) OVER (PARTITION BY event_type, hour(ts))
+                     AS seasonal
+            FROM events),
+            r AS (SELECT event_type, value, value - seasonal AS resid FROM s)
+            SELECT event_type, count(*) AS n,
+                   round(stddev_samp(value), 4) AS sd_raw,
+                   round(stddev_samp(resid), 4) AS sd_resid,
+                   round(1.0 - var_samp(resid) / var_samp(value), 4) + 0.0
+                     AS var_explained
+            FROM r GROUP BY event_type ORDER BY event_type"""))
+
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,
     tsFunnel, tsRetentionCohort, tsChangepoint, tsAutocorr,
@@ -1585,5 +1628,5 @@ object TimeSeries {
     tsDownsampleLttb, tsForecastErrorNaive, tsPeakDetect,
     tsWeekProfileRollup, tsSessionizedFunnel, tsPctChange, tsMaxGap,
     tsStickiness, tsOrderViolations, tsBurstiness, tsInterEventHist,
-    tsHoltTrend)
+    tsHoltTrend, tsSeasonalResidual)
 }
