@@ -202,6 +202,76 @@ object Streaming {
             WHERE session_end + INTERVAL 30 MINUTES <= m - INTERVAL 10 MINUTES
             ORDER BY user_id, session_start"""))
 
+  /** STREAM-STREAM time-interval join (round-12, fourth graded streaming
+    * key — the last major Structured Streaming feature family the graded
+    * surface lacked): click→purchase attribution pairs (same user,
+    * purchase strictly after the click, within 1 hour) matched by the
+    * real symmetric-hash streaming join with event-time watermarks on
+    * BOTH sides — the condition set Spark needs to bound each side's
+    * state (a click's matches can stop being awaited once the watermark
+    * passes click_ts + 1 h). Pairs land in an append parquet sink; the
+    * graded frame is the per-user attribution census computed in batch
+    * over the files (inner-join emission is match-time, so with
+    * AvailableNow the files hold exactly the batch join's pairs — a
+    * dropped or duplicated pair breaks the hash). Oracle = the plain
+    * batch interval join (join_range's shape restricted to the
+    * click→purchase type pair).
+    *
+    * 100-TB shape: the streaming join shuffles both sides on user_id and
+    * keeps only the watermark-live window of state per key; the census
+    * is one hash agg over the sink files. */
+  val streamJoinParity = Q(
+    "stream_join_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamjoin:${Tables.tableKey(sfDir, "events")}") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
+        val ts = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            expr("timestamp_micros(ts div 1000)").cast("timestamp")
+          case _ => col("ts").cast("timestamp")
+        }
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .withColumn("ts", ts)
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            col("ts").as(tsAs))
+          .withWatermark(tsAs, "10 minutes")
+      }
+      val clicks = side("click", "click_id", "cu", "cts")
+      val purchases = side("purchase", "purchase_id", "pu", "pts")
+      val pairs = clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "inner")
+        .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_join_").toString
+      val q = pairs.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks_converted"),
+          countDistinct(col("purchase_id")).as("n_purchases_attributed"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.orderBy("user_id"),
+    Some("""SELECT c.user_id, count(*) AS n_pairs,
+                   CAST(count(DISTINCT c.event_id) AS BIGINT)
+                     AS n_clicks_converted,
+                   CAST(count(DISTINCT p.event_id) AS BIGINT)
+                     AS n_purchases_attributed
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id ORDER BY c.user_id"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
-    streamSessionParity)
+    streamSessionParity, streamJoinParity)
 }

@@ -32,6 +32,30 @@ class Round12bOpsSpec extends SparkSpec {
       s"withheld ${bCnt - sCnt} sessions but $open are open under the rule")
   }
 
+  test("stream_join_parity: inner-join emission is complete — streamed census == batch census") {
+    val streamed = Registry.byName("stream_join_parity").build(spark, sf0001)
+    // unlike windowed aggregation, an inner stream-stream join emits at
+    // match time: nothing is withheld behind the watermark, so the files
+    // must hold the ENTIRE batch join — equality both directions
+    val ev = graft.util.Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_converted"),
+        countDistinct(col("purchase_id")).as("n_purchases_attributed"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
   test("ml_dedup_safe_split: folds partition docs, clusters never span folds, leakage is measured") {
     val r = Registry.byName("ml_dedup_safe_split").build(spark, sf001)
     val rows = r.collect()
