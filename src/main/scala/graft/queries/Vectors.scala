@@ -153,30 +153,41 @@ object Vectors {
     * documented SemDeDup trade: a near-dup pair straddling a centroid
     * boundary is not a candidate, on either engine — the oracle mirrors
     * the same assignment, so the contract is exact. */
+  /** SemDeDup coarse assignment on the audit slice, factored out so the
+    * candidate-generation rule is ONE definition shared by
+    * vec_dup_clusters (the clustering) and vec_dedup_threshold_sweep (the
+    * calibration of that rule): (vec_id, cid, e, nrm) with cid = argmax
+    * rounded-4dp cosine over the 8 fixed seed centroids, cid-asc
+    * tiebreak — the total order vec_centroid_assign uses. */
+  private def semdedupAssigned(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val v = emb.select(col("vec_id"), dbl(col("embedding")).as("e"),
+      norm(dbl(col("embedding"))).as("nrm"))
+    val cent = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("c"),
+        col("nrm").as("cnrm"))
+    val wa = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    v.crossJoin(broadcast(cent))
+      // D.nz on the argmax key: Spark's double sort puts -0.0 < +0.0
+      // where DuckDB's treats them equal — normalize before ranking
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
+        graft.util.D.nz(
+          round(expr("dot_native(e, c)") / (col("nrm") * col("cnrm")), 4))
+          .as("csim"))
+      .withColumn("graft_rn", row_number().over(wa))
+      .filter(col("graft_rn") === 1)
+      .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
+  }
+
   val vecDupClusters = Q(
     "vec_dup_clusters",
     (spark, sfDir) => {
       graft.functions.DotProduct.register(spark)
       val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
-      val v = emb.select(col("vec_id"), dbl(col("embedding")).as("e"),
-        norm(dbl(col("embedding"))).as("nrm"))
-      val cent = v.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("e").as("c"),
-          col("nrm").as("cnrm"))
-      // argmax rounded-4dp cosine, cid-asc tiebreak — the total order
-      // vec_centroid_assign uses, so both engines pick the same cluster
-      val wa = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cid"))
-      val assigned = v.crossJoin(broadcast(cent))
-        // D.nz on the argmax key: Spark's double sort puts -0.0 < +0.0
-        // where DuckDB's treats them equal — normalize before ranking
-        .select(col("vec_id"), col("e"), col("nrm"), col("cid"),
-          graft.util.D.nz(
-            round(expr("dot_native(e, c)") / (col("nrm") * col("cnrm")), 4))
-            .as("csim"))
-        .withColumn("graft_rn", row_number().over(wa))
-        .filter(col("graft_rn") === 1)
-        .select(col("vec_id"), col("cid"), col("e"), col("nrm"))
+      val assigned = semdedupAssigned(spark, sfDir)
       val a = assigned.select(col("cid"), col("vec_id").as("v1"),
         col("e").as("e1"), col("nrm").as("nrm1"))
       val b = assigned.select(col("cid").as("cid2"), col("vec_id").as("v2"),
@@ -245,6 +256,108 @@ object Vectors {
                                THEN l1.lbl ELSE n2.mn END AS lbl
                    FROM l1 LEFT JOIN n2 ON l1.vec_id = n2.v1)
             SELECT vec_id, lbl AS cluster FROM l2 ORDER BY vec_id"""))
+
+  /** SemDeDup calibration curve (round-12): the embedding-space twin of
+    * text_dedup_threshold_sweep — for each cosine threshold τ, how
+    * many TRUE pairs exist (exact all-pairs cosine on the vec_id<200
+    * audit slice, where the quadratic truth is computable) and how many
+    * the within-centroid candidate rule finds. The fixture embeddings
+    * are NOT dup-planted — the max pair cosine on the slice is 0.48 at
+    * every SF (the vec_matryoshka_recall-style regime readout: this
+    * corpus has no semantic near-dups) — so the sweep runs at
+    * τ ∈ {0.30, 0.35, 0.40} where pairs exist; the geometry it measures
+    * (how much of the τ-similarity mass straddles centroid boundaries)
+    * is exactly the blind-spot curve a SemDeDup deployment reads at its
+    * own operating τ. Candidates
+    * are a subset of truth scored exactly, so precision is 1 by
+    * construction; what the curve measures is the BLIND SPOT — pairs
+    * straddling a centroid boundary, SemDeDup's documented trade — and
+    * the recall the 8-centroid layout buys at each aggressiveness
+    * setting, i.e. whether the vec_dup_clusters operating point (0.95)
+    * is safe for this corpus. Every threshold test is EXACT INTEGER
+    * (cosine in round-to-nearest ten-thousandths BIGINT vs integer τ·1e4
+    * — a boundary pair cannot flip engines); the one division is the
+    * final recall of identical integers, NULL-guarded for empty truth.
+    *
+    * 100-TB shape: truth stays on the capped audit slice by construction
+    * (the production path is the candidate rule itself); the candidate
+    * side is the equi-join-on-centroid shape that scales. */
+  val vecDedupThresholdSweep = Q(
+    "vec_dedup_threshold_sweep",
+    (spark, sfDir) => {
+      graft.functions.DotProduct.register(spark)
+      val v = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"),
+          norm(dbl(col("embedding"))).as("nrm"))
+      def cbp(dot: org.apache.spark.sql.Column, n1: org.apache.spark.sql.Column,
+          n2: org.apache.spark.sql.Column) =
+        round(dot / (n1 * n2) * 10000, 0).cast("bigint")
+      val taus = explode(array(lit(3000L), lit(3500L), lit(4000L))).as("tau_bp")
+      val a = v.select(col("vec_id").as("v1"), col("e").as("e1"),
+        col("nrm").as("m1"))
+      val b = v.select(col("vec_id").as("v2"), col("e").as("e2"),
+        col("nrm").as("m2"))
+      val truth = a.join(broadcast(b), col("v1") < col("v2"))
+        .select(cbp(expr("dot_native(e1, e2)"), col("m1"), col("m2")).as("c"))
+        .select(taus, col("c"))
+        .groupBy("tau_bp")
+        .agg(sum(when(col("c") >= col("tau_bp"), 1L).otherwise(0L))
+          .as("n_true"))
+      val asg = semdedupAssigned(spark, sfDir)
+      val ca = asg.select(col("cid"), col("vec_id").as("v1"),
+        col("e").as("e1"), col("nrm").as("m1"))
+      val cb = asg.select(col("cid").as("cid2"), col("vec_id").as("v2"),
+        col("e").as("e2"), col("nrm").as("m2"))
+      val cand = ca.join(cb, col("cid") === col("cid2") && col("v1") < col("v2"))
+        .select(cbp(expr("dot_native(e1, e2)"), col("m1"), col("m2")).as("c"))
+        .select(taus, col("c"))
+        .groupBy("tau_bp")
+        .agg(sum(when(col("c") >= col("tau_bp"), 1L).otherwise(0L))
+          .as("n_found"))
+      truth.join(cand, "tau_bp")
+        .select(col("tau_bp"), col("n_true"), col("n_found"),
+          (col("n_true") - col("n_found")).as("blind_spot"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_found").cast("double") / col("n_true"), 4))
+            .as("recall"))
+        .orderBy("tau_bp")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                        FROM embeddings WHERE vec_id < 200),
+            t AS (SELECT CAST(unnest([3000, 3500, 4000]) AS BIGINT) AS tau_bp),
+            truth AS (SELECT CAST(round(${oDot("a.e", "b.e")} /
+                             (${oNorm("a.e")} * ${oNorm("b.e")}) * 10000)
+                           AS BIGINT) AS c
+                      FROM v a JOIN v b ON a.vec_id < b.vec_id),
+            tt AS (SELECT tau_bp,
+                     CAST(sum(CASE WHEN c >= tau_bp THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_true
+                   FROM truth CROSS JOIN t GROUP BY tau_bp),
+            cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8),
+            asg AS (SELECT vec_id, cid FROM (
+              SELECT v.vec_id, cent.cid,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(${oDot("v.e", "cent.c")} /
+                             (${oNorm("v.e")} * ${oNorm("cent.c")}), 4) + 0.0 DESC,
+                       cent.cid) AS rn
+              FROM v CROSS JOIN cent) WHERE rn = 1),
+            m AS (SELECT asg.vec_id, asg.cid, v.e FROM asg JOIN v USING (vec_id)),
+            cand AS (SELECT CAST(round(${oDot("a.e", "b.e")} /
+                            (${oNorm("a.e")} * ${oNorm("b.e")}) * 10000)
+                          AS BIGINT) AS c
+                     FROM m a JOIN m b
+                       ON a.cid = b.cid AND a.vec_id < b.vec_id),
+            cc AS (SELECT tau_bp,
+                     CAST(sum(CASE WHEN c >= tau_bp THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_found
+                   FROM cand CROSS JOIN t GROUP BY tau_bp)
+            SELECT tt.tau_bp, n_true, n_found,
+                   n_true - n_found AS blind_spot,
+                   CASE WHEN n_true = 0 THEN NULL
+                        ELSE round(CAST(n_found AS DOUBLE) / n_true, 4)
+                   END AS recall
+            FROM tt JOIN cc ON tt.tau_bp = cc.tau_bp
+            ORDER BY tt.tau_bp"""))
 
   /** Nearest-centroid assignment — the exact coarse-quantizer step of an
     * IVF index (vec_ann_ivf's learned version, here with FIXED centroids =
@@ -1442,7 +1555,7 @@ object Vectors {
     })
 
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
-    vecCosineTopkNative, vecDupClusters, vecCentroidAssign,
+    vecCosineTopkNative, vecDupClusters, vecDedupThresholdSweep, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,

@@ -75,6 +75,25 @@ class Round12bOpsSpec extends SparkSpec {
     assert(docs.select("doc_id").distinct().count() == total)
   }
 
+  test("vec_dedup_threshold_sweep: candidates are a strict subset of truth (precision 1 by construction)") {
+    val rows = Registry.byName("vec_dedup_threshold_sweep").build(spark, sf001)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_true"); val f = r.getAs[Long]("n_found")
+      assert(f <= t, s"candidate rule found $f pairs but only $t exist")
+      assert(r.getAs[Long]("blind_spot") == t - f)
+    }
+    // the sweep must measure something: at the lowest τ the slice has
+    // pairs AND the centroid rule misses some (the blind spot is real)
+    val low = rows.minBy(_.getAs[Long]("tau_bp"))
+    assert(low.getAs[Long]("n_true") > 0 && low.getAs[Long]("n_found") > 0)
+    assert(low.getAs[Long]("blind_spot") > 0)
+    // n_true is monotone non-increasing in τ
+    val sorted = rows.sortBy(_.getAs[Long]("tau_bp")).map(_.getAs[Long]("n_true"))
+    assert(sorted.sliding(2).forall(w => w(1) <= w(0)))
+  }
+
   test("ts_seasonal_residual: residual variance never exceeds raw (within/total SS)") {
     for (sf <- Seq(sf0001, sf001)) {
       val rows = Registry.byName("ts_seasonal_residual").build(spark, sf)
