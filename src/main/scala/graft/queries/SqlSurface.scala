@@ -205,6 +205,42 @@ object SqlSurface {
     },
     Some(q7Text))
 
+  /** TPC-H Q18 (large-volume orders, adapted to the fixture's threshold
+    * — the TPC-H 300 is unreachable at ~4 lines/order, 250 keeps ~1-2%
+    * of orders). The shape this grades that no other SQL-face key does:
+    * an IN-subquery over an AGGREGATE of the same fact table (lineitem
+    * joins the winners of its own GROUP BY ... HAVING), which Catalyst
+    * must plan as aggregate → semi-join rather than a correlated
+    * re-scan, plus a decimal HAVING threshold. Quantity sums in exact
+    * DECIMAL on both engines; total order (o_totalprice DESC,
+    * o_orderkey) before LIMIT. */
+  private def q18Text(tsType: String): String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |       CAST(o_orderdate AS $tsType) AS o_orderdate,
+       |       o_totalprice,
+       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS total_qty
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+       |         > CAST(250 AS DECIMAL(18,2)))
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  val sqlQ18LargeOrders = Q(
+    "sql_q18_large_orders",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(q18Text("TIMESTAMP_NTZ"))
+    },
+    Some(q18Text("TIMESTAMP")))
+
   def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
-    sqlQ5LocalSupplier, sqlCorrelatedExists, sqlQ7VolumeShipping)
+    sqlQ5LocalSupplier, sqlCorrelatedExists, sqlQ7VolumeShipping,
+    sqlQ18LargeOrders)
 }
