@@ -73,6 +73,54 @@ object Vectors {
             FROM embeddings WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
+  /** BATCHED exact top-k serving (round-12): vec_cosine_topk answers ONE
+    * query; real retrieval serving answers a batch — all pending queries
+    * (here the 8 vec_id<8 rows) broadcast together against ONE corpus
+    * scan, per-query top-3 by rounded cosine with vec_id tiebreak. The
+    * scan cost is paid once for the whole batch instead of once per
+    * query — the amortization that makes exact brute-force viable as a
+    * rerank stage at scale. Per-query ranking is a window keyed on
+    * query_id: cardinality = batch size, which in production is
+    * thousands of concurrent queries (no skew); the corpus side never
+    * shuffles (broadcast + map-side window input partitioned by scan).
+    * D.nz before the rank window per the -0.0 ordering discipline. */
+  val vecBatchTopk = Q(
+    "vec_batch_topk",
+    (spark, sfDir) => {
+      graft.functions.DotProduct.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), dbl(col("embedding")).as("qe"),
+          norm(dbl(col("embedding"))).as("qn"))
+      val corpus = emb.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"),
+          norm(dbl(col("embedding"))).as("nv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          graft.util.D.nz(
+            round(expr("dot_native(e, qe)") / (col("nv") * col("qn")), 4))
+            .as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("vec_id"), col("cos_sim"))
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""SELECT query_id, rk, vec_id, cos_sim FROM (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     round(${oDot("c.embedding::DOUBLE[]", "q.embedding::DOUBLE[]")} /
+                           (${oNorm("c.embedding::DOUBLE[]")} * ${oNorm("q.embedding::DOUBLE[]")}), 4) + 0.0
+                       AS cos_sim,
+                     CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(${oDot("c.embedding::DOUBLE[]", "q.embedding::DOUBLE[]")} /
+                             (${oNorm("c.embedding::DOUBLE[]")} * ${oNorm("q.embedding::DOUBLE[]")}), 4) + 0.0 DESC,
+                       c.vec_id) AS BIGINT) AS rk
+              FROM embeddings c CROSS JOIN embeddings q
+              WHERE q.vec_id < 8 AND c.vec_id >= 8)
+            WHERE rk <= 3 ORDER BY query_id, rk"""))
+
   /** Embedding near-dup pairs: cosine >= 0.3 among vec_id < 200 (capped —
     * quadratic by construction; LSH is the uncapped path). */
   val vecKnnThreshold = Q(
@@ -1555,7 +1603,7 @@ object Vectors {
     })
 
   def qs: Seq[Q] = Seq(vecL2Normalize, vecCosineTopk, vecKnnThreshold,
-    vecCosineTopkNative, vecDupClusters, vecDedupThresholdSweep, vecCentroidAssign,
+    vecCosineTopkNative, vecBatchTopk, vecDupClusters, vecDedupThresholdSweep, vecCentroidAssign,
     vecScalarQuantize, vecKmeansStep, vecCosineHistogram, vecDimStats,
     vecPqQuantize, vecPqAdcTopk, vecSemanticDedup, vecIvfPqRerank,
     vecResidualPqTopk, vecPrefixRerank, vecMipsTopk, vecSignHammingTopk,
