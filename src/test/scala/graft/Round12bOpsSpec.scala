@@ -111,6 +111,33 @@ class Round12bOpsSpec extends SparkSpec {
     }
   }
 
+  test("sql_q18_large_orders: every surviving order clears the HAVING threshold") {
+    val rows = Registry.byName("sql_q18_large_orders").build(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 250.0,
+      s"order below the IN-subquery threshold leaked: $r"))
+    // total order: o_totalprice descending with o_orderkey tiebreak
+    val keys = rows.map(r =>
+      (-r.getAs[Double]("o_totalprice"), r.getAs[Long]("o_orderkey")))
+    assert(keys.sameElements(keys.sorted), "LIMIT cut is not totally ordered")
+  }
+
+  test("vec_batch_topk: each query gets exactly k ranked hits, never itself") {
+    val rows = Registry.byName("vec_batch_topk").build(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, hits) =>
+      assert(hits.map(_.getAs[Long]("rk")).sorted.sameElements(Array(1L, 2L, 3L)))
+      // corpus excludes the query batch — a query must not retrieve itself
+      hits.foreach(h => assert(h.getAs[Long]("vec_id") >= 8,
+        s"query $q retrieved a batch member"))
+      // cosine non-increasing down the ranks
+      val cs = hits.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.sliding(2).forall(w => w(1) <= w(0)))
+    }
+  }
+
   test("ml_sample_temperature: α=0.5 flattens the mixture toward uniform, never past it") {
     val rows = Registry.byName("ml_sample_temperature").build(spark, sf001)
       .collect()

@@ -1,0 +1,59 @@
+#!/bin/bash
+# Wait for a hypervisor-quiet window, then run the official reps=3 bench;
+# re-try until the record's own steal_sec is acceptable or the deadline
+# passes, keeping the best attempt. The r11 verdict's directive is a
+# full-inventory quiet record (steal_sec < 5): this host shares a
+# hypervisor and steal arrives in multi-minute bursts, so launching blind
+# wastes 15-minute runs — gate on a measured-quiet minute instead.
+# Usage: tools/quiet_bench.sh <outfile> [max_wait_minutes] [sfdir]
+set -u
+OUT=${1:?outfile}
+MAXMIN=${2:-150}
+SFDIR=${3:-/root/testdata/sf0.1}
+BEST=""; BEST_STEAL=999999
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+END=$(( $(date +%s) + MAXMIN * 60 ))
+while [ "$(date +%s)" -lt "$END" ]; do
+  S0=$(awk '/^cpu /{print $9}' /proc/stat)
+  sleep 60
+  S1=$(awk '/^cpu /{print $9}' /proc/stat)
+  D=$(( S1 - S0 ))
+  L=$(cut -d' ' -f1 /proc/loadavg)
+  echo "$(date +%T) steal=${D}j/60s load=$L best=${BEST_STEAL}s" >&2
+  # 60 jiffies/60s aggregate = 1% of one core: the quiet-record regime
+  if [ "$D" -lt 60 ] && [ "$(echo "$L < 1.0" | bc 2>/dev/null || echo 0)" = "1" ]; then
+    TMP="${OUT}.attempt"
+    SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_SF_DIR="$SFDIR" \
+      java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC \
+      -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+      graft.Bench 2>/dev/null | grep '^{' > "$TMP"
+    ST=$(python3 -c "
+import json
+try:
+    d = json.loads(open('$TMP').readline())
+    print(int(d.get('steal_sec', 999999)))
+except Exception:
+    print(999999)")
+    echo "$(date +%T) attempt done: steal_sec=$ST" >&2
+    if [ "$ST" -lt "$BEST_STEAL" ]; then
+      cp "$TMP" "$OUT"; BEST_STEAL=$ST; BEST=$OUT
+    fi
+    rm -f "$TMP"
+    if [ "$BEST_STEAL" -lt 5 ]; then
+      echo "quiet record achieved: steal_sec=$BEST_STEAL -> $OUT" >&2
+      exit 0
+    fi
+  fi
+done
+if [ -n "$BEST" ]; then
+  echo "deadline: best record steal_sec=$BEST_STEAL -> $OUT" >&2
+  exit 0
+fi
+echo "no attempt completed within $MAXMIN min" >&2
+exit 1
