@@ -25,8 +25,11 @@ while [ "$(date +%s)" -lt "$END" ]; do
   D=$(( S1 - S0 ))
   L=$(cut -d' ' -f1 /proc/loadavg)
   echo "$(date +%T) steal=${D}j/60s load=$L best=${BEST_STEAL}s" >&2
-  # 60 jiffies/60s aggregate = 1% of one core: the quiet-record regime
-  if [ "$D" -lt 60 ] && [ "$(echo "$L < 1.0" | bc 2>/dev/null || echo 0)" = "1" ]; then
+  # 120 jiffies/60s aggregate = 2% of one core: the quiet-record regime.
+  # Load compare via awk (bc is not installed on this host — the first
+  # 150-min hunt never launched because the bc fallback read as "busy").
+  OK=$(awk -v l="$L" 'BEGIN{print (l < 1.0) ? 1 : 0}')
+  if [ "$D" -lt 120 ] && [ "$OK" = "1" ]; then
     TMP="${OUT}.attempt"
     SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_SF_DIR="$SFDIR" \
       java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
