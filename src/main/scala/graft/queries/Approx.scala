@@ -7,11 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables
 
-/** Approximate / sketch-based operators (SURVEY §2.11 P3) — consciously
-  * oracle-less: HLL registers and MinHash families are implementation-
-  * specific, so no cross-engine value match exists. The driver records a
-  * weaker rows-only check; accuracy is pinned by ScalaTest ε-bounds against
-  * the exact counterparts (agg_distinct, text_jaccard_pairs).
+/** Approximate / sketch-based operators (SURVEY §2.11 P3). HLL registers
+  * and MinHash families are implementation-specific, so no cross-engine
+  * VALUE match exists for the sketch outputs themselves — but since
+  * round 13 every key here is ORACLE-GRADED anyway, via the ε/recall
+  * contract (VERDICT-r12 #2): the graded row carries the exact,
+  * cross-engine-recomputable quantity plus a BOOLEAN asserting the
+  * sketch landed inside its accuracy bound, and the oracle recomputes
+  * the exact side and emits a literal TRUE. Sketch drift flips the
+  * boolean and breaks hash parity — the accuracy contract is graded
+  * without the oracle needing sketch internals. The ScalaTest ε-bounds
+  * (Round4/Round6OpsSpec, AnnRecallSpec) remain as the tighter
+  * diagnostics.
   *
   * Index builds (LSH / KMeans fits, query-vector fetches) are hoisted out
   * of the query path into a per-(session, sfDir) memo: ANN in production
@@ -22,17 +29,30 @@ import graft.util.Tables
   */
 object Approx {
 
-  /** HyperLogLog++ distinct parts per return flag, next to the exact count
-    * so the sketch error is visible in the output itself. */
+  /** HyperLogLog++ distinct parts per return flag, GRADED via the
+    * ε-contract (round-13, VERDICT-r12 #2 — this and the other sketch
+    * keys were the 6 standing `no_oracle` rows): the output carries the
+    * exact count plus `within_eps` = |approx − exact| ≤ 5%·exact (the
+    * default rsd of approx_count_distinct), and the oracle recomputes
+    * the exact count and emits a literal TRUE — so a drifting sketch
+    * breaks hash parity without the oracle needing HLL internals. HLL
+    * register maxima are insertion-order-independent, so the boolean is
+    * deterministic across runs and partitionings. */
   val aggApproxDistinct = Q(
     "agg_approx_distinct",
     (spark, sfDir) =>
       Tables.lineitem(spark, sfDir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("graft_approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("graft_approx") - col("exact_parts"))
+            <= col("exact_parts").cast("double") * 0.05).as("within_eps"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS within_eps
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** HLL sketch ALGEBRA — the property that makes distinct counts roll up
     * at 100 TB: you cannot sum distinct counts across groups, but you CAN
@@ -49,23 +69,39 @@ object Approx {
   val aggHllSketchMerge = Q(
     "agg_hll_sketch_merge",
     (spark, sfDir) => {
+      // Graded via the ε-contract (round-13, VERDICT-r12 #2): both the
+      // merged-partials estimate and the direct-build estimate must land
+      // within 5%·exact (lgK=12 ⇒ rsd ≈ 1.6%; 5% is 3σ headroom); the
+      // oracle recomputes exact and emits two literal TRUEs. Sketch
+      // drift in EITHER path breaks hash parity.
       val partials = Tables.lineitem(spark, sfDir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
       partials
         .groupBy("l_returnflag")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-          .as("merged_estimate"))
+          .as("graft_merged"))
         .join(
           Tables.lineitem(spark, sfDir)
             .groupBy("l_returnflag")
             .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12)))
-              .as("direct_estimate"),
+              .as("graft_direct"),
               countDistinct(col("l_partkey")).as("exact_parts")),
           Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("graft_merged") - col("exact_parts"))
+            <= col("exact_parts").cast("double") * 0.05)
+            .as("merged_within_eps"),
+          (abs(col("graft_direct") - col("exact_parts"))
+            <= col("exact_parts").cast("double") * 0.05)
+            .as("direct_within_eps"))
         .orderBy("l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS merged_within_eps,
+                   TRUE AS direct_within_eps
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ---- memoized index builds ------------------------------------------
   // util.Memo keys on the session object itself (two sessions can never
@@ -181,6 +217,18 @@ object Approx {
   val minhashLshJaccard = Q(
     "minhash_lsh_jaccard",
     (spark, sfDir) => {
+      // Graded via the recall contract (round-13, VERDICT-r12 #2): the
+      // output is every high-similarity pair (exact token-set Jaccard
+      // ≥ 0.7 among doc_id < 50 — the cross-engine-recomputable set)
+      // with `captured_by_lsh` = the pair surfaced in the seeded
+      // MinHashLSH candidate join. The oracle recomputes the exact pair
+      // set and emits a literal TRUE: with 8 OR'd hash tables a j ≥ 0.7
+      // pair is missed w.p. ≤ 0.3⁸ ≈ 7e-5 (and the seeded family is
+      // deterministic, verified at all three SFs), so any LSH recall
+      // regression breaks hash parity. The candidate join — not an
+      // all-pairs scan — remains the 100-TB shape being exercised; the
+      // exact side is the same capped doc_id < 50 slice as
+      // text_jaccard_pairs.
       val vecs = memo(spark, sfDir, "minhash-vecs", "documents") {
         val docs = TextOps.docToks(spark, sfDir)
           .filter(col("doc_id") < 50)
@@ -194,28 +242,50 @@ object Approx {
           .setNumHashTables(8).setSeed(42L).fit(vecs)
       }
       val cand = model.approxSimilarityJoin(vecs, vecs, 0.9, "dist")
-        .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
-          round(lit(1.0) - col("dist"), 4).as("approx_jaccard"))
-        .filter(col("d1") < col("d2"))
-      val sets = TextOps.docToks(spark, sfDir)
+        .select(col("datasetA.doc_id").as("cd1"),
+          col("datasetB.doc_id").as("cd2"))
+        .filter(col("cd1") < col("cd2")).distinct()
+      val toks = TextOps.docToks(spark, sfDir)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), explode(col("tk")).as("tok"))
         .distinct()
-        .groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("ts"))
-      cand
-        .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = toks.select(col("doc_id").as("d1"), col("tok"))
+        .join(toks.select(col("doc_id").as("d2"), col("tok").as("tok2")),
+          col("tok") === col("tok2") && col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("sd1"), col("n").as("n1"))),
           col("d1") === col("sd1"))
-        .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
+        .join(broadcast(sizes.select(col("doc_id").as("sd2"), col("n").as("n2"))),
           col("d2") === col("sd2"))
-        .withColumn("inter",
-          size(filter(col("t1"), x => array_contains(col("t2"), x))))
-        .select(col("d1"), col("d2"), col("approx_jaccard"),
-          round(col("inter").cast("double")
-            / (size(col("t1")) + size(col("t2")) - col("inter")), 4)
+        .select(col("d1"), col("d2"),
+          round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 4)
             .as("exact_jaccard"))
+        .filter(col("exact_jaccard") >= 0.7)
+        .join(cand, col("d1") === col("cd1") && col("d2") === col("cd2"),
+          "left")
+        .select(col("d1"), col("d2"), col("exact_jaccard"),
+          col("cd1").isNotNull.as("captured_by_lsh"))
         .orderBy("d1", "d2")
     },
-    None)
+    Some("""WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 50),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT d1, d2, exact_jaccard, TRUE AS captured_by_lsh
+            FROM (SELECT d1, d2,
+                         round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4)
+                           AS exact_jaccard
+                  FROM inter
+                  JOIN sizes s1 ON d1 = s1.doc_id
+                  JOIN sizes s2 ON d2 = s2.doc_id)
+            WHERE exact_jaccard >= 0.7
+            ORDER BY d1, d2"""))
 
   /** ANN over embeddings via random-projection LSH — the bucketed scale
     * path for similarity search (brute-force cosine is the exact baseline,
@@ -232,35 +302,40 @@ object Approx {
   val vecAnnLsh = Q(
     "vec_ann_lsh",
     (spark, sfDir) => {
+      // Graded via the recall contract (round-13, VERDICT-r12 #2/#6):
+      // the output rows are the EXACT cosine top-10 of vec_id=0 —
+      // cross-engine-recomputable, same formulation as vec_cosine_topk —
+      // plus `recall_ok` = (the seeded random-projection LSH's
+      // approxNearestNeighbors(10) hit ≥ 5 of them; AnnRecallSpec's
+      // pinned bound). The oracle replays the exact top-10 and emits a
+      // literal TRUE, so an index regression (recall < 0.5) breaks hash
+      // parity. The LSH probe — not the brute-force scan — remains the
+      // scale path being exercised; the exact side is the one-scan
+      // baseline every ANN evaluation needs anyway. */
       val vecs = normalizedVecs(spark, sfDir)
       val idx = lshIndex(spark, sfDir)
-      graft.functions.DotProduct.register(spark)
       val ann = idx.model
         .approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), idx.qv,
           10, "dist")
-        .select(col("vec_id"),
-          round(lit(1.0) - col("dist") * col("dist") / 2.0, 4).as("approx_cos"))
-      ann.join(broadcast(exactTop10(idx.qv, vecs)
-            .select(col("vec_id"), lit(true).as("hit"))),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"), col("approx_cos"),
-          coalesce(col("hit"), lit(false)).as("in_exact_top10"))
-        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .select(col("vec_id").as("graft_aid"), lit(1L).as("graft_hit"))
+      val exact = graft.ops.Ops.cosineTopK(
+        Tables.embeddings(spark, sfDir), col("vec_id"), col("embedding"),
+        queryId = 0, k = 10)
+      val nHit = exact
+        .join(ann, col("vec_id") === col("graft_aid"), "left")
+        .agg(sum(coalesce(col("graft_hit"), lit(0L))).as("graft_n"))
+      exact.crossJoin(broadcast(nHit))
+        .select(col("vec_id"), col("cos_sim"),
+          (col("graft_n") >= 5L).as("recall_ok"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
     },
-    None)
-
-  /** Brute-force exact cosine top-10 of `qv` over the normalized corpus —
-    * the in-row recall witness both ANN queries join against. One linear
-    * scan through the codegen'd native dot; 10-row output, broadcast at
-    * the join site. */
-  private def exactTop10(qv: Vector, vecs: DataFrame): DataFrame =
-    vecs.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        org.apache.spark.ml.functions.vector_to_array(col("v")).as("varr"),
-        array(qv.toArray.toSeq.map(lit): _*).as("qarr"))
-      .select(col("vec_id"), expr("dot_native(varr, qarr)").as("ec"))
-      .orderBy(col("ec").desc, col("vec_id"))
-      .limit(10)
+    Some(s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(${Vectors.oDot("embedding::DOUBLE[]", "(SELECT qe FROM qv)")} /
+                         (${Vectors.oNorm("embedding::DOUBLE[]")} * ${Vectors.oNorm("(SELECT qe FROM qv)")}), 4) AS cos_sim,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
   /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the
     * normalized vectors into 8 cells; the query probes its 3 nearest
@@ -275,20 +350,33 @@ object Approx {
   val vecAnnIvf = Q(
     "vec_ann_ivf",
     (spark, sfDir) => {
-      val idx = ivfIndex(spark, sfDir)
-      // Probe scoring runs through the codegen'd native dot product (no
-      // driver-side closure / no UDF): the query vector is a literal array,
-      // the candidate vector comes back from MLlib as array<double>.
+      // Graded via the recall contract (round-13, VERDICT-r12 #2/#6),
+      // same presentation as vec_ann_lsh: exact cosine top-10 rows plus
+      // `recall_ok` = (the 3-of-8-cell IVF probe recovered ≥ 3 of them;
+      // AnnRecallSpec's pinned bound). Probe scoring runs through the
+      // codegen'd native dot product; the oracle replays the exact
+      // top-10 + literal TRUE, so a quantizer/probe regression breaks
+      // hash parity.
       val ann = ivfTopK(spark, sfDir, nCells = 8, nProbes = 3, k = 10)
-      ann.join(broadcast(exactTop10(idx.qv,
-              idx.assigned.select(col("vec_id"), col("v")))
-            .select(col("vec_id"), lit(true).as("hit"))),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"), col("approx_cos"),
-          coalesce(col("hit"), lit(false)).as("in_exact_top10"))
-        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .select(col("vec_id").as("graft_aid"), lit(1L).as("graft_hit"))
+      val exact = graft.ops.Ops.cosineTopK(
+        Tables.embeddings(spark, sfDir), col("vec_id"), col("embedding"),
+        queryId = 0, k = 10)
+      val nHit = exact
+        .join(ann, col("vec_id") === col("graft_aid"), "left")
+        .agg(sum(coalesce(col("graft_hit"), lit(0L))).as("graft_n"))
+      exact.crossJoin(broadcast(nHit))
+        .select(col("vec_id"), col("cos_sim"),
+          (col("graft_n") >= 3L).as("recall_ok"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
     },
-    None)
+    Some(s"""WITH qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(${Vectors.oDot("embedding::DOUBLE[]", "(SELECT qe FROM qv)")} /
+                         (${Vectors.oNorm("embedding::DOUBLE[]")} * ${Vectors.oNorm("(SELECT qe FROM qv)")}), 4) AS cos_sim,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
   /** Approximate quantiles (Greenwald-Khanna sketch, the mergeable shape
     * that replaces exact sort-based percentiles at 100 TB): p50/p90 of
@@ -300,15 +388,34 @@ object Approx {
   val aggApproxQuantile = Q(
     "agg_approx_quantile",
     (spark, sfDir) =>
+      // Graded via the rank-ε contract (round-13, VERDICT-r12 #2): GK at
+      // accuracy 10⁴ bounds rank error to n/10⁴ (≈ 1 rank at sf0.1), so
+      // the approximate p50/p90 must land inside the exact [p45,p55] /
+      // [p85,p95] value bands — computed entirely Spark-side; the oracle
+      // recomputes the group census and emits literal TRUEs. A drifting
+      // sketch (or a broken accuracy knob) breaks hash parity. The bands
+      // are rank-space, not value-space, so no float-boundary rounding
+      // rides in the graded row (the ADVICE-r12 leaf-quantization
+      // concern).
       Tables.events(spark, sfDir)
         .groupBy("event_type")
         .agg(
-          round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50_approx"),
-          round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90_approx"),
-          round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90_exact"))
+          count(lit(1)).as("n_events"),
+          expr("approx_percentile(value, 0.5, 10000)").as("graft_a50"),
+          expr("approx_percentile(value, 0.9, 10000)").as("graft_a90"),
+          expr("percentile(value, 0.45)").as("graft_e45"),
+          expr("percentile(value, 0.55)").as("graft_e55"),
+          expr("percentile(value, 0.85)").as("graft_e85"),
+          expr("percentile(value, 0.95)").as("graft_e95"))
+        .select(col("event_type"), col("n_events"),
+          (col("graft_a50") >= col("graft_e45")
+            && col("graft_a50") <= col("graft_e55")).as("p50_within"),
+          (col("graft_a90") >= col("graft_e85")
+            && col("graft_a90") <= col("graft_e95")).as("p90_within"))
         .orderBy("event_type"),
-    None)
+    Some("""SELECT event_type, count(*) AS n_events,
+                   TRUE AS p50_within, TRUE AS p90_within
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** DataSketches frequent-items heavy hitters (round-8 addition;
     * `approx_top_k`, new in Spark 4.x) — UNLIKE the other sketches here,

@@ -446,7 +446,12 @@ object Fns {
     * reads back. Memoized like the sink tier (build once, audit many). */
   private def writeOrdersZordered(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
-    val dir = s"/tmp/graft_sink/orders_zorder_${Integer.toHexString(sfDir.hashCode)}"
+    // md5-keyed dir (ADVICE r12: a 32-bit hashCode collision between two
+    // sfDirs would overwrite each other's layout while each session's
+    // Memo flag says "built", serving rows from the wrong scale factor)
+    val dir = "/tmp/graft_sink/orders_zorder_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     graft.util.Memo(spark,
       s"$sfDir:sink_orders_zorder:${Tables.tableKey(sfDir, "orders")}") {
       Tables.orders(spark, sfDir)
@@ -471,11 +476,13 @@ object Fns {
     * four 128×128 quadrants the box covers, NON-contiguous on the curve
     * (bits 15/17 free, 14/16/18/19 zero) — which partition-prunes the
     * scan to those 4 of 64 directories (FnsSpec pins PartitionFilters).
-    * The graded output carries `n_files_touched` (distinct
-    * input_file_name) against the oracle's source-recomputed distinct
-    * z-bucket count: if the one-file-per-bucket layout fragmented or the
-    * box→bucket rewrite routed wrong, the file count diverges from the
-    * data-derived bucket count and parity breaks.
+    * The graded output carries `n_buckets` (distinct zb actually
+    * scanned) against the oracle's source-recomputed distinct z-bucket
+    * count: a wrong box→bucket rewrite breaks parity. The stronger
+    * one-PHYSICAL-FILE-per-bucket claim lives in FnsSpec, not the graded
+    * row (ADVICE r12: grading countDistinct(input_file_name) made hash
+    * parity depend on writer fragmentation — maxRecordsPerFile, task
+    * retries — a physical-layout accident, not a logic bug).
     *
     * 100-TB shape: this is the scan-cost mechanism multi-dim layouts
     * exist for — the box reads 4/64ths of the table instead of a full
@@ -490,9 +497,7 @@ object Fns {
         .filter(col("zb").isin(0, 2, 8, 10)
           && col("x") >= 0 && col("x") <= 127
           && col("y") >= 0 && col("y") <= 511)
-        .withColumn("graft_file", input_file_name())
         .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("graft_file")).as("n_files_touched"),
           countDistinct(col("zb")).as("n_buckets"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"),
@@ -512,7 +517,6 @@ object Fns {
                      FROM d
                      WHERE x BETWEEN 0 AND 127 AND y BETWEEN 0 AND 511)
           SELECT count(*) AS n_rows,
-                 count(DISTINCT zkey >> 14) AS n_files_touched,
                  count(DISTINCT zkey >> 14) AS n_buckets,
                  min(o_orderkey) AS min_key,
                  max(o_orderkey) AS max_key,

@@ -26,11 +26,34 @@ import graft.util.{D, Tables}
   */
 object Streaming {
 
+  /** Collision-resistant per-sfDir tag for sink/table names (ADVICE r12:
+    * 32-bit String.hashCode collisions between two sfDirs in one process
+    * would cross-serve memory-sink rows between scale factors). */
+  private def tag(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Run a streaming build with 8 shuffle partitions (scoped, restored):
+    * the stateful operators allocate one state store per shuffle
+    * partition and the partition count is frozen into the checkpoint at
+    * query start — at fixture scale 32 stores are pure per-partition
+    * overhead (~4× the first-touch wall of every streaming key), while a
+    * real deployment sizes this to its key cardinality anyway. Batch
+    * keys are untouched: the conf is set only around the stream's
+    * start/awaitTermination. */
+  private def withStreamConf[T](spark: org.apache.spark.sql.SparkSession)
+      (f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming tumbling 1h aggregation graded against the BATCH oracle. */
   val streamTumblingParity = Q(
     "stream_tumbling_parity",
     (spark, sfDir) => graft.util.Memo(spark,
         s"$sfDir:streamtumbling:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
       val path = s"$sfDir/events.parquet"
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = spark.read.parquet(path).schema
@@ -51,7 +74,7 @@ object Streaming {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
-      val name = "stream_tumbling_parity_" + math.abs(sfDir.hashCode)
+      val name = "stream_tumbling_parity_" + tag(sfDir)
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -64,6 +87,7 @@ object Streaming {
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }.orderBy("bucket", "event_type"),
     // ts_tumbling's oracle VERBATIM — the entire point: the streaming
     // path is graded against the batch definition of the same aggregate
@@ -93,6 +117,7 @@ object Streaming {
     "stream_file_sink_parity",
     (spark, sfDir) => graft.util.Memo(spark,
         s"$sfDir:streamfilesink:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
       val ts = rawSchema("ts").dataType match {
@@ -117,6 +142,7 @@ object Streaming {
       q.awaitTermination()
       spark.read.parquet(s"$base/out")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }.orderBy("bucket", "event_type"),
     // batch aggregate + the append-mode emission rule: only buckets whose
     // end the final watermark (max ts − 10 min) has passed are in the files
@@ -154,6 +180,7 @@ object Streaming {
     "stream_session_parity",
     (spark, sfDir) => graft.util.Memo(spark,
         s"$sfDir:streamsession:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
       val ts = rawSchema("ts").dataType match {
@@ -179,6 +206,7 @@ object Streaming {
       q.awaitTermination()
       spark.read.parquet(s"$base/out")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }.orderBy("user_id", "session_start"),
     // ts_session's gaps-and-islands oracle + the append emission rule:
     // only sessions closed under the final watermark are in the files
@@ -224,6 +252,7 @@ object Streaming {
     "stream_join_parity",
     (spark, sfDir) => graft.util.Memo(spark,
         s"$sfDir:streamjoin:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
       def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
@@ -260,6 +289,7 @@ object Streaming {
           countDistinct(col("click_id")).as("n_clicks_converted"),
           countDistinct(col("purchase_id")).as("n_purchases_attributed"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }.orderBy("user_id"),
     Some("""SELECT c.user_id, count(*) AS n_pairs,
                    CAST(count(DISTINCT c.event_id) AS BIGINT)

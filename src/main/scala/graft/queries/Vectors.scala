@@ -25,10 +25,11 @@ object Vectors {
   // Ops API and these graded queries must stay bit-identical
   import graft.util.V.{dbl, sumArr, dot, norm}
 
-  /** DuckDB mirror of the exact same left-to-right fold expressions. */
-  private def oDot(a: String, b: String): String =
+  /** DuckDB mirror of the exact same left-to-right fold expressions
+    * (package-visible: Approx's graded ANN oracles replay them too). */
+  private[queries] def oDot(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), p -> p[1]*p[2]), 'sum')"
-  private def oNorm(c: String): String =
+  private[queries] def oNorm(c: String): String =
     s"sqrt(list_aggregate(list_transform($c, x -> x*x), 'sum'))"
 
   /** L2-normalize embeddings: norm + first four normalized dims. */

@@ -34,12 +34,24 @@ class Round12OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodePng(badSig))
   }
 
-  test("fn_zorder_files: the box touches exactly its 4 z-bucket files (one file per bucket)") {
+  test("fn_zorder_files: the box touches exactly its 4 z-buckets, one physical file each") {
     val r = Registry.byName("fn_zorder_files").build(spark, sf0001).head()
-    assert(r.getAs[Long]("n_files_touched") == 4L,
-      s"layout fan-out broke: ${r.getAs[Long]("n_files_touched")} files")
     assert(r.getAs[Long]("n_buckets") == 4L)
     assert(r.getAs[Long]("n_rows") > 0L)
+    // The one-PHYSICAL-file-per-bucket layout claim lives here, not in
+    // the graded row (ADVICE r12: hash parity must not depend on writer
+    // fragmentation): every zb directory of the layout holds exactly one
+    // parquet data file.
+    val dir = new java.io.File("/tmp/graft_sink/orders_zorder_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sf0001.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
+    val bucketDirs = dir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("zb="))
+    assert(bucketDirs.nonEmpty, s"no zb= dirs under $dir")
+    bucketDirs.foreach { b =>
+      val nData = b.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nData == 1, s"${b.getName}: $nData parquet files (expected 1)")
+    }
   }
 
   test("fn_variant_explode emits one row per array position with full doc coverage") {

@@ -5,12 +5,16 @@
 # full-inventory quiet record (steal_sec < 5): this host shares a
 # hypervisor and steal arrives in multi-minute bursts, so launching blind
 # wastes 15-minute runs — gate on a measured-quiet minute instead.
-# Usage: tools/quiet_bench.sh <outfile> [max_wait_minutes] [sfdir]
+# Usage: tools/quiet_bench.sh <outfile> [max_wait_minutes] [sfdir] [reps]
+# reps=1 replicates the driver's single-pass condition (first-touch memo
+# builds land inside the timed keys — the r13 closing-artifact mode);
+# reps=3 is the warm-median record mode.
 set -u
 OUT=${1:?outfile}
 MAXMIN=${2:-150}
 SFDIR=${3:-/root/testdata/sf0.1}
-BEST=""; BEST_STEAL=999999; BEST_TOTAL=999999; N=0
+REPS=${4:-3}
+BEST=""; BEST_STEAL=999999; BEST_TOTAL=999999; MIN_STEAL=999999; N=0
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -31,7 +35,7 @@ while [ "$(date +%s)" -lt "$END" ]; do
   OK=$(awk -v l="$L" 'BEGIN{print (l < 1.0) ? 1 : 0}')
   if [ "$D" -lt 120 ] && [ "$OK" = "1" ]; then
     TMP="${OUT}.attempt"
-    SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_SF_DIR="$SFDIR" \
+    SPARK_GRAFT_BENCH_REPS=$REPS SPARK_GRAFT_SF_DIR="$SFDIR" \
       java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC \
       -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
@@ -53,8 +57,13 @@ except Exception:
       cp "$TMP" "$OUT"; BEST_TOTAL=$TOT; BEST_STEAL=$ST; BEST=$OUT
     fi
     rm -f "$TMP"
-    if [ "$BEST_STEAL" -lt 5 ]; then
-      echo "quiet record achieved: steal_sec=$BEST_STEAL total=$BEST_TOTAL -> $OUT" >&2
+    # Exit when ANY attempt was measured-quiet (ADVICE r12: gating on
+    # BEST_STEAL — only updated when the total improved — let the loop
+    # burn the whole deadline after a quiet attempt had already landed);
+    # the promoted OUT is still the lowest-total record.
+    if [ "$ST" -lt "$MIN_STEAL" ]; then MIN_STEAL=$ST; fi
+    if [ "$MIN_STEAL" -lt 5 ]; then
+      echo "quiet record achieved: min_steal_sec=$MIN_STEAL promoted total=$BEST_TOTAL (steal_sec=$BEST_STEAL) -> $OUT" >&2
       exit 0
     fi
   fi
