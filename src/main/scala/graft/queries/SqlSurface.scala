@@ -240,7 +240,49 @@ object SqlSurface {
     },
     Some(q18Text("TIMESTAMP")))
 
+  /** TPC-H Q17 (small-quantity-order revenue; round-13, VERDICT-r12 #5 —
+    * the remaining classic planner shape the SQL face didn't grade): a
+    * correlated SCALAR AGGREGATE subquery over the same fact table the
+    * outer query scans (each lineitem row compares against 20% of the
+    * avg quantity OF ITS OWN PART), which Catalyst must decorrelate into
+    * a per-partkey aggregate joined back — not a per-row re-scan
+    * (RewriteCorrelatedScalarSubquery; sql_q18 covered the IN-over-
+    * aggregate sibling). Adapted predicate: the fixture part table has
+    * no p_container, so brand alone selects (66 parts at sf0.01).
+    *
+    * Determinism discipline: the correlated threshold is computed as
+    * exact-decimal SUM ÷ COUNT (both engines reach the identical double)
+    * rather than a bare avg() whose accumulation order is engine-
+    * specific; the revenue sum is an exact decimal cast to double, with
+    * the /7.0 division rounded only in the final projection. The SQL
+    * text is character-identical in both engines.
+    *
+    * 100-TB shape: the decorrelated aggregate is a partkey-keyed hash
+    * agg over one fact scan, joined back on partkey (the same shuffle
+    * key as the part join); no per-row subquery execution anywhere. */
+  private val q17Text =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_price,
+      |       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |             / 7.0, 2) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |                  / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  val sqlQ17SmallQuantity = Q(
+    "sql_q17_small_quantity",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(q17Text)
+    },
+    Some(q17Text))
+
   def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
     sqlQ5LocalSupplier, sqlCorrelatedExists, sqlQ7VolumeShipping,
-    sqlQ18LargeOrders)
+    sqlQ18LargeOrders, sqlQ17SmallQuantity)
 }
