@@ -382,6 +382,85 @@ object Fns {
                    CAST(sum(length(tok)) AS BIGINT) AS total_len
             FROM ev GROUP BY pos ORDER BY pos"""))
 
+  /** Variant DEPTH-2 traversal + schema-drift census (round-13,
+    * VERDICT-r12 #7 — fn_variant_explode handles one nesting level; this
+    * is the object-of-arrays-of-objects shape real semi-structured feeds
+    * take): each record is a variant {doc_id, secs:[{t, ls:[l, 2l]}…],
+    * extra?} where `extra` exists only for even doc_ids (to_json drops
+    * null fields), so the corpus carries TWO variant schemas — the drift
+    * a production ingest must detect. The query runs all three access
+    * patterns at once: LATERAL variant_explode of the outer array →
+    * per-element typed gets INTO the element's nested array
+    * ('$.ls[0]', '$.ls[1]'), a direct deep path from the root
+    * ('$.secs[1].ls[0]'), and a `schema_of_variant` census (per-group
+    * distinct-schema count must be 1, corpus-wide 2 — graded without
+    * printing the engine-specific schema string). The oracle recomputes
+    * every value from the source columns, so encode→variant→explode→
+    * nested-get is proven lossless at depth 2.
+    *
+    * 100-TB shape: all variant ops are row-local; the explode is a
+    * flatMap; one 2-group hash agg + one tiny scalar subquery. */
+  val fnVariantNested = Q(
+    "fn_variant_nested",
+    (spark, sfDir) => {
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("doc_id"),
+            transform(slice(col("tk"), 1, 4),
+              t => struct(t.as("t"),
+                array(length(t).cast("long"),
+                  (length(t) * 2).cast("long")).as("ls"))).as("secs"),
+            when(col("doc_id") % 2 === 0,
+              struct(col("n_chars").as("n"))).as("extra")))).as("v"))
+        .createOrReplaceTempView("graft_variant_nested")
+      spark.sql(
+        """SELECT has_extra,
+          |       count(DISTINCT doc_id) AS n_docs,
+          |       count(*) AS n_elems,
+          |       sum(el0) AS total_l,
+          |       sum(el1) AS total_l2,
+          |       min(et) AS min_tok,
+          |       sum(CASE WHEN pos = 0 THEN s1l0 ELSE 0 END) AS total_s1l0,
+          |       count(DISTINCT sch) AS n_schemas,
+          |       min(nsc) AS n_schemas_corpus
+          |FROM (
+          |  SELECT p.doc_id,
+          |         variant_get(p.v, '$.extra.n', 'bigint') IS NOT NULL
+          |           AS has_extra,
+          |         variant_get(p.v, '$.secs[1].ls[0]', 'bigint') AS s1l0,
+          |         schema_of_variant(p.v) AS sch,
+          |         (SELECT count(DISTINCT schema_of_variant(v))
+          |          FROM graft_variant_nested) AS nsc,
+          |         e.pos,
+          |         variant_get(e.value, '$.ls[0]', 'bigint') AS el0,
+          |         variant_get(e.value, '$.ls[1]', 'bigint') AS el1,
+          |         variant_get(e.value, '$.t', 'string') AS et
+          |  FROM graft_variant_nested p,
+          |       LATERAL variant_explode(variant_get(p.v, '$.secs')) e)
+          |GROUP BY has_extra ORDER BY has_extra""".stripMargin)
+    },
+    Some("""WITH toks AS (SELECT doc_id, doc_id % 2 = 0 AS has_extra,
+                                 string_split(text, ' ') AS tk
+                          FROM documents),
+                 ev AS (SELECT doc_id, has_extra,
+                               CAST(i - 1 AS INT) AS pos, tk[i] AS tok,
+                               CAST(length(tk[2]) AS BIGINT) AS s1l0
+                        FROM (SELECT doc_id, has_extra, tk,
+                                     unnest(range(1, least(len(tk), 4) + 1))
+                                       AS i
+                              FROM toks))
+            SELECT has_extra,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_elems,
+                   CAST(sum(length(tok)) AS BIGINT) AS total_l,
+                   CAST(sum(2 * length(tok)) AS BIGINT) AS total_l2,
+                   min(tok) AS min_tok,
+                   CAST(sum(CASE WHEN pos = 0 THEN s1l0 ELSE 0 END)
+                        AS BIGINT) AS total_s1l0,
+                   CAST(1 AS BIGINT) AS n_schemas,
+                   CAST(2 AS BIGINT) AS n_schemas_corpus
+            FROM ev GROUP BY has_extra ORDER BY has_extra"""))
+
   /** Z-order (Morton) layout key (round-11) — the multi-dimensional
     * data-layout primitive behind Delta/Iceberg `OPTIMIZE ZORDER`: bit-
     * interleave two bounded dimensions (customer bucket x order-date day
@@ -565,5 +644,5 @@ object Fns {
   def qs: Seq[Q] = Seq(fnString, fnRegex, fnDate, fnMath, fnConditional,
     fnJson, fnHash, fnBitwise, fnBinaryCodec, fnTryCast,
     fnMaskPii, fnUrlParse, fnVariantExtract, fnVariantExplode,
-    fnZorderKey, fnZorderFiles, fnUuidV3)
+    fnVariantNested, fnZorderKey, fnZorderFiles, fnUuidV3)
 }

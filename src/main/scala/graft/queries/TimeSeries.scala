@@ -1596,29 +1596,80 @@ object TimeSeries {
   val tsSeasonalResidual = Q(
     "ts_seasonal_residual",
     (spark, sfDir) => {
+      // Round-13 determinism hardening (ADVICE r12 #2): the former
+      // var_samp/stddev_samp over double residuals was aggregation-order-
+      // dependent on both engines and leaned on 4dp rounding alone. Now
+      // every aggregated leaf is exact: the seasonal mean is an exact
+      // decimal sum ÷ count (both engines reach the identical double),
+      // residuals are QUANTIZED to a 1e-4 integer grid, and both
+      // variances come from exact sum/sum-of-squares (decimal for raw,
+      // BIGINT→DECIMAL(38,0) for the quantized residuals) via the
+      // movingZscore recipe — no order-dependent float sum anywhere
+      // before the final scalar arithmetic.
       val hw = Window.partitionBy(col("event_type"), hour(col("ts")))
+      val dec = col("value").cast(graft.util.D.Money)
+      val seasonal = (sum(dec).over(hw).cast(graft.util.D.Money)
+        .cast("double")) / count(lit(1)).over(hw).cast("double")
       Tables.events(spark, sfDir)
-        .withColumn("seasonal", avg(col("value")).over(hw))
-        .withColumn("resid", col("value") - col("seasonal"))
+        .withColumn("rq",
+          round((col("value") - seasonal) * 10000.0, 0).cast("bigint"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(stddev_samp(col("value")), 4).as("sd_raw"),
-          round(stddev_samp(col("resid")), 4).as("sd_resid"),
-          (round(lit(1.0) - var_samp(col("resid")) / var_samp(col("value")),
+          sum(dec).cast(graft.util.D.Money).cast("double").as("graft_sv"),
+          sum((dec * dec).cast(graft.util.D.Money4))
+            .cast(graft.util.D.Money4).cast("double").as("graft_qv"),
+          sum(col("rq")).cast("double").as("graft_sr"),
+          sum((col("rq") * col("rq"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .cast("double").as("graft_qr"))
+        .select(col("event_type"), col("n"),
+          round(sqrt((col("graft_qv")
+              - col("graft_sv") * col("graft_sv") / col("n").cast("double"))
+            / (col("n").cast("double") - 1.0)), 4).as("sd_raw"),
+          round(sqrt(((col("graft_qr")
+              - col("graft_sr") * col("graft_sr") / col("n").cast("double"))
+            / (col("n").cast("double") - 1.0)) / 100000000.0), 4)
+            .as("sd_resid"),
+          (round(lit(1.0)
+            - (col("graft_qr")
+                - col("graft_sr") * col("graft_sr") / col("n").cast("double"))
+              / 100000000.0
+              / (col("graft_qv")
+                - col("graft_sv") * col("graft_sv") / col("n").cast("double")),
             4) + lit(0.0)).as("var_explained"))
         .orderBy("event_type")
     },
     Some("""WITH s AS (SELECT event_type, value,
-                   avg(value) OVER (PARTITION BY event_type, hour(ts))
-                     AS seasonal
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                          OVER (PARTITION BY event_type, hour(ts))
+                        AS DECIMAL(18,2)) AS DOUBLE)
+                   / CAST(count(*) OVER (PARTITION BY event_type, hour(ts))
+                          AS DOUBLE) AS seasonal
             FROM events),
-            r AS (SELECT event_type, value, value - seasonal AS resid FROM s)
-            SELECT event_type, count(*) AS n,
-                   round(stddev_samp(value), 4) AS sd_raw,
-                   round(stddev_samp(resid), 4) AS sd_resid,
-                   round(1.0 - var_samp(resid) / var_samp(value), 4) + 0.0
+            r AS (SELECT event_type, value,
+                   CAST(round((value - seasonal) * 10000, 0) AS BIGINT) AS rq
+                  FROM s),
+            a AS (SELECT event_type, count(*) AS n,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS DOUBLE) AS sv,
+                   CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                                      * CAST(value AS DECIMAL(18,2))
+                                 AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS DOUBLE) AS qv,
+                   CAST(sum(rq) AS DOUBLE) AS sr,
+                   CAST(sum(rq * rq) AS DOUBLE) AS qr
+                  FROM r GROUP BY event_type)
+            SELECT event_type, n,
+                   round(sqrt((qv - sv*sv/CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0)), 4) AS sd_raw,
+                   round(sqrt(((qr - sr*sr/CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1.0))
+                              / 100000000.0), 4) AS sd_resid,
+                   round(1.0 - (qr - sr*sr/CAST(n AS DOUBLE)) / 100000000.0
+                             / (qv - sv*sv/CAST(n AS DOUBLE)), 4) + 0.0
                      AS var_explained
-            FROM r GROUP BY event_type ORDER BY event_type"""))
+            FROM a ORDER BY event_type"""))
 
   def qs: Seq[Q] = Seq(tsTumbling, tsSliding, tsSession, tsDedup, tsGapFill,
     tsOhlc, tsResampleInterp, tsMovingZscore, tsEwma, tsAnomalyMad,

@@ -16,28 +16,36 @@ class Round11OpsSpec extends SparkSpec {
   }
 
   test("bpeEncodeExpr applies the frozen merges in rank order") {
-    val enc = encode("tower", "tor", "stat", "miner")
-    // t o w e r: rank-0 (e,r) -> er, rank-2 (o,w) -> ow; no later rule
+    // expectations recomputed for the round-13 saturation-trained table
+    val enc = encode("tower", "tor", "stat", "miner", "query", "customer")
+    // t o w e r: rank-0 (e,r) -> er, rank-4 (o,w) -> ow; no later rule
     // merges 't ow' or 'ow er'
     assert(enc("tower") == "t ow er")
-    // t o r: rank-3 (o,r) consumes the 'o' — once 'or' forms no rule
-    // touches 't or' (the (or,der) rule needs 'der', absent here)
+    // t o r: rank-2 (o,r) consumes the 'o' — once 'or' forms, (or,t)
+    // needs the OTHER order and (or,der) needs 'der', absent here
     assert(enc("tor") == "t or")
-    // s t a t: rank-4 (s,t) wins the first 't'; rank-6 (a,t) the second
+    // s t a t: rank-3 (s,t) wins the first 't'; (t,a)'s pattern ' t a '
+    // is gone by then, so the tail merges via (a,t)
     assert(enc("stat") == "st at")
-    // m i n e r: (i,n) and (e,r) merge; rank-5 (m,er) CANNOT — 'in' sits
+    // m i n e r: (i,n) and (e,r) merge; (m,er) CANNOT — 'in' sits
     // between 'm' and 'er', so the pair is never adjacent
     assert(enc("miner") == "m in er")
+    // saturation: whole vocabulary words collapse to ONE symbol
+    assert(enc("query") == "query")
+    assert(enc("customer") == "customer")
   }
 
   test("bpeEncodeExpr's double replace pass reaches the per-rule fixpoint on adjacent chains") {
-    // ' a t a t a t ': one replace pass merges pairs 1 and 2 but its scan
-    // consumes the delimiter ahead of the middle pair; the second pass
-    // must catch it — 3x 'at', never a leftover ' a t '
-    val enc = encode("atatat", "atat", "erer")
-    assert(enc("atatat") == "at at at")
-    assert(enc("atat") == "at at")
+    // ' e r e r ': one replace pass merges the first pair but its scan
+    // consumes the delimiter ahead of the second; the second pass must
+    // catch it — 2x 'er', never a leftover ' e r '
+    val enc = encode("erer", "atatat", "atat")
     assert(enc("erer") == "er er")
+    // rank-5 (t,a) fires before (a,t) in the retrained table, then
+    // rank-36 (a,ta) stacks on it — ground truth replayed offline with
+    // the identical leftmost-non-overlapping replace semantics
+    assert(enc("atatat") == "ata ta t")
+    assert(enc("atat") == "ata t")
   }
 
   test("bpeEncodeExpr is a no-op on tokens containing no ranked pair") {
