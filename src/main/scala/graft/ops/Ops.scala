@@ -47,8 +47,12 @@ object Ops {
       s"${f.getName}:${f.length}:${f.lastModified}"
     }.mkString(",")
     val colSig = cols.map(_.toString).mkString("|")
-    s"${df.queryExecution.analyzed.semanticHash()}:" +
-      s"${colSig.hashCode}:${fs.hashCode}"
+    // md5 of the footprint/column strings, not String.hashCode (round-13,
+    // ADVICE r12's collision class): a 32-bit collision between two
+    // regenerations would silently serve a stale index frame.
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${df.queryExecution.analyzed.semanticHash()}:${h(colSig)}:${h(fs)}"
   }
 
   /** Exact content dedup: keep the first row (by `keepOrder`) of each

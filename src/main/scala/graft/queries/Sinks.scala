@@ -27,10 +27,18 @@ import graft.util.Tables
   */
 object Sinks {
 
+  /** Collision-resistant per-sfDir tag for /tmp sink dirs (ADVICE r12:
+    * two sfDirs colliding in 32-bit String.hashCode within one process
+    * would overwrite each other's layout while each session's Memo flag
+    * says "built" — md5 makes that class impossible). */
+  private def sfTag(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
   /** Deterministic per-sfDir output dir under /tmp (namespaced so two
-    * fixture dirs can't collide; hashCode keeps the path short). */
+    * fixture dirs can't collide). */
   private def sinkDir(sfDir: String): String =
-    s"/tmp/graft_sink/orders_month_${Integer.toHexString(sfDir.hashCode)}"
+    s"/tmp/graft_sink/orders_month_${sfTag(sfDir)}"
 
   /** Write orders partitioned by month, once per (session, sfDir);
     * returns the written dir. Shared by the manifest and the pruned-read
@@ -95,12 +103,7 @@ object Sinks {
     "sink_bucketed_join",
     (spark, sfDir) => {
       import graft.util.D
-      // Collision-resistant tag (ADVICE r12: two sfDirs colliding in
-      // 32-bit String.hashCode within one process would overwrite each
-      // other's table layout while each session's Memo says it is built).
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(12)
+      val tag = sfTag(sfDir)
       graft.util.Memo(spark,
         s"$sfDir:bucketed_tables:${Tables.tableKey(sfDir, "orders", "lineitem")}") {
         // Bucket only the join/agg projection (round-13 first-touch cost
@@ -157,7 +160,7 @@ object Sinks {
   val sinkCsvRoundtrip = Q(
     "sink_csv_roundtrip",
     (spark, sfDir) => {
-      val dir = s"/tmp/graft_sink/docs_csv_${Integer.toHexString(sfDir.hashCode)}"
+      val dir = s"/tmp/graft_sink/docs_csv_${sfTag(sfDir)}"
       graft.util.Memo(spark,
         s"$sfDir:csv_roundtrip:${Tables.tableKey(sfDir, "documents")}") {
         Tables.documents(spark, sfDir)
@@ -190,7 +193,7 @@ object Sinks {
   val sinkJsonlRoundtrip = Q(
     "sink_jsonl_roundtrip",
     (spark, sfDir) => {
-      val dir = s"/tmp/graft_sink/docs_jsonl_${Integer.toHexString(sfDir.hashCode)}"
+      val dir = s"/tmp/graft_sink/docs_jsonl_${sfTag(sfDir)}"
       graft.util.Memo(spark,
         s"$sfDir:jsonl_roundtrip:${Tables.tableKey(sfDir, "documents")}") {
         Tables.documents(spark, sfDir)
@@ -228,7 +231,7 @@ object Sinks {
   val sinkOrcRoundtrip = Q(
     "sink_orc_roundtrip",
     (spark, sfDir) => {
-      val dir = s"/tmp/graft_sink/docs_orc_${Integer.toHexString(sfDir.hashCode)}"
+      val dir = s"/tmp/graft_sink/docs_orc_${sfTag(sfDir)}"
       graft.util.Memo(spark,
         s"$sfDir:orc_roundtrip:${Tables.tableKey(sfDir, "documents")}") {
         Tables.documents(spark, sfDir)
@@ -301,7 +304,7 @@ object Sinks {
     * demonstrated here is what that catalog entry replays. */
   private def writeTwoGenerations(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
-    val dir = s"/tmp/graft_sink/orders_evo_${Integer.toHexString(sfDir.hashCode)}"
+    val dir = s"/tmp/graft_sink/orders_evo_${sfTag(sfDir)}"
     graft.util.Memo(spark,
       s"$sfDir:sink_orders_evo:${Tables.tableKey(sfDir, "orders")}") {
       val o = Tables.orders(spark, sfDir)
@@ -355,7 +358,7 @@ object Sinks {
     "sink_corrupt_record_audit",
     (spark, sfDir) => {
       import org.apache.spark.sql.types._
-      val dir = s"/tmp/graft_sink/corrupt_csv_${Integer.toHexString(sfDir.hashCode)}"
+      val dir = s"/tmp/graft_sink/corrupt_csv_${sfTag(sfDir)}"
       graft.util.Memo(spark,
         s"$sfDir:corrupt_csv:${Tables.tableKey(sfDir, "documents")}") {
         Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
