@@ -33,18 +33,19 @@ object Streaming {
     java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
-  /** Run a streaming build with 8 shuffle partitions (scoped, restored):
+  /** Run a streaming build with 4 shuffle partitions (scoped, restored):
     * the stateful operators allocate one state store per shuffle
     * partition and the partition count is frozen into the checkpoint at
     * query start — at fixture scale 32 stores are pure per-partition
-    * overhead (~4× the first-touch wall of every streaming key), while a
-    * real deployment sizes this to its key cardinality anyway. Batch
-    * keys are untouched: the conf is set only around the stream's
-    * start/awaitTermination. */
+    * overhead (~4× the first-touch wall of every streaming key; the
+    * stream-stream join keeps FOUR stores per partition, so it feels the
+    * count hardest), while a real deployment sizes this to its key
+    * cardinality anyway. Batch keys are untouched: the conf is set only
+    * around the stream's start/awaitTermination. */
   private def withStreamConf[T](spark: org.apache.spark.sql.SparkSession)
       (f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

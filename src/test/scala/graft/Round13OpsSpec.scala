@@ -169,6 +169,32 @@ class Round13OpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("sum_price") - expect.getAs[Double]("s")) < 1e-6)
   }
 
+  test("md5_prefix64_native == conv(substring(md5)) bit-for-bit, nulls propagate") {
+    // The native digest kernel must be value-identical to the composed
+    // chain it replaced (the DuckDB oracles replay the composed form).
+    graft.functions.Md5Prefix64.register(spark)
+    import spark.implicits._
+    val toks = graft.util.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .limit(5000)
+    val seeded = (0 until 8).map(s => concat(lit(s + ":"), col("t")))
+    seeded.zipWithIndex.foreach { case (c, i) =>
+      val diff = toks.select(
+          call_function("md5_prefix64_native", c).as("nat"),
+          expr(s"CAST(conv(substring(md5(concat('$i:', t)), 1, 15), 16, 10) AS BIGINT)")
+            .as("composed"))
+        .filter(col("nat") =!= col("composed")).count()
+      assert(diff == 0, s"seed $i: native != composed on $diff rows")
+    }
+    // null in -> null out
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(call_function("md5_prefix64_native", col("s"))).head()
+    assert(r.isNullAt(0))
+    // the 60-bit value is always non-negative
+    assert(toks.select(call_function("md5_prefix64_native", col("t")).as("h"))
+      .filter(col("h") < 0).count() == 0)
+  }
+
   test("tableKey-keyed memo misses after an in-place fixture regeneration (Verify-retry staleness)") {
     // VERDICT r12 #8: a second Verify invocation in the SAME JVM after
     // the driver regenerates fixtures must not serve a stale memoized
