@@ -293,11 +293,20 @@ object Ops {
     * occurrence twice; first-touch cost of the dedup tier's memo builds
     * dropped ~4×). Same construction as `bandKeysRowLocal`, which
     * Round11OpsSpec proves value-equal to the exploded form on fixtures.
-    * Precondition (unchanged in spirit): one input row per id — callers
-    * pass per-document frames. Rows whose token array is null/empty
-    * (after the non-empty filter) are dropped, matching the old explode
-    * semantics; at 100 TB this is the ideal shape — signatures are a
-    * map-only projection, and only the banding equi-join shuffles. */
+    * Rows whose token array is null/empty (after the non-empty filter)
+    * are dropped, matching the old explode semantics; at 100 TB this is
+    * the ideal shape — signatures are a map-only projection, and only
+    * the banding equi-join shuffles.
+    *
+    * @param df  per-document frame — MUST carry exactly one row per `id`
+    *            (HARD API PRECONDITION, ADVICE r13: the row-local rewrite
+    *            computes each signature from its own row's tokens, so a
+    *            duplicate id yields multiple divergent signature rows
+    *            instead of one signature over the merged token multiset;
+    *            callers with multi-row ids must collect_list/flatten to
+    *            one row per id first)
+    * @param id  the document identity column within `df`
+    * @param toksCol the token-array column the signature hashes */
   def minhashSignatures(df: DataFrame, id: Column, toksCol: Column,
       numHashes: Int): DataFrame = {
     // Native digest kernel (round-13): one MD5 + bit extraction per

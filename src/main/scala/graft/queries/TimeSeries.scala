@@ -1616,11 +1616,19 @@ object TimeSeries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(dec).cast(graft.util.D.Money).cast("double").as("graft_sv"),
-          sum((dec * dec).cast(graft.util.D.Money4))
-            .cast(graft.util.D.Money4).cast("double").as("graft_qv"),
-          sum(col("rq")).cast("double").as("graft_sr"),
-          sum((col("rq") * col("rq"))
-              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          // Widened accumulators (ADVICE r13): the per-row square is cast
+          // to DECIMAL(38,4) BEFORE summing (a narrow 18,4 sum overflows —
+          // silently to NULL on Spark, an error in DuckDB — at larger SFs),
+          // and rq is widened to DECIMAL(19,0) before the self-multiply so
+          // the product can never wrap int64. Widening precision (never
+          // scale) of an exact decimal changes no value at any SF.
+          sum((dec * dec).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+            .cast("double").as("graft_qv"),
+          sum(col("rq").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double").as("graft_sr"),
+          sum((col("rq").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+              * col("rq").cast(org.apache.spark.sql.types.DecimalType(19, 0))))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .cast("double").as("graft_qr"))
         .select(col("event_type"), col("n"),
@@ -1655,10 +1663,12 @@ object TimeSeries {
                         AS DECIMAL(18,2)) AS DOUBLE) AS sv,
                    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
                                       * CAST(value AS DECIMAL(18,2))
-                                 AS DECIMAL(18,4)))
-                        AS DECIMAL(18,4)) AS DOUBLE) AS qv,
-                   CAST(sum(rq) AS DOUBLE) AS sr,
-                   CAST(sum(rq * rq) AS DOUBLE) AS qr
+                                 AS DECIMAL(38,4)))
+                        AS DECIMAL(38,4)) AS DOUBLE) AS qv,
+                   CAST(sum(CAST(rq AS DECIMAL(38,0))) AS DOUBLE) AS sr,
+                   CAST(CAST(sum(CAST(rq AS DECIMAL(19,0))
+                                 * CAST(rq AS DECIMAL(19,0)))
+                        AS DECIMAL(38,0)) AS DOUBLE) AS qr
                   FROM r GROUP BY event_type)
             SELECT event_type, n,
                    round(sqrt((qv - sv*sv/CAST(n AS DOUBLE))

@@ -15,6 +15,10 @@ MAXMIN=${2:-150}
 SFDIR=${3:-/root/testdata/sf0.1}
 REPS=${4:-3}
 BEST=""; BEST_STEAL=999999; BEST_TOTAL=999999; MIN_STEAL=999999; N=0
+# best-total among attempts whose OWN steal_sec < 5 (ADVICE r13: the
+# quiet-exit path must promote a quiet attempt, not whichever attempt
+# happened to have the lowest total regardless of its steal)
+QBEST=""; QBEST_TOTAL=999999; QBEST_STEAL=999999
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -54,21 +58,33 @@ except Exception:
     # landed between queries rather than inside them (measured: a 288s-steal
     # run totaled 107s while a 124s-steal run totaled 163s)
     if [ "$TOT" -lt "$BEST_TOTAL" ]; then
-      cp "$TMP" "$OUT"; BEST_TOTAL=$TOT; BEST_STEAL=$ST; BEST=$OUT
+      BEST_TOTAL=$TOT; BEST_STEAL=$ST; BEST="${OUT}.a$N"
+    fi
+    # ADVICE r13: track the best QUIET attempt separately — the quiet-exit
+    # path below promotes this one, so the shipped record's own steal_sec
+    # is < 5 even when a noisier attempt posted a lower total.
+    if [ "$ST" -lt 5 ] && [ "$TOT" -lt "$QBEST_TOTAL" ]; then
+      QBEST_TOTAL=$TOT; QBEST_STEAL=$ST; QBEST="${OUT}.a$N"
     fi
     rm -f "$TMP"
     # Exit when ANY attempt was measured-quiet (ADVICE r12: gating on
     # BEST_STEAL — only updated when the total improved — let the loop
-    # burn the whole deadline after a quiet attempt had already landed);
-    # the promoted OUT is still the lowest-total record.
+    # burn the whole deadline after a quiet attempt had already landed).
     if [ "$ST" -lt "$MIN_STEAL" ]; then MIN_STEAL=$ST; fi
-    if [ "$MIN_STEAL" -lt 5 ]; then
-      echo "quiet record achieved: min_steal_sec=$MIN_STEAL promoted total=$BEST_TOTAL (steal_sec=$BEST_STEAL) -> $OUT" >&2
+    if [ "$MIN_STEAL" -lt 5 ] && [ -n "$QBEST" ]; then
+      cp "$QBEST" "$OUT"
+      echo "quiet record achieved: promoted QUIET attempt total=$QBEST_TOTAL (steal_sec=$QBEST_STEAL) -> $OUT" >&2
       exit 0
     fi
   fi
 done
+if [ -n "$QBEST" ]; then
+  cp "$QBEST" "$OUT"
+  echo "deadline: best QUIET record total=${QBEST_TOTAL}s steal_sec=${QBEST_STEAL}s -> $OUT" >&2
+  exit 0
+fi
 if [ -n "$BEST" ]; then
+  cp "$BEST" "$OUT"
   echo "deadline: best record total=${BEST_TOTAL}s steal_sec=${BEST_STEAL}s -> $OUT" >&2
   exit 0
 fi
