@@ -325,7 +325,59 @@ object SqlSurface {
     },
     Some(q21Text))
 
+  /** TPC-H Q20 (potential part promotion; round-14, VERDICT-r13 #4): the
+    * last classic decorrelation shape the SQL face lacked — an IN over a
+    * grouped subquery whose HAVING compares each group against a
+    * CORRELATED SCALAR AGGREGATE over the same fact table (Q17 correlates
+    * in WHERE over raw rows; this correlates in HAVING over a grouped
+    * frame, which Catalyst must decorrelate into a partkey-keyed
+    * aggregate joined back UNDER the semi-join that serves the IN).
+    * Adapted predicates: the fixture has no partsupp/availqty, so the
+    * "excess stock" test becomes "this supplier's shipped volume of a
+    * red part exceeds 2.5× the part's average per-supplier volume" —
+    * same correlation structure (outer group vs correlated per-part
+    * scalar), fixture-native columns; 2.5 keeps the filter selective at
+    * every fixture SF (2/5, 26/48, 65/484 suppliers at sf0.001/0.01/0.1).
+    *
+    * Determinism: both sides are exact-decimal sums cast to double, so
+    * the strict > compares bit-identical values in both engines; s_name
+    * is unique, so the ORDER BY is total. SQL text character-identical
+    * in both engines.
+    *
+    * 100-TB shape: the decorrelated per-part scalar and the grouped
+    * subquery both hash on l_partkey over ONE filtered fact scan —
+    * Catalyst/AQE can reuse the exchange — and the IN becomes a
+    * supplier-sized semi-join; no per-row subquery execution anywhere. */
+  private val q20Text =
+    """SELECT s_name, CAST(s_suppkey AS BIGINT) AS suppkey
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name < 'NATION_2'
+      |  AND s_suppkey IN (
+      |    SELECT l1.l_suppkey
+      |    FROM lineitem l1
+      |    JOIN part ON p_partkey = l1.l_partkey
+      |    WHERE p_name LIKE 'red%'
+      |      AND l1.l_shipdate >= DATE '1997-01-01'
+      |    GROUP BY l1.l_suppkey, l1.l_partkey
+      |    HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+      |      SELECT 2.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |             / COUNT(DISTINCT l2.l_suppkey)
+      |      FROM lineitem l2
+      |      WHERE l2.l_partkey = l1.l_partkey
+      |        AND l2.l_shipdate >= DATE '1997-01-01'))
+      |ORDER BY s_name""".stripMargin
+
+  val sqlQ20PotentialPromotion = Q(
+    "sql_q20_potential_promotion",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(q20Text)
+    },
+    Some(q20Text))
+
   def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
     sqlQ5LocalSupplier, sqlCorrelatedExists, sqlQ7VolumeShipping,
-    sqlQ18LargeOrders, sqlQ17SmallQuantity, sqlQ21WaitingSupplier)
+    sqlQ18LargeOrders, sqlQ17SmallQuantity, sqlQ21WaitingSupplier,
+    sqlQ20PotentialPromotion)
 }
