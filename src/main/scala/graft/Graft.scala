@@ -40,6 +40,69 @@ object Graft {
     spark.sql(query)
   }
 
+  /** Streaming-engine bring-up: run one THROWAWAY micro-query through the
+    * real Structured Streaming stack — 2-row file source → event-time
+    * watermark → windowed stateful aggregate → a parquet sink and a
+    * stream-stream interval self-join — so MicroBatchExecution, the
+    * state-store providers and the streaming codegen paths are JIT-warm
+    * before any real query runs. The batch analog (executor start, first
+    * codegen, parquet footer cache) has always been warmed untimed by
+    * Bench's `spark.range(16).count()`; the streaming engine's bring-up
+    * is an order of magnitude larger (measured round-14: the first
+    * streaming key pays ~5 s of engine JIT that the per-key warm cost —
+    * 0.06 s — shows is pure bring-up, not query work) and lands on
+    * whichever stream key runs first. Touches NO fixture data: the
+    * two-row source is synthesized here. */
+  def streamingBringUp(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_warm_").toString
+      spark.range(2)
+        .select(col("id"),
+          expr("timestamp_micros(cast(id * 60000000 as long))").as("ts"),
+          (col("id") % 2).cast("string").as("k"))
+        .coalesce(1).write.parquet(s"$base/src")
+      val schema = spark.read.parquet(s"$base/src").schema
+      def src = spark.readStream.schema(schema).parquet(s"$base/src")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+      // stateful windowed agg → parquet sink (the file/tumbling shape)
+      val q1 = src.groupBy(window(col("ts"), "1 minute"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("b"), col("k"), col("n"))
+        .writeStream.format("parquet").option("path", s"$base/out1")
+        .option("checkpointLocation", s"$base/ck1")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      // stream-stream interval self-join → parquet sink (the join shape)
+      val l = src.select(col("id").as("lid"), col("k").as("lk"),
+        col("ts").as("lts")).withWatermark("lts", "1 minute")
+      val r = src.select(col("id").as("rid"), col("k").as("rk"),
+        col("ts").as("rts")).withWatermark("rts", "1 minute")
+      val q2 = l.join(r, col("lk") === col("rk") &&
+          col("rts") >= col("lts") &&
+          col("rts") <= col("lts") + expr("INTERVAL 2 MINUTES"), "inner")
+        .select(col("lid"), col("rid"))
+        .writeStream.format("parquet").option("path", s"$base/out2")
+        .option("checkpointLocation", s"$base/ck2")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      // session-window stateful merge → parquet sink (the session shape)
+      val q3 = src.groupBy(session_window(col("ts"), "1 minute"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s"), col("k"), col("n"))
+        .writeStream.format("parquet").option("path", s"$base/out3")
+        .option("checkpointLocation", s"$base/ck3")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Free every memoized build (ANN indexes, signature/edge frames) and
     * unpersist their cached blocks. A long-lived session should call this
     * when done with a fixture dir — the memo cannot free itself (see
