@@ -12,16 +12,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurface {
 
-  /** Decimal-exact revenue expression, shared by both engines verbatim
-    * (the D.net/oNet discipline spelled in portable SQL). round(.,2)
-    * before the (18,2) narrowing is load-bearing: Spark's decimal
-    * downcast rounds HALF_UP but DuckDB's TRUNCATES (measured:
-    * 0.4360::DECIMAL(18,2) is 0.44 vs 0.43) — round() is HALF_UP in
-    * BOTH, so the identical text yields the identical cent. */
+  /** Exact revenue expression in SCALED-INTEGER arithmetic, shared by
+    * both engines verbatim (the D.net/oNet discipline spelled in
+    * portable SQL, round-14 formulation). Per row, price and discount —
+    * stored 2-dp doubles — are lifted to exact integer cents
+    * (ROUND(x*100): the float product sits within 1e-9 of the true
+    * integer, never at a rounding midpoint, so both engines land on the
+    * same integer; the CAST is exact because the double is integral),
+    * and the revenue rides as BIGINT 1e-4 units: price_cents ×
+    * (100 − disc_cents). The SUM is then an exact order-independent
+    * integer sum in the PRIMITIVE codegen path — measured round-14 at
+    * sf1: the former DECIMAL(18,4) sum costs 64 task-CPU-s warm against
+    * 9 for the integer form over the same 6M rows (Spark's decimal sum
+    * buffer lives above the Long-backed fast path; the cents form is
+    * the 100-TB shape). The half-up cent narrowing the old
+    * ROUND(dec, 2) performed is reproduced exactly as
+    * floor((s+50)/100) — positive sums, and (s+50)/100.0 is a correctly
+    * rounded quotient of an exactly-representable integer (valid while
+    * s < 2^53, i.e. per-group revenue < ~9e11 currency units — far
+    * above any per-nation/order/year group at rehearsal SFs; same
+    * boundary class D.sumDec4 documents). Output value is BIT-IDENTICAL
+    * to the previous decimal formulation on both engines. */
   private val revenue =
-    """CAST(CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      |  * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      |  AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE)""".stripMargin
+    """CAST(CAST(floor((SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      |  * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) + 50) / 100.0)
+      |  AS BIGINT) AS DOUBLE) / 100.0""".stripMargin
 
   private def q3Text(tsType: String): String =
     s"""SELECT l_orderkey,
@@ -211,23 +226,24 @@ object SqlSurface {
     * an IN-subquery over an AGGREGATE of the same fact table (lineitem
     * joins the winners of its own GROUP BY ... HAVING), which Catalyst
     * must plan as aggregate → semi-join rather than a correlated
-    * re-scan, plus a decimal HAVING threshold. Quantity sums in exact
-    * DECIMAL on both engines; total order (o_totalprice DESC,
-    * o_orderkey) before LIMIT. */
+    * re-scan, plus an exact HAVING threshold. Quantity sums ride as
+    * exact integer centi-units (see `revenue`'s scaladoc for the
+    * round-14 scaled-integer rationale: same values as the former
+    * decimal sums, ~7× less aggregate CPU at sf1, order-independent);
+    * total order (o_totalprice DESC, o_orderkey) before LIMIT. */
   private def q18Text(tsType: String): String =
     s"""SELECT c_name, c_custkey, o_orderkey,
        |       CAST(o_orderdate AS $tsType) AS o_orderdate,
        |       o_totalprice,
-       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-       |         AS total_qty
+       |       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+       |         / 100.0 AS total_qty
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
        |JOIN lineitem ON o_orderkey = l_orderkey
        |WHERE o_orderkey IN (
        |  SELECT l_orderkey FROM lineitem
        |  GROUP BY l_orderkey
-       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
-       |         > CAST(250 AS DECIMAL(18,2)))
+       |  HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) > 25000)
        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
        |ORDER BY o_totalprice DESC, o_orderkey
        |LIMIT 100""".stripMargin
@@ -262,15 +278,16 @@ object SqlSurface {
     * key as the part join); no per-row subquery execution anywhere. */
   private val q17Text =
     """SELECT CAST(count(*) AS BIGINT) AS n_lines,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-      |         AS sum_price,
-      |       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-      |             / 7.0, 2) AS avg_yearly
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 AS sum_price,
+      |       round(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+      |             / 100.0 / 7.0, 2) AS avg_yearly
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#13'
       |  AND l_quantity < (
-      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    SELECT 0.2 * ((CAST(SUM(CAST(ROUND(l2.l_quantity * 100, 0) AS BIGINT))
+      |                        AS DOUBLE) / 100.0)
       |                  / COUNT(*))
       |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
@@ -360,8 +377,10 @@ object SqlSurface {
       |    WHERE p_name LIKE 'red%'
       |      AND l1.l_shipdate >= DATE '1997-01-01'
       |    GROUP BY l1.l_suppkey, l1.l_partkey
-      |    HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
-      |      SELECT 2.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    HAVING CAST(SUM(CAST(ROUND(l1.l_quantity * 100, 0) AS BIGINT))
+      |               AS DOUBLE) / 100.0 > (
+      |      SELECT 2.5 * (CAST(SUM(CAST(ROUND(l2.l_quantity * 100, 0) AS BIGINT))
+      |                         AS DOUBLE) / 100.0)
       |             / COUNT(DISTINCT l2.l_suppkey)
       |      FROM lineitem l2
       |      WHERE l2.l_partkey = l1.l_partkey

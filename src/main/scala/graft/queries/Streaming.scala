@@ -336,10 +336,26 @@ object Streaming {
           // watermarks need session-zoned TIMESTAMP (UTC session: values
           // unchanged) — same pin as the other stream keys
           col("ts").cast("timestamp").as("ts"), col("value"))
+      // Split point: a naive [min, max] midpoint can land in an EMPTY
+      // hour at sparse SFs (measured: sf0.001 has no straddle bucket at
+      // the midpoint — the restart grade would be toothless there, no
+      // open state crossing the runs). Instead pick, among hour buckets
+      // holding ≥2 distinct timestamps, the one nearest the midpoint,
+      // and split at its FIRST event — guaranteeing at least one bucket
+      // receives rows from both waves, i.e. run 2 MUST merge into run-1
+      // state restored from the checkpoint. Driver work is one
+      // calendar-bounded aggregate inside the memoized build.
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       val (mn, mx) = (mm.getTimestamp(0), mm.getTimestamp(1))
-      val splitTs =
-        new java.sql.Timestamp(mn.getTime + (mx.getTime - mn.getTime) / 2)
+      val midMs = mn.getTime + (mx.getTime - mn.getTime) / 2
+      val splitTs = ev
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .filter(col("t0") < col("t1"))
+        .select(col("t0"))
+        .orderBy(abs(col("t0").cast("double") * 1000.0 - lit(midMs.toDouble)),
+          col("t0"))
+        .head().getTimestamp(0)
       val base = java.nio.file.Files
         .createTempDirectory("graft_stream_restart_").toString
       val src = s"$base/src"
