@@ -29,11 +29,17 @@ object SqlProbe {
     } catch { case _: Throwable => -1L }
     val text = scala.io.Source.stdin.mkString
     text.split(";;").map(_.trim).filter(_.nonEmpty).foreach { q =>
+      var df: org.apache.spark.sql.DataFrame = null
       for (i <- 1 to 2) {
         val c0 = cpuMs; val g0 = gcMs; val s0 = stealJ; val t0 = System.nanoTime()
-        val n = spark.sql(q).count()
+        df = spark.sql(q)
+        val n = df.count()
         println(f"[$i] ${(System.nanoTime() - t0) / 1e9}%.2f s cpu ${(cpuMs - c0) / 1000.0}%.1f s gc ${(gcMs - g0) / 1000.0}%.1f s steal ${(stealJ - s0) / 100.0}%.1f s ($n rows) :: ${q.linesIterator.next().take(70)}")
       }
+      // post-execution plan: with AQE the FINAL physical strategy (what
+      // actually ran) is only visible after an action
+      if (sys.env.get("GRAFT_PROBE_PLAN").contains("1"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -395,8 +395,58 @@ object SqlSurface {
     },
     Some(q20Text))
 
+  /** Q21's 100-TB REWRITE (round-14): the same waiting-supplier census as
+    * sql_q21_waiting_supplier, expressed through order-level aggregates
+    * instead of correlated existentials. Profiling the existential form
+    * at sf1 (zero-steal windows) showed Spark's sort-merge SEMI join
+    * with a non-equi residual (`l2.l_suppkey <> l1.l_suppkey`) executes
+    * ~8× slower per row than the unconditioned semi (81-100 task-CPU-s
+    * vs 10 for the same join without the residual — the conditioned
+    * semi/anti runs outside whole-stage codegen), so at scale the combo
+    * is the plan to avoid. The rewrite: EXISTS(another supplier in the
+    * order) ⇔ the order has ≥2 distinct suppliers overall (l1 itself
+    * witnesses one), and NOT EXISTS(another supplier late) ⇔ the
+    * order's LATE lines have exactly 1 distinct supplier (l1 is late,
+    * so that one is l1's). The distinct counts are computed as a NESTED
+    * aggregation — per (orderkey, suppkey) first, then per orderkey —
+    * rather than COUNT(DISTINCT ...) pairs, which Spark plans through
+    * an Expand (2× the input rows; measured ~2× the CPU of the nested
+    * form at sf1). Everything is a plain hash aggregate or equi join in
+    * whole-stage codegen, shuffling only on (orderkey[, suppkey]). Same
+    * rows as sql_q21 by construction (DuckDB-verified identical at all
+    * four rehearsal SFs), so the two keys cross-check each other
+    * through different plans; measured sf1 warm wall: ~4-6 s vs the
+    * existential form's ~10-15 s. SQL text character-identical in both
+    * engines. */
+  private val q21AggText =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN (SELECT l_orderkey AS agg_ok, count(*) AS n_all,
+      |             count(*) FILTER (WHERE n_late_lines > 0) AS n_late
+      |      FROM (SELECT l_orderkey, l_suppkey,
+      |                   count(*) FILTER (WHERE l_shipdate > DATE '1997-01-01')
+      |                     AS n_late_lines
+      |            FROM lineitem GROUP BY l_orderkey, l_suppkey) ps
+      |      GROUP BY l_orderkey) oa ON oa.agg_ok = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > DATE '1997-01-01'
+      |  AND oa.n_all >= 2 AND oa.n_late = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  val sqlQ21AggRewrite = Q(
+    "sql_q21_agg_rewrite",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(q21AggText)
+    },
+    Some(q21AggText))
+
   def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
     sqlQ5LocalSupplier, sqlCorrelatedExists, sqlQ7VolumeShipping,
     sqlQ18LargeOrders, sqlQ17SmallQuantity, sqlQ21WaitingSupplier,
-    sqlQ20PotentialPromotion)
+    sqlQ20PotentialPromotion, sqlQ21AggRewrite)
 }
