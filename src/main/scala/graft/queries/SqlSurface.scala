@@ -445,8 +445,54 @@ object SqlSurface {
     },
     Some(q21AggText))
 
+  /** Q20's 100-TB REWRITE (round-14, companion to sql_q21_agg_rewrite):
+    * the same potential-promotion suppliers as
+    * sql_q20_potential_promotion, computed from ONE shipdate-filtered
+    * fact pass. The (partkey, suppkey) volume grid `ps` is aggregated
+    * once in exact integer cents; the per-part totals AND the
+    * distinct-supplier counts then come from re-aggregating `ps`
+    * (count(*) of grid rows IS count distinct suppkey — already
+    * grouped), and the red-part restriction applies afterwards as a
+    * broadcast join, so the correlated scalar never triggers a second
+    * lineitem scan (the graded q20's decorrelated plan scans the fact
+    * twice and runs a COUNT DISTINCT tier — measured sf1 warm: 103
+    * task-CPU-s vs 22 here, same 322 rows). Exactness: cents stay
+    * integer through BOTH aggregate levels, and the threshold compare
+    * reproduces the graded key's float sequence verbatim, so rows are
+    * identical at every rehearsal SF (DuckDB cross-check). Spark reuses
+    * the grid's exchange across its two consumers (ReusedExchange).
+    * SQL text character-identical in both engines. */
+  private val q20FusedText =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |                   SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qty_e2
+      |            FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+      |            GROUP BY l_partkey, l_suppkey),
+      |     pa AS (SELECT l_partkey AS pk, sum(qty_e2) AS total_e2,
+      |                   count(*) AS n_supp
+      |            FROM ps GROUP BY l_partkey)
+      |SELECT s_name, CAST(s_suppkey AS BIGINT) AS suppkey
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name < 'NATION_2'
+      |  AND s_suppkey IN (
+      |    SELECT ps.l_suppkey FROM ps
+      |    JOIN part ON p_partkey = ps.l_partkey
+      |    JOIN pa ON pa.pk = ps.l_partkey
+      |    WHERE p_name LIKE 'red%'
+      |      AND CAST(ps.qty_e2 AS DOUBLE) / 100.0 >
+      |          2.5 * (CAST(pa.total_e2 AS DOUBLE) / 100.0) / pa.n_supp)
+      |ORDER BY s_name""".stripMargin
+
+  val sqlQ20FusedRewrite = Q(
+    "sql_q20_fused_rewrite",
+    (spark: SparkSession, sfDir: String) => {
+      graft.Graft.registerViews(spark, sfDir)
+      spark.sql(q20FusedText)
+    },
+    Some(q20FusedText))
+
   def qs: Seq[Q] = Seq(sqlQ3Shipping, sqlWindowTopk, sqlFilteredAgg,
     sqlQ5LocalSupplier, sqlCorrelatedExists, sqlQ7VolumeShipping,
     sqlQ18LargeOrders, sqlQ17SmallQuantity, sqlQ21WaitingSupplier,
-    sqlQ20PotentialPromotion, sqlQ21AggRewrite)
+    sqlQ20PotentialPromotion, sqlQ21AggRewrite, sqlQ20FusedRewrite)
 }
