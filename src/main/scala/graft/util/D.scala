@@ -17,6 +17,19 @@ import org.apache.spark.sql.types.DecimalType
   * decimals are exact 4-dp/6-dp decimals, no rounding step exists, and
   * decimal sums are associative so results are independent of partition
   * count/order (critical at 100 TB where partitioning differs run to run).
+  *
+  * HIGH-CARDINALITY caveat (round-14, BASELINE.md finding 1): Spark's
+  * decimal SUM carries a precision-28 buffer that updates off the
+  * Long-backed fast path — measured 64 vs 9 task-CPU-s against an exact
+  * integer-cents sum (`SUM(CAST(ROUND(x * 100, 0) AS BIGINT))`) for the
+  * same 1.47M-group aggregation at sf1. These helpers are the right
+  * default for LOW-cardinality grouped money sums (Q1's 6 groups cost
+  * 5.7 CPU-s at sf1); for grouped money sums whose group count scales
+  * with the fact table, lift 2-dp doubles to integer centi-units per row
+  * instead (exact and engine-portable: the ×100 product is never at a
+  * rounding midpoint) and convert only the finished per-group value —
+  * the SQL face (queries/SqlSurface.scala `revenue`) is the worked
+  * pattern, bit-identical to the decimal formulation on both engines.
   */
 object D {
   val Money: DecimalType = DecimalType(18, 2)
