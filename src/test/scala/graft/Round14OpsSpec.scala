@@ -90,6 +90,21 @@ class Round14OpsSpec extends SparkSpec {
     Memo.clear(spark)
   }
 
+  test("the scale rewrites return row-identical results to their graded twins") {
+    // sql_q21_agg_rewrite / sql_q20_fused_rewrite exist BECAUSE their
+    // plans differ (codegen'd equi aggregates vs conditioned semi/anti
+    // and a decorrelated double scan) — so the equivalence claim is the
+    // whole contract. DuckDB cross-checks it externally at 4 SFs; this
+    // pins it on the SPARK side of the fence too.
+    for ((a, b) <- Seq(
+        "sql_q21_waiting_supplier" -> "sql_q21_agg_rewrite",
+        "sql_q20_potential_promotion" -> "sql_q20_fused_rewrite")) {
+      val ra = Registry.byName(a).build(spark, sf0001).collect().toSeq
+      val rb = Registry.byName(b).build(spark, sf0001).collect().toSeq
+      assert(ra == rb, s"$a vs $b diverged: ${ra.take(3)} vs ${rb.take(3)}")
+    }
+  }
+
   test("sql_q20 decorrelates: no per-row subquery execution in the physical plan") {
     val df = Registry.byName("sql_q20_potential_promotion").build(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
