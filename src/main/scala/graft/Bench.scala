@@ -36,6 +36,24 @@ object Bench {
     // from every key via medians, so warming it untimed makes the
     // single-pass and record modes measure the same per-query plan cost.
     Graft.streamingBringUp(spark)
+    // Fixture-table bring-up (round-15, VERDICT-r14 #1a): the first REAL
+    // data touch per table — file listing, parquet footer read + cache,
+    // and the first scan codegen for that schema — otherwise lands on
+    // whichever timed key reads the table first (r14 graded
+    // join_inner_equi at 3.0 s as the first lineitem+orders touch vs
+    // 0.26 s warm; range(16) above warms the JVM but touches no fixture).
+    // count() over a parquet scan is answered from row-group metadata
+    // (no column IO), so this warms exactly the per-table fixed costs —
+    // untimed and disclosed, the same rationale as range(16) and
+    // streamingBringUp. A missing/broken table stays the timed key's own
+    // failure to report, not the warmup's.
+    Graft.tableNames.foreach { t =>
+      try {
+        val df = if (t == "events") graft.util.Tables.events(spark, sfDir)
+                 else graft.util.Tables(spark, sfDir, t)
+        df.count()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -89,12 +107,13 @@ object Bench {
     val steal0 = stealJiffies
     // Adaptive anti-steal re-run budget (round-9 verdict #1): the r9 graded
     // artifact read 183.8 s against a same-day quiet 59.3 s purely from
-    // hypervisor steal. Bounded: ≤1 retry per query, ≤48 per suite, so a
+    // hypervisor steal. Bounded: ≤1 retry per query, ≤64 per suite, so a
     // genuinely regressed query cannot hide behind unlimited re-rolls and a
     // fully-contended host cannot stretch the run unboundedly. (Budget
-    // raised 20→48 in round 14: r13's contended driver run exhausted all
+    // raised 20→64 in round 14: r13's contended driver run exhausted all
     // 20 with rescuable keys left over, and the slow-key trigger below
-    // widens eligibility.)
+    // widens eligibility — 64 covers the 300-key suite at the observed
+    // retry rate with headroom.)
     val maxSuiteRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "64").toInt
     var retriesUsed = 0
     // Suite-wide wait-for-quiet budget (round-14, VERDICT-r13 #1b): an
@@ -183,8 +202,11 @@ object Bench {
         val rSteal = if (rs0 < 0 || rs1 < 0) -1L else (rs1 - rs0) * 10L
         val kept = t2 > 0 && t2 < med
         val why = if (stealTrig) "steal" else "slow"
+        // orig_sec preserves the PRE-retry reading (ADVICE-r14: kept-if-
+        // faster is min-of-two; the artifact must let a consumer
+        // reconstruct the original sample, not just the winner)
         retriedQ(name) =
-          s"""{"retry_sec":${r3(t2)},"retry_steal_ms":$rSteal,"kept":$kept,"why":"$why"}"""
+          s"""{"orig_sec":${r3(med)},"retry_sec":${r3(t2)},"retry_steal_ms":$rSteal,"kept":$kept,"why":"$why"}"""
         if (kept) {
           med = t2; stealMs = rSteal
           startSec(name) = rStart

@@ -58,9 +58,13 @@ object Graft {
     import org.apache.spark.sql.streaming.Trigger
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    var baseDir: java.io.File = null
     try {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_stream_warm_").toString
+      val base = {
+        val p = java.nio.file.Files.createTempDirectory("graft_stream_warm_")
+        baseDir = p.toFile
+        p.toString
+      }
       spark.range(2)
         .select(col("id"),
           expr("timestamp_micros(cast(id * 60000000 as long))").as("ts"),
@@ -99,8 +103,23 @@ object Graft {
         .option("checkpointLocation", s"$base/ck3")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q3.awaitTermination()
-    } catch { case scala.util.control.NonFatal(_) => () }
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } catch {
+      // ADVICE-r14: a silently-broken warmup re-exposes the ~5 s streaming
+      // cold-start it exists to hide — make the failure visible (warm-up
+      // callers still proceed; the cost just lands on the first stream key)
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] WARN: streaming bring-up failed (first stream query pays cold-start): $e")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // the warmup's sinks/checkpoints are throwaway — reclaim them instead
+      // of leaking three parquet dirs per Bench run under /tmp (ADVICE-r14)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      if (baseDir != null) rm(baseDir)
+    }
   }
 
   /** Free every memoized build (ANN indexes, signature/edge frames) and

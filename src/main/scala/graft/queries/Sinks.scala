@@ -31,7 +31,10 @@ object Sinks {
     * two sfDirs colliding in 32-bit String.hashCode within one process
     * would overwrite each other's layout while each session's Memo flag
     * says "built" — md5 makes that class impossible). */
-  private def sfTag(sfDir: String): String =
+  // package-private so SinkSpec derives the layout path from THIS method
+  // instead of re-deriving the tag inline (ADVICE-r14: an inline copy is
+  // exactly the drift that broke the spec when the tag scheme changed)
+  private[graft] def sfTag(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 

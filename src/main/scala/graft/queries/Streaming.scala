@@ -395,6 +395,175 @@ object Streaming {
             WHERE bucket + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTES
             ORDER BY bucket, event_type"""))
 
+  /** STREAM-STREAM LEFT OUTER join (round-15, VERDICT-r14 #2 — the
+    * watermark's null-side emission contract, previously only
+    * spec-asserted): clicks LEFT OUTER purchases on the same user/interval
+    * condition as stream_join_parity. The outer side is where the
+    * watermark becomes OBSERVABLE output semantics: a matched pair emits
+    * at match time, but an unmatched click emits its null-purchase row
+    * ONLY when the global watermark passes the click's last possible
+    * match time (cts + 1 h) — i.e. when the engine can PROVE no future
+    * purchase can pair with it. Clicks younger than that at query end are
+    * still awaited and never appear. The ORACLE replays both rules in
+    * SQL: the batch left join supplies the pairs; the emission filter
+    * keeps matched rows unconditionally and null rows only where
+    * cts + 1 h < final watermark. The final watermark under AvailableNow
+    * is min over BOTH sides (multipleWatermarkPolicy=min, the default) of
+    * max(event time) − 10 min — least(max click ts, max purchase ts) in
+    * SQL. A null row leaking early (eager eviction), a missing null row
+    * (state dropped without emission), or a matched row double-emitted as
+    * null all break hash parity. Graded as the per-user census over the
+    * sink files (stream_join_parity's pattern).
+    *
+    * 100-TB shape: identical to the inner key — both sides shuffle on
+    * user_id, per-key state bounded by the watermark-live interval; the
+    * null-side emission adds no state, only eviction-time output. */
+  val streamOuterJoinParity = Q(
+    "stream_outer_join_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamouterjoin:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
+        val ts = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            expr("timestamp_micros(ts div 1000)").cast("timestamp")
+          case _ => col("ts").cast("timestamp")
+        }
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .withColumn("ts", ts)
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            col("ts").as(tsAs))
+          .withWatermark(tsAs, "10 minutes")
+      }
+      val clicks = side("click", "click_id", "cu", "cts")
+      val purchases = side("purchase", "purchase_id", "pu", "pts")
+      val pairs = clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "left_outer")
+        .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_ojoin_").toString
+      val q = pairs.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("purchase_id")).as("n_matched"),
+          sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+            .as("n_null_emitted"),
+          countDistinct(col("click_id")).as("n_clicks_seen"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }.orderBy("user_id"),
+    Some("""WITH wm AS (SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+                 - INTERVAL 10 MINUTES AS w),
+                 pr AS (SELECT c.user_id, c.event_id AS click_id, c.ts AS cts,
+                               p.event_id AS purchase_id
+                        FROM events c LEFT JOIN events p
+                          ON c.user_id = p.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+                        WHERE c.event_type = 'click'),
+                 em AS (SELECT user_id, click_id, purchase_id
+                        FROM pr CROSS JOIN wm
+                        WHERE purchase_id IS NOT NULL
+                           OR cts + INTERVAL 1 HOUR < w)
+            SELECT user_id, count(*) AS n_rows,
+                   count(purchase_id) AS n_matched,
+                   CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_emitted,
+                   CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_seen
+            FROM em GROUP BY user_id ORDER BY user_id"""))
+
+  /** LATE-DATA DROP parity (round-15, VERDICT-r14 #2 — the watermark's
+    * other observable contract: rows arriving behind it for finalized
+    * windows are DROPPED, not merged and not re-emitted). The
+    * stream_restart_parity machinery with the waves SWAPPED: the LATER
+    * half of events (ts > split) arrives first and runs to AvailableNow —
+    * committing the watermark at max(ts) − 10 min — then the EARLIER half
+    * (ts ≤ split) arrives in run 2 against the restored watermark,
+    * entirely late, every window it touches long finalized (split sits
+    * ~15 days behind the watermark; windows are 1 h). The final files
+    * must therefore hold exactly run 1's emission: the aggregate over
+    * ts > split rows, append rule vs max(ts) − 10 min. A late row merged
+    * (inflated n), re-opened (duplicate bucket row), or a regressed
+    * watermark (late buckets appearing) all break hash parity. The split
+    * is hour-floored midpoint epoch-ms arithmetic — integer in BOTH
+    * engines, so the two sides partition rows identically.
+    *
+    * 100-TB shape: this is the production guard the watermark exists
+    * for — a delayed upstream partition replaying days-old data into a
+    * live aggregation must not corrupt emitted results; state stays
+    * bounded because late rows never re-open windows. */
+  val streamLateDropParity = Q(
+    "stream_late_drop_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamlatedrop:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (loMs, hiMs) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      // hour-floored midpoint, pure Long arithmetic (the oracle replays
+      // it with epoch_ms — both sides truncate µs→ms then floor to hour)
+      val splitMs = (loMs + (hiMs - loMs) / 2) / 3600000L * 3600000L
+      val split = new java.sql.Timestamp(splitMs)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_late_").toString
+      val src = s"$base/src"
+      def stage(batch: org.apache.spark.sql.DataFrame): Unit =
+        batch.coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val agg = spark.readStream
+          .schema(ev.schema).parquet(src)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+          .select(D.ntz(col("window.start")).as("bucket"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = agg.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(ev.filter(col("ts") > lit(split)))
+      runOnce() // run 1: the LATER half — watermark commits at max − 10 min
+      stage(ev.filter(col("ts") <= lit(split)))
+      runOnce() // run 2: the earlier half arrives LATE — all rows dropped
+      spark.read.parquet(s"$base/out")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }.orderBy("bucket", "event_type"),
+    // aggregate over the on-time wave only + the append emission rule —
+    // the late wave must be invisible in the files
+    Some(s"""WITH mx AS (SELECT epoch_ms(min(ts)) AS lo, epoch_ms(max(ts)) AS hi,
+                                max(ts) AS m FROM events),
+                 sp AS (SELECT make_timestamp(
+                          ((lo + (hi - lo) // 2) // 3600000 * 3600000) * 1000)
+                          AS split, m FROM mx),
+                 b AS (SELECT time_bucket(INTERVAL 1 HOUR, e.ts) AS bucket,
+                              e.event_type, count(*) AS n,
+                              ${D.oSumDec("e.value")} AS sum_value
+                       FROM events e CROSS JOIN sp WHERE e.ts > sp.split
+                       GROUP BY bucket, event_type)
+            SELECT bucket, event_type, n, sum_value
+            FROM b CROSS JOIN sp
+            WHERE bucket + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTES
+            ORDER BY bucket, event_type"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
-    streamSessionParity, streamJoinParity, streamRestartParity)
+    streamSessionParity, streamJoinParity, streamRestartParity,
+    streamOuterJoinParity, streamLateDropParity)
 }

@@ -52,20 +52,23 @@ class Round14OpsSpec extends SparkSpec {
     // serve the memoized k-row artifact (at most the count()'s single
     // local-relation job each). A rebuild on reuse — the r13 regression
     // class — shows up as a job-count explosion, independent of timing.
-    @volatile var jobs = 0
+    // AtomicInteger, not @volatile var += (ADVICE-r14: the listener fires
+    // on the bus thread; volatile read-modify-write can lose increments)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
     }
     spark.sparkContext.addSparkListener(l)
     try {
       Registry.byName("vec_ann_ivf").build(spark, sf0001).count()
       Registry.byName("vec_ann_lsh").build(spark, sf0001).count()
-      Thread.sleep(500) // listener bus drain (private API in Spark 4)
-      val buildJobs = jobs
+      Thread.sleep(500) // listener bus drain (waitUntilEmpty is private[spark])
+      val buildJobs = jobs.get()
       assert(buildJobs > 4, s"build phase should run real jobs, saw $buildJobs")
-      jobs = 0
+      jobs.set(0)
       (1 to 3).foreach { _ =>
         Registry.byName("vec_ann_ivf").build(spark, sf0001).count()
         Registry.byName("vec_ann_lsh").build(spark, sf0001).count()
@@ -74,8 +77,8 @@ class Round14OpsSpec extends SparkSpec {
       // each count() over the k-row local relation costs ≤2 tiny jobs
       // (the orderBy's range-partitioner sample + the count itself);
       // a rebuild would add the index fit's dozens
-      assert(jobs <= 12,
-        s"reuse must serve the memoized eval (≤2 local jobs per count), saw $jobs")
+      assert(jobs.get() <= 12,
+        s"reuse must serve the memoized eval (≤2 local jobs per count), saw ${jobs.get()}")
     } finally {
       spark.sparkContext.removeSparkListener(l)
       Memo.clear(spark)

@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Registry
+import graft.util.{Memo, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: the two new graded streaming keys must have TEETH at
+  * every fixture SF — the outer join must actually exercise all three
+  * emission classes (matched, null-emitted, withheld), and the late-drop
+  * key's second wave must be nonempty and genuinely behind the committed
+  * watermark — otherwise their hash parity grades a vacuous contract. */
+class Round15OpsSpec extends SparkSpec {
+
+  test("stream_outer_join_parity exercises matched, null-emitted AND withheld clicks at every SF") {
+    for (sf <- allSfs) {
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+      // replay the key's emission rule in batch: final watermark is the
+      // min over both sides of (max event time − 10 min)
+      val mx = ev.groupBy("event_type").agg(max("ts").as("m"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .agg(min("m")).head().getTimestamp(0)
+      val w = new java.sql.Timestamp(mx.getTime - 10 * 60 * 1000L)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+          col("ts").as("pts"))
+      val joined = clicks.join(purchases,
+        col("cu") === col("pu") && col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "left")
+      val matched = joined.filter(col("purchase_id").isNotNull).count()
+      val nullEmit = joined.filter(col("purchase_id").isNull &&
+        col("cts") + expr("INTERVAL 1 HOUR") < lit(w)).count()
+      val withheld = joined.filter(col("purchase_id").isNull &&
+        !(col("cts") + expr("INTERVAL 1 HOUR") < lit(w))).count()
+      assert(matched >= 1, s"$sf: no matched pair — inner emission untested")
+      assert(nullEmit >= 1, s"$sf: no expired unmatched click — null-side emission untested")
+      assert(withheld >= 1,
+        s"$sf: no still-awaited click — the 'younger rows never appear' half is untested")
+    }
+  }
+
+  test("stream_outer_join_parity census: matched + null rows partition the emitted set") {
+    // On the graded frame itself: every emitted row is exactly one of
+    // matched / null-emitted, and distinct clicks never exceed rows.
+    val out = Registry.byName("stream_outer_join_parity").build(spark, sf0001)
+    val bad = out.filter(
+      col("n_matched") + col("n_null_emitted") =!= col("n_rows") ||
+        col("n_clicks_seen") > col("n_rows")).count()
+    assert(bad == 0L)
+    Memo.clear(spark)
+  }
+
+  test("stream_late_drop_parity's late wave is nonempty and fully behind the committed watermark at every SF") {
+    for (sf <- allSfs) {
+      val ev = Tables.events(spark, sf)
+        .select(col("ts").cast("timestamp").as("ts"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (loMs, hiMs) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      // the key's own split rule (hour-floored midpoint, Long arithmetic)
+      val splitMs = (loMs + (hiMs - loMs) / 2) / 3600000L * 3600000L
+      val split = new java.sql.Timestamp(splitMs)
+      val late = ev.filter(col("ts") <= lit(split)).count()
+      val onTime = ev.filter(col("ts") > lit(split)).count()
+      assert(late >= 1, s"$sf: empty late wave — the drop contract is vacuous")
+      assert(onTime >= 1, s"$sf: empty on-time wave — no watermark to commit")
+      // every late row's 1h window must close strictly below the final
+      // watermark (max − 10 min), or a late row could legitimately merge
+      // and the key would no longer grade a pure drop
+      val lastLateWindowEndMs = (splitMs / 3600000L + 1) * 3600000L
+      val watermarkMs = hiMs - 10 * 60 * 1000L
+      assert(lastLateWindowEndMs < watermarkMs,
+        s"$sf: late wave's newest window (end $lastLateWindowEndMs) not behind watermark $watermarkMs")
+    }
+  }
+}

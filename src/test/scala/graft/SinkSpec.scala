@@ -81,11 +81,10 @@ class SinkSpec extends SparkSpec {
     // read back WITH the partition column and verify the routing itself:
     // each written row's dir value must equal the month derived from its
     // own o_orderdate
-    // md5 tag, matching Sinks.sfTag (round-14: this spec still used the
-    // pre-c783d31 32-bit hashCode tag and only passed while a stale /tmp
-    // layout from before that commit survived on the build host)
-    val dirHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(sf001.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // the ONE tag derivation (Sinks.sfTag, ADVICE-r14): an inline re-derive
+    // drifted when the tag scheme changed from hashCode to md5 and only
+    // passed against a stale /tmp layout — share the method instead
+    val dirHash = graft.queries.Sinks.sfTag(sf001)
     val written = spark.read
       .parquet(s"/tmp/graft_sink/orders_month_$dirHash")
     val misrouted = written.filter(
