@@ -688,10 +688,13 @@ object Aggs {
     "agg_gini_revenue",
     (spark, sfDir) => {
       import org.apache.spark.sql.types.DecimalType
+      // o_custkey-grained group count scales WITH the orders table
+      // (BASELINE.md finding 1): the per-customer sum rides as BIGINT
+      // cents end-to-end (D.sumAsCents) — the same integer the former
+      // decimal-sum ×100 produced, now without the decimal buffer.
       val rev = Tables.orders(spark, sfDir)
         .groupBy("o_custkey")
-        .agg((sum(D.dec(col("o_totalprice"))).cast(D.Money) * lit(100))
-          .cast("bigint").as("cents"))
+        .agg(D.sumAsCents(col("o_totalprice")).as("cents"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cents"), col("o_custkey"))
       rev.withColumn("i", row_number().over(w).cast("bigint"))

@@ -187,12 +187,15 @@ object MlPrep {
         .withColumn("rn", col("off") + col("rn_local"))
         .withColumn("batch_id", expr("(rn - 1) div 64").cast("bigint"))
         .groupBy("batch_id")
-        // exact decimal sum, not avg: value/64 terminates exactly at the
-        // 4dp rounding boundary (64 = 2^6), where engine midpoint rules
-        // differ — the round-1 lesson applied
+        // exact sum, not avg: value/64 terminates exactly at the 4dp
+        // rounding boundary (64 = 2^6), where engine midpoint rules
+        // differ — the round-1 lesson applied. batch_id is rows/64, so
+        // group count scales WITH the fact table (BASELINE.md finding 1):
+        // the sum rides as integer cents (D.sumCents, bit-identical to
+        // sumDec; DECIMAL oracle unchanged — parity proves equivalence).
         .agg(count(lit(1)).as("n"),
           min(col("h")).as("first_key"),
-          D.sumDec(col("value")).as("sum_value"))
+          D.sumCents(col("value")).as("sum_value"))
         .orderBy("batch_id")
     },
     Some("""SELECT batch_id, count(*) AS n, min(h) AS first_key,

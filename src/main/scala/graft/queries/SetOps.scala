@@ -23,7 +23,12 @@ object SetOps {
         .join(Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(D.sumDec4(D.net(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        // Orderkey-grained group count scales WITH the fact table — the
+        // one §2.6 site in BASELINE.md finding 1's class — so the sum
+        // rides as integer cents (D.sumNetCents, bit-identical to the
+        // former sumDec4(net) formulation; the DECIMAL oracle below is
+        // unchanged, so parity itself proves the equivalence).
+        .agg(D.sumNetCents(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },

@@ -66,8 +66,12 @@ object TimeSeries {
     * sessions. */
   def sessionize(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      // (user, session) group count scales WITH the event table
+      // (BASELINE.md finding 1): integer-cents sum (D.sumCents,
+      // bit-identical to sumDec; the gaps-and-islands DECIMAL oracle is
+      // unchanged, so parity proves the equivalence).
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"), D.sumDec(col("value")).as("sum_value"))
+        count(lit(1)).as("n_events"), D.sumCents(col("value")).as("sum_value"))
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
 
   val tsSession = Q(

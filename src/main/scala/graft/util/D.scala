@@ -80,6 +80,40 @@ object D {
   /** See sumDec4 — same scale-2 narrowing for scale-6 decimal sums. */
   def sumDec6(c: Column): Column = dbl(sum(c).cast(Money))
 
+  /** Exact integer cents of a stored 2-dp double. The ×100 product of a
+    * 2-dp value is within one ulp of an integer and never at a rounding
+    * midpoint, so Spark's BigDecimal round and DuckDB's bits round land
+    * on the same integer (the SqlSurface `revenue` proof, round 14). */
+  private def cents(c: Column): Column = round(c * lit(100), 0).cast("bigint")
+
+  /** 100-TB form of sumDec for HIGH-cardinality groups (BASELINE.md
+    * finding 1): the sum runs as a primitive BIGINT in whole-stage
+    * codegen (measured 9 vs 64 task-CPU-s at sf1 for 1.47M groups)
+    * instead of Spark's precision-28 decimal buffer. Value is
+    * bit-identical to sumDec: the cents sum is exact while < 2^53 (per
+    * GROUP, so bounded by group size not corpus size), and both
+    * `BigDecimal(cents, 2).doubleValue` and `cents.toDouble / 100.0`
+    * are the correctly-rounded double of the same rational. */
+  def sumCents(c: Column): Column = sumAsCents(c).cast("double") / lit(100.0)
+
+  /** Same primitive-path sum, emitted as BIGINT cents (for consumers that
+    * stay in integer arithmetic, e.g. agg_gini_revenue's rank products). */
+  def sumAsCents(c: Column): Column = sum(cents(c))
+
+  /** 100-TB form of sumDec4(net(price, disc)) — the DataFrame-tier twin
+    * of SqlSurface's `revenue` (queries/SqlSurface.scala:20-40): revenue
+    * rides as BIGINT 1e-4 units (price_cents × (100 − disc_cents), both
+    * factors exact per `cents`), and the HALF_UP 2-dp narrowing that
+    * sumDec4's `.cast(Money)` performs is reproduced exactly as
+    * floor((s+50)/100) — positive sums; (s+50)/100.0 is a correctly
+    * rounded quotient of an exactly-representable integer while
+    * s < 2^53 (per-group revenue < ~9e11 currency units). Spark's
+    * floor(double) returns BIGINT; the final /100.0 emits the same
+    * double as sumDec4's decimal→double conversion. */
+  def sumNetCents(price: Column, disc: Column): Column =
+    floor((sum(cents(price) * (lit(100L) - cents(disc))) + lit(50L)) / lit(100.0))
+      .cast("double") / lit(100.0)
+
   /** Timestamp output normalization — all query outputs are timestamp_ntz. */
   def ntz(c: Column): Column = c.cast("timestamp_ntz")
 

@@ -76,4 +76,67 @@ class Round15OpsSpec extends SparkSpec {
         s"$sf: late wave's newest window (end $lastLateWindowEndMs) not behind watermark $watermarkMs")
     }
   }
+
+  // ---- Finding-1 conversions (VERDICT-r14 #4): the three DataFrame-tier
+  // keys whose group count scales with the fact table now sum in integer
+  // cents. Each pin computes BOTH formulations in ONE aggregation pass
+  // over the key's own grouping and asserts zero per-group divergence —
+  // the Spark-side half of the bit-identical proof (the cross-engine half
+  // is the unchanged DECIMAL oracle in the parity gate).
+
+  test("sort_limit_topk: cents revenue == decimal revenue on every (orderkey, date) group at every SF") {
+    import graft.util.{D, Tables}
+    for (sf <- allSfs) {
+      val cutoff = lit("1998-06-01").cast("timestamp_ntz")
+      val bad = Tables.lineitem(spark, sf).filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(spark, sf).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(D.sumNetCents(col("l_extendedprice"), col("l_discount")).as("nu"),
+          D.sumDec4(D.net(col("l_extendedprice"), col("l_discount"))).as("old"))
+        .filter(col("nu") =!= col("old")).count()
+      assert(bad == 0L, s"$sf: $bad groups diverge between cents and decimal revenue")
+    }
+  }
+
+  test("ts_session: cents sum_value == decimal sum_value on every (user, session) group at every SF") {
+    import graft.util.{D, Tables}
+    for (sf <- allSfs) {
+      val bad = Tables.events(spark, sf)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(D.sumCents(col("value")).as("nu"), D.sumDec(col("value")).as("old"))
+        .filter(col("nu") =!= col("old")).count()
+      assert(bad == 0L, s"$sf: $bad sessions diverge between cents and decimal sums")
+    }
+  }
+
+  test("agg_gini_revenue: BIGINT cents == decimal-sum×100 cents on every customer at every SF") {
+    import graft.util.{D, Tables}
+    for (sf <- allSfs) {
+      val bad = Tables.orders(spark, sf)
+        .groupBy("o_custkey")
+        .agg(D.sumAsCents(col("o_totalprice")).as("nu"),
+          (sum(D.dec(col("o_totalprice"))).cast(D.Money) * lit(100))
+            .cast("bigint").as("old"))
+        .filter(col("nu") =!= col("old")).count()
+      assert(bad == 0L, s"$sf: $bad customers diverge between cents and decimal revenue")
+    }
+  }
+
+  test("ml_shuffle_batch: cents sum_value == decimal sum_value on every 64-row batch at every SF") {
+    import graft.util.{D, Tables}
+    // 64-row batches over a deterministic ordinal; the exact md5-shuffled
+    // batch mapping is graded by the key's unchanged DECIMAL oracle — this
+    // pins the two sum formulations on batch-sized groups of fixture values.
+    for (sf <- allSfs) {
+      val bad = Tables.events(spark, sf)
+        .withColumn("batch_id", (col("event_id") / lit(64)).cast("bigint"))
+        .groupBy("batch_id")
+        .agg(D.sumCents(col("value")).as("nu"), D.sumDec(col("value")).as("old"))
+        .filter(col("nu") =!= col("old")).count()
+      assert(bad == 0L, s"$sf: $bad batches diverge between cents and decimal sums")
+    }
+  }
 }
