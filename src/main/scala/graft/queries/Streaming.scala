@@ -563,7 +563,91 @@ object Streaming {
             WHERE bucket + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTES
             ORDER BY bucket, event_type"""))
 
+  /** STREAMING DEDUPLICATION parity (round-15 — the one stateful-operator
+    * family still ungraded after aggregation/session/join/restart/drop:
+    * `dropDuplicates` with watermark-evicted key state, the exactly-once
+    * ingest guard every production tail runs in front of its sinks).
+    * The two-wave restart machinery stages the events fixture with THREE
+    * classes of injected exact duplicates, each caught by a different
+    * mechanism the key grades:
+    *   1. IN-BATCH dups (event_id % 3 == 0, re-staged inside the same
+    *      wave) — dropped by first-occurrence-wins within a micro-batch;
+    *   2. CROSS-RESTART dups (wave-1 rows with ts > the committed
+    *      watermark, re-staged in wave 2) — their key state is still
+    *      LIVE in the restored store, so the duplicate is suppressed by
+    *      state carried across the checkpoint restart;
+    *   3. LATE dups (wave-1 rows with ts < watermark − 1 h, re-staged in
+    *      wave 2) — their state was EVICTED when the wave-1 watermark
+    *      committed, so only the late-row filter (drop input older than
+    *      the watermark) stops a re-emission.
+    * The 1-h guard band between classes 2 and 3 keeps each duplicate
+    * unambiguously on one side of the eviction boundary. Dedup emits
+    * on-time unique rows immediately (append mode, no watermark gating
+    * on output), so the files must hold EXACTLY the original events,
+    * each once — the oracle is the bare events table. A surviving
+    * duplicate (row count up), a dropped original (row count down), or
+    * a re-emitted late dup all break hash parity.
+    *
+    * 100-TB shape: dedup state is (key → seen) hash-partitioned on the
+    * dedup key, bounded by the watermark horizon, not corpus size; the
+    * event-time column rides in the key set so eviction is pure
+    * watermark arithmetic. This IS the production idempotent-ingest
+    * loop (at-least-once upstream → exactly-once files). */
+  val streamDedupParity = Q(
+    "stream_dedup_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamdedup:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val midMs = mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+      val split = new java.sql.Timestamp(midMs)
+      val wave1 = ev.filter(col("ts") <= lit(split))
+      val wave2 = ev.filter(col("ts") > lit(split))
+      // the watermark wave 1 commits: max(wave-1 ts) − 10 min; duplicates
+      // are chosen relative to it (driver values are two tiny aggregates
+      // inside the memoized build — the sanctioned bounded class)
+      val max1 = wave1.agg(max(col("ts"))).head().getTimestamp(0)
+      val wm1 = new java.sql.Timestamp(max1.getTime - 10L * 60 * 1000)
+      val lateCut = new java.sql.Timestamp(wm1.getTime - 3600L * 1000)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup_").toString
+      val src = s"$base/src"
+      def stage(batch: org.apache.spark.sql.DataFrame): Unit =
+        batch.coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val deduped = spark.readStream
+          .schema(ev.schema).parquet(src)
+          .withWatermark("ts", "10 minutes")
+          // event-time column IN the key set → state evicts by watermark
+          .dropDuplicates("event_id", "ts")
+        val q = deduped.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(wave1.unionByName(wave1.filter(col("event_id") % 3 === 0)))
+      runOnce() // run 1: in-batch dups dropped; watermark commits at wm1
+      stage(wave2
+        .unionByName(wave2.filter(col("event_id") % 3 === 0))
+        .unionByName(wave1.filter(col("ts") > lit(wm1)))
+        .unionByName(wave1.filter(col("ts") < lit(lateCut))))
+      runOnce() // run 2: state-band + late dups both invisible in files
+      spark.read.parquet(s"$base/out")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          D.ntz(col("ts")).as("ts"), col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }.orderBy("event_id"),
+    // every injected duplicate must vanish: the files ARE the events table
+    Some("""SELECT event_id, user_id, event_type, ts, value
+            FROM events ORDER BY event_id"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
     streamSessionParity, streamJoinParity, streamRestartParity,
-    streamOuterJoinParity, streamLateDropParity)
+    streamOuterJoinParity, streamLateDropParity, streamDedupParity)
 }

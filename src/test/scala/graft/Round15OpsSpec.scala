@@ -77,6 +77,34 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream_dedup_parity: event_id unique (oracle premise) and all three dup classes nonempty at every SF") {
+    import graft.util.Tables
+    for (sf <- allSfs) {
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      // the oracle is the bare events table — only sound if event_id is a key
+      val n = ev.count()
+      assert(ev.select(countDistinct(col("event_id"))).head().getLong(0) == n,
+        s"$sf: event_id not unique — the bare-table oracle would be wrong")
+      // replay the key's wave/watermark arithmetic and check each injected
+      // duplicate class is nonempty, so all three drop mechanisms are graded
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val midMs = mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+      val split = new java.sql.Timestamp(midMs)
+      val wave1 = ev.filter(col("ts") <= lit(split))
+      val max1 = wave1.agg(max(col("ts"))).head().getTimestamp(0)
+      val wm1 = new java.sql.Timestamp(max1.getTime - 10L * 60 * 1000)
+      val lateCut = new java.sql.Timestamp(wm1.getTime - 3600L * 1000)
+      assert(wave1.filter(col("event_id") % 3 === 0).count() >= 1,
+        s"$sf: no in-batch duplicate — first-occurrence-wins untested")
+      assert(wave1.filter(col("ts") > lit(wm1)).count() >= 1,
+        s"$sf: no live-state duplicate — cross-restart state suppression untested")
+      assert(wave1.filter(col("ts") < lit(lateCut)).count() >= 1,
+        s"$sf: no late duplicate — the late-row drop path untested")
+    }
+  }
+
   // ---- Finding-1 conversions (VERDICT-r14 #4): the three DataFrame-tier
   // keys whose group count scales with the fact table now sum in integer
   // cents. Each pin computes BOTH formulations in ONE aggregation pass
