@@ -112,6 +112,27 @@ class Round15OpsSpec extends SparkSpec {
   // the Spark-side half of the bit-identical proof (the cross-engine half
   // is the unchanged DECIMAL oracle in the parity gate).
 
+  test("converted keys' physical plans carry NO decimal sum — the cents form stays primitive") {
+    // the point of the conversion: the hash aggregate's buffer is a
+    // BIGINT sum, not Spark's precision-28 decimal (finding 1); a future
+    // edit that reintroduces sum(cast(... as decimal)) in these plans is
+    // a silent 7x CPU regression at scale. agg_gini_revenue is pinned by
+    // its equivalence test instead: its per-custkey sum is cents-BIGINT,
+    // but the downstream GLOBAL Σ i·cents keeps a deliberate
+    // DECIMAL(38,0) — one group (groupBy()), so no per-group buffer
+    // pathology, and the n²-growing rank products genuinely need the
+    // 38-digit headroom BIGINT lacks at scale.
+    for (name <- Seq("sort_limit_topk", "ts_session", "ml_shuffle_batch")) {
+      val p = Registry.byName(name).build(spark, sf0001)
+        .queryExecution.executedPlan.toString.toLowerCase
+      // the cents form is sum(cast(round(x * 100, 0) as bigint)) — only a
+      // DECIMAL-typed sum buffer is the regression being pinned out
+      assert(!"sum\\([^)]*decimal".r.findFirstIn(p).isDefined,
+        s"$name: plan still carries a decimal sum")
+    }
+    graft.util.Memo.clear(spark)
+  }
+
   test("sort_limit_topk: cents revenue == decimal revenue on every (orderkey, date) group at every SF") {
     import graft.util.{D, Tables}
     for (sf <- allSfs) {
