@@ -467,6 +467,94 @@ object MlPrep {
                          / CAST(512 * sum(bins) AS DOUBLE), 6) AS fill_rate
             FROM fin GROUP BY source ORDER BY source"""))
 
+  /** Length-bucketed batching vs arrival-order batching (round-15 — the
+    * packing family's third regime, and the one dynamic-batching serving/
+    * training stacks actually run): pad-to-batch-max batching wastes
+    * batch_rows × (max_len − len) per doc, so bucketing docs by length
+    * BEFORE batching is the standard padding-FLOPs cut. Graded head-to-
+    * head on the same corpus and batch size (16): scheme 'arrival'
+    * batches in doc_id order (doc_id is dense arrival order in the
+    * fixtures — pinned by the spec); scheme 'bucketed' assigns each doc
+    * row-locally to a FIXED token-length band (<32, <64, <96, ≥96 — all
+    * four populated at every fixture SF, spec-pinned) and batches within
+    * the band in (len, doc_id) order. Output per scheme: batches, padded
+    * vs used tokens, waste ratio — the number that justifies the bucketing
+    * stage in a pipeline (fixture corpora read ~25% arrival waste vs ~5%
+    * bucketed). All integer arithmetic; the one division is the final
+    * identical-operand waste ratio, rounded 6 on both engines.
+    *
+    * 100-TB shape: band assignment is row-local (fixed thresholds — NOT
+    * ntile, which would need a corpus-wide sort); the per-band ordinal is
+    * a 4-partition window here, which at real scale generalizes exactly
+    * like ml_shuffle_batch's global ordinal: hash-prefix sub-buckets
+    * inside each band, per-sub-bucket row_number, tiny offset aggregate
+    * broadcast back. Batch census is one hash agg on the batch key. */
+  val mlPackBucketed = Q(
+    "ml_pack_bucketed",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("t"))
+      def census(batches: org.apache.spark.sql.DataFrame, scheme: String) =
+        batches.groupBy("b")
+          .agg(count(lit(1)).as("n"), max(col("t")).as("mx"),
+            sum(col("t")).as("u"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("n") * col("mx")).as("padded_tokens"),
+            sum(col("u")).as("used_tokens"))
+          .select(lit(scheme).as("scheme"), col("n_batches"),
+            col("padded_tokens"), col("used_tokens"),
+            round((col("padded_tokens") - col("used_tokens")).cast("double")
+              / col("padded_tokens").cast("double"), 6).as("waste_ratio"))
+      val arrival = census(
+        d.withColumn("b", expr("CAST(doc_id DIV 16 AS BIGINT)")), "arrival")
+      val banded = d.withColumn("q",
+        when(col("t") < 32, 0L).when(col("t") < 64, 1L)
+          .when(col("t") < 96, 2L).otherwise(3L))
+      val wBand = Window.partitionBy("q").orderBy("t", "doc_id")
+      val bucketed = census(
+        banded.withColumn("rn", row_number().over(wBand))
+          // batch key unique ACROSS bands: band stride far above any
+          // fixture batch count
+          .withColumn("b",
+            col("q") * lit(1000000L) + expr("CAST((rn - 1) DIV 16 AS BIGINT)")),
+        "bucketed")
+      arrival.unionByName(bucketed).orderBy("scheme")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+                       FROM documents),
+                 ab AS (SELECT CAST(doc_id // 16 AS BIGINT) AS b, t FROM d),
+                 ag AS (SELECT b, count(*) AS n, max(t) AS mx, sum(t) AS u
+                        FROM ab GROUP BY b),
+                 asum AS (SELECT 'arrival' AS scheme,
+                                 CAST(count(*) AS BIGINT) AS n_batches,
+                                 CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+                                 CAST(sum(u) AS BIGINT) AS used_tokens
+                          FROM ag),
+                 q AS (SELECT doc_id, t,
+                              CASE WHEN t < 32 THEN 0 WHEN t < 64 THEN 1
+                                   WHEN t < 96 THEN 2 ELSE 3 END AS q
+                       FROM d),
+                 r AS (SELECT q, t, row_number() OVER (PARTITION BY q
+                                      ORDER BY t, doc_id) AS rn
+                       FROM q),
+                 bb AS (SELECT q * 1000000 + CAST((rn - 1) // 16 AS BIGINT)
+                                 AS b, t
+                        FROM r),
+                 bg AS (SELECT b, count(*) AS n, max(t) AS mx, sum(t) AS u
+                        FROM bb GROUP BY b),
+                 bsum AS (SELECT 'bucketed' AS scheme,
+                                 CAST(count(*) AS BIGINT) AS n_batches,
+                                 CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+                                 CAST(sum(u) AS BIGINT) AS used_tokens
+                          FROM bg)
+            SELECT scheme, n_batches, padded_tokens, used_tokens,
+                   round(CAST(padded_tokens - used_tokens AS DOUBLE)
+                         / CAST(padded_tokens AS DOUBLE), 6) AS waste_ratio
+            FROM (SELECT * FROM asum UNION ALL SELECT * FROM bsum)
+            ORDER BY scheme"""))
+
   /** Temperature-balanced dataset mix (T = 2): per-source sampling rates
     * ∝ sqrt(count) scaled to a 50% target volume, applied as a stateless
     * md5-threshold per doc — the standard multi-source rebalance before
@@ -1332,7 +1420,8 @@ object MlPrep {
     mlTokenizerFertility, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
-    mlClassWeights, mlPackSequences, mlPackGreedy, mlDatasetMix, mlPadMask,
+    mlClassWeights, mlPackSequences, mlPackGreedy, mlPackBucketed,
+    mlDatasetMix, mlPadMask,
     mlTargetEncode,
     mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
     mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard, mlOovRate,

@@ -112,6 +112,39 @@ class Round15OpsSpec extends SparkSpec {
   // the Spark-side half of the bit-identical proof (the cross-engine half
   // is the unchanged DECIMAL oracle in the parity gate).
 
+  test("ml_pack_bucketed: premises hold and bucketing strictly reduces waste at every SF") {
+    import graft.util.Tables
+    for (sf <- allSfs) {
+      val d = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("t"))
+      // arrival scheme's premise: doc_id is the dense 0..N-1 arrival order
+      val n = d.count()
+      val mm = d.agg(min("doc_id"), max("doc_id"),
+        countDistinct(col("doc_id"))).head()
+      assert(mm.getLong(0) == 0L && mm.getLong(1) == n - 1 &&
+        mm.getLong(2) == n, s"$sf: doc_id not dense 0..N-1")
+      // every token band populated, or the bucketed scheme grades a
+      // degenerate partition
+      val bands = d.select(
+        sum(when(col("t") < 32, 1).otherwise(0)),
+        sum(when(col("t") >= 32 && col("t") < 64, 1).otherwise(0)),
+        sum(when(col("t") >= 64 && col("t") < 96, 1).otherwise(0)),
+        sum(when(col("t") >= 96, 1).otherwise(0))).head()
+      for (i <- 0 until 4)
+        assert(bands.getLong(i) >= 1, s"$sf: token band $i empty")
+      // the claim the key exists to quantify: bucketed waste < arrival
+      val out = Registry.byName("ml_pack_bucketed").build(spark, sf)
+        .orderBy("scheme").collect()
+      val (arr, buck) = (out(0), out(1))
+      assert(arr.getString(0) == "arrival" && buck.getString(0) == "bucketed")
+      assert(buck.getDouble(4) < arr.getDouble(4),
+        s"$sf: bucketed waste ${buck.getDouble(4)} !< arrival ${arr.getDouble(4)}")
+      // same corpus on both sides: used tokens identical
+      assert(arr.getLong(3) == buck.getLong(3))
+    }
+  }
+
   test("converted keys' physical plans carry NO decimal sum — the cents form stays primitive") {
     // the point of the conversion: the hash aggregate's buffer is a
     // BIGINT sum, not Spark's precision-28 decimal (finding 1); a future
