@@ -514,10 +514,12 @@ object MlPrep {
       val wBand = Window.partitionBy("q").orderBy("t", "doc_id")
       val bucketed = census(
         banded.withColumn("rn", row_number().over(wBand))
-          // batch key unique ACROSS bands: band stride far above any
-          // fixture batch count
+          // batch key unique ACROSS bands: band in the high bits (q << 40)
+          // cannot collide until a band holds 2^40 batches ≈ 1.7e13 docs —
+          // beyond any 100-TB corpus (ADVICE-r15: the old 1e6 stride
+          // collided past 16M docs/band, contradicting the key's framing)
           .withColumn("b",
-            col("q") * lit(1000000L) + expr("CAST((rn - 1) DIV 16 AS BIGINT)")),
+            col("q") * lit(1L << 40) + expr("CAST((rn - 1) DIV 16 AS BIGINT)")),
         "bucketed")
       arrival.unionByName(bucketed).orderBy("scheme")
     },
@@ -539,7 +541,7 @@ object MlPrep {
                  r AS (SELECT q, t, row_number() OVER (PARTITION BY q
                                       ORDER BY t, doc_id) AS rn
                        FROM q),
-                 bb AS (SELECT q * 1000000 + CAST((rn - 1) // 16 AS BIGINT)
+                 bb AS (SELECT q * 1099511627776 + CAST((rn - 1) // 16 AS BIGINT)
                                  AS b, t
                         FROM r),
                  bg AS (SELECT b, count(*) AS n, max(t) AS mx, sum(t) AS u
