@@ -152,6 +152,70 @@ object MlPrep {
             FROM feats JOIN labels ON event_type = lbl_type
             ORDER BY event_id"""))
 
+  /** MLlib Pipeline parity (round-16, VERDICT-r15 #6 — the north star's
+    * "MLlib pipelines" wording as a graded artifact): a REAL fitted
+    * `org.apache.spark.ml.Pipeline` — VectorAssembler → MinMaxScaler →
+    * StringIndexer(frequencyDesc) → OneHotEncoder(dropLast=false) — whose
+    * transform output is graded hash-exact against an expression-form SQL
+    * oracle replaying each stage's published semantics: MinMaxScaler's
+    * global (v−min)/(max−min) (the [0,1] default makes the trailing
+    * ·scale+min an IEEE identity — raw·1.0+0.0), StringIndexer's
+    * (frequency DESC, value ASC) label order (ml_label_index's rule), and
+    * the one-hot vector read back positionally as oh_0..oh_4 (label-keyed,
+    * not name-keyed, so the oracle never needs the fitted labelsArray).
+    * The fitted PipelineModel is memoized per (session, corpus) — fitting
+    * runs two corpus aggregates (min/max summary + label counts); the
+    * graded transform itself is one scan with a broadcast label map.
+    *
+    * 100-TB shape: fit = two tree-aggregates (no shuffle of fact rows);
+    * transform is embarrassingly parallel row-local vector math. The
+    * quotient divides identical finished doubles on both engines; round 6
+    * per the repo's computed-quotient convention. */
+  val mlPipelineMllib = Q(
+    "ml_pipeline_mllib",
+    (spark, sfDir) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.feature.{MinMaxScaler, OneHotEncoder, StringIndexer, VectorAssembler}
+      import org.apache.spark.ml.functions.vector_to_array
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val model = graft.util.Memo(spark,
+          s"$sfDir:mllibpipe:${Tables.tableKey(sfDir, "events")}") {
+        new Pipeline().setStages(Array(
+          new VectorAssembler().setInputCols(Array("value"))
+            .setOutputCol("v_raw"),
+          new MinMaxScaler().setInputCol("v_raw").setOutputCol("v_scaled"),
+          new StringIndexer().setInputCol("event_type").setOutputCol("label_d")
+            .setStringOrderType("frequencyDesc"),
+          new OneHotEncoder().setInputCol("label_d").setOutputCol("oh")
+            .setDropLast(false))).fit(ev)
+      }
+      val cols = Seq(
+        round(vector_to_array(col("v_scaled")).getItem(0), 6).as("f_norm"),
+        col("label_d").cast("bigint").as("label")) ++
+        (0 to 4).map(i =>
+          vector_to_array(col("oh")).getItem(i).cast("int").as(s"oh_$i"))
+      model.transform(ev)
+        .select(col("event_id") +: cols: _*)
+        .orderBy("event_id")
+    },
+    Some("""WITH labels AS (
+              SELECT event_type AS lbl_type,
+                     CAST(dense_rank() OVER (ORDER BY count(*) DESC, event_type) - 1
+                          AS BIGINT) AS label
+              FROM events GROUP BY event_type),
+            mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+            SELECT event_id,
+                   round((value - mn) / nullif(mx - mn, 0.0), 6) AS f_norm,
+                   label,
+                   CASE WHEN label = 0 THEN 1 ELSE 0 END AS oh_0,
+                   CASE WHEN label = 1 THEN 1 ELSE 0 END AS oh_1,
+                   CASE WHEN label = 2 THEN 1 ELSE 0 END AS oh_2,
+                   CASE WHEN label = 3 THEN 1 ELSE 0 END AS oh_3,
+                   CASE WHEN label = 4 THEN 1 ELSE 0 END AS oh_4
+            FROM events CROSS JOIN mm JOIN labels ON event_type = lbl_type
+            ORDER BY event_id"""))
+
   /** Deterministic shuffled mini-batch assembly — the sensory-batch core:
     * rows are shuffled by md5 (engine-portable, reproducible), numbered,
     * and chunked into 64-row batches; output is per-batch stats.
@@ -1420,7 +1484,7 @@ object MlPrep {
 
   def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlBpeVocab,
     mlTokenizerFertility, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
-    mlSplitHash, mlPipelineBatch, mlShuffleBatch, mlFeatureHash,
+    mlSplitHash, mlPipelineBatch, mlPipelineMllib, mlShuffleBatch, mlFeatureHash,
     mlStratifiedSplit, mlKfoldAssign, mlTokenChunks, mlReservoirGroup,
     mlClassWeights, mlPackSequences, mlPackGreedy, mlPackBucketed,
     mlDatasetMix, mlPadMask,

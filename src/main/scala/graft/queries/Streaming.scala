@@ -679,7 +679,139 @@ object Streaming {
     Some("""SELECT event_id, user_id, event_type, ts, value
             FROM events ORDER BY event_id"""))
 
+  /** transformWithState input/output/state rows. State IS TwsOut: the
+    * running per-user census the processor both stores and emits, so a
+    * restart-restored state row and an emitted row are the same shape by
+    * construction. sum_cents rides as exact integer cents (D.scala's
+    * high-cardinality money rule: the ×100 lift of a stored 2-dp double
+    * is never at a rounding midpoint, so JVM rint, Spark round and
+    * DuckDB round land on the same integer; the per-user sum stays far
+    * below 2^53). */
+  final case class TwsIn(user_id: Long, value: Double)
+  final case class TwsOut(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Arbitrary-stateful processor: per-user running (count, cents-sum) in
+    * ONE ValueState row. Called once per key per micro-batch with that
+    * batch's rows; reads the restored state (RocksDB, checkpoint-backed —
+    * the restart in the graded key proves the restore), folds the batch
+    * in, writes the state back, emits the updated census. Emissions are
+    * therefore strictly increasing in n_events per key, which is what
+    * lets the graded frame recover "final state" from an append sink
+    * with max_by(_, n_events). */
+  final class TwsCountSum extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, TwsIn, TwsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsOut]("census",
+        org.apache.spark.sql.Encoders.product[TwsOut], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsIn],
+        tv: TimerValues): Iterator[TwsOut] = {
+      var n = 0L; var s = 0L
+      rows.foreach { r => n += 1; s += math.rint(r.value * 100).toLong }
+      val prev = if (st.exists()) st.get() else TwsOut(key, 0L, 0L)
+      val upd = TwsOut(key, prev.n_events + n, prev.sum_cents + s)
+      st.update(upd)
+      Iterator.single(upd)
+    }
+  }
+
+  /** ARBITRARY STATEFUL PROCESSING parity (round-16, VERDICT-r15 #2 — the
+    * last ungraded stateful streaming family): `transformWithState`, the
+    * Spark 4 user-defined-state API (successor to mapGroupsWithState),
+    * running a per-user count+cents-sum census in a ValueState over the
+    * RocksDB state store provider — the only provider the operator
+    * supports, so this key also exercises the production state backend
+    * the other streaming keys' default HDFS-backed store does not. Two
+    * waves via the restart machinery (Streaming.scala restart/dedup
+    * pattern): wave 1 (ts ≤ midpoint) runs to AvailableNow completion and
+    * commits RocksDB snapshots into the checkpoint; wave 2 arrives and a
+    * NEW start() restores every user's ValueState from those snapshots
+    * and folds the second wave in. The graded frame is the FINAL state
+    * per user, recovered from the append sink as the max_by(n_events)
+    * emission (emissions are strictly increasing per key — scaladoc
+    * above). A state row lost in the restart (census restarts at wave-2
+    * counts), a replayed batch (double-counted), or a cents drift all
+    * break hash parity against the one-line batch oracle: the plain
+    * GROUP BY user_id census over the whole fixture.
+    *
+    * 100-TB shape: state is one 24-byte row per user, hash-partitioned on
+    * the grouping key across SF-sized state partitions; RocksDB keeps the
+    * working set off-heap and snapshot-compacts into the checkpoint. The
+    * graded-frame census is one hash agg over the sink files. TimeMode
+    * None: a pure running census needs no timers and no watermark — state
+    * lives until the key stops arriving, the deployment-correct choice
+    * for an all-time per-entity profile. */
+  val streamTwsParity = Q(
+    "stream_tws_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamtws:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark, sfDir) {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val prevProv = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val midMs = mm.getTimestamp(0).getTime +
+          (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+        val split = new java.sql.Timestamp(midMs)
+        val base = tempDir("graft_stream_tws_")
+        val src = s"$base/src"
+        def stage(batch: org.apache.spark.sql.DataFrame): Unit =
+          batch.select(col("user_id"), col("value"))
+            .coalesce(1).write.mode("append").parquet(src)
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        def runOnce(): Unit = {
+          val in = spark.readStream.schema(inSchema).parquet(src)
+            .as[TwsIn](org.apache.spark.sql.Encoders.product[TwsIn])
+          val out = in
+            .groupByKey((r: TwsIn) => r.user_id)(
+              org.apache.spark.sql.Encoders.scalaLong)
+            .transformWithState(new TwsCountSum, TimeMode.None(),
+              OutputMode.Append())(
+              org.apache.spark.sql.Encoders.product[TwsOut])
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        stage(ev.filter(col("ts") <= lit(split)))
+        runOnce() // run 1: RocksDB state snapshots commit into the checkpoint
+        stage(ev.filter(col("ts") > lit(split)))
+        runOnce() // run 2: restart — every ValueState restored, wave 2 folded in
+        spark.read.parquet(s"$base/out")
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+            expr("max_by(sum_cents, n_events)").as("sum_cents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } finally {
+        prevProv match {
+          case Some(p) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      }
+    }.orderBy("user_id"),
+    // the whole-fixture batch census: final state must equal it exactly
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
     streamSessionParity, streamJoinParity, streamRestartParity,
-    streamOuterJoinParity, streamLateDropParity, streamDedupParity)
+    streamOuterJoinParity, streamLateDropParity, streamDedupParity,
+    streamTwsParity)
 }
