@@ -810,8 +810,73 @@ object Streaming {
                      AS sum_cents
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** STATE-STORE READER parity (round-16 — the ops surface none of the
+    * other streaming keys grade: Spark 4's state data source,
+    * `spark.read.format("statestore")`, which opens a checkpoint's state
+    * files as a DataFrame without touching the query that owns them —
+    * how a production operator inspects live state, sizes stores, and
+    * debugs watermark stalls). The build runs the canonical tumbling
+    * aggregation to AvailableNow completion (append mode, 10-min
+    * watermark), then grades what the checkpoint RETAINS: under append
+    * mode a window's state is evicted exactly when the watermark passes
+    * its end (that emission is stream_file_sink_parity's grade), so the
+    * store must hold precisely the OPEN windows — bucket_end > max(ts) −
+    * 10 min — with their exact partial aggregates (count + decimal sum
+    * buffers, read back from the internal buffer schema). The two keys
+    * together PARTITION the batch aggregate: files ∪ state = batch,
+    * files ∩ state = ∅ (Round16OpsSpec pins the union). A bucket
+    * retained past eviction, evicted early, or a drifted partial buffer
+    * all break hash parity; the oracle is the batch aggregate under the
+    * complement of the append emission rule.
+    *
+    * 100-TB shape: the reader scans state files partition-parallel with
+    * no interaction with the live query; retained state is bounded by
+    * the open calendar window (watermark-evicted), never event volume. */
+  val streamStateReaderParity = Q(
+    "stream_state_reader_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamstatereader:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark, sfDir) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val base = tempDir("graft_stream_statereader_")
+      ev.coalesce(1).write.parquet(s"$base/src")
+      val agg = spark.readStream.schema(ev.schema).parquet(s"$base/src")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+        .select(D.ntz(col("window.start")).as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the graded frame: the checkpoint's retained state, decoded from
+      // the internal (count, decimal-sum) aggregation buffers
+      spark.read.format("statestore").option("path", s"$base/ckpt").load()
+        .select(D.ntz(col("key.window.start")).as("bucket"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"),
+          D.dbl(col("value.sum").cast(D.Money)).as("sum_value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }.orderBy("bucket", "event_type"),
+    // batch aggregate under the COMPLEMENT of the append emission rule:
+    // exactly the still-open buckets live in the store
+    Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+                 b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                              event_type, count(*) AS n,
+                              ${D.oSumDec("value")} AS sum_value
+                       FROM events GROUP BY bucket, event_type)
+            SELECT bucket, event_type, n, sum_value
+            FROM b CROSS JOIN mx
+            WHERE bucket + INTERVAL 1 HOUR > m - INTERVAL 10 MINUTES
+            ORDER BY bucket, event_type"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
     streamSessionParity, streamJoinParity, streamRestartParity,
     streamOuterJoinParity, streamLateDropParity, streamDedupParity,
-    streamTwsParity)
+    streamTwsParity, streamStateReaderParity)
 }

@@ -53,6 +53,27 @@ class Round16OpsSpec extends SparkSpec {
     Memo.clear(spark)
   }
 
+  test("stream_state_reader_parity: sink files and retained state PARTITION the batch aggregate (sf0.001)") {
+    val state = Registry.byName("stream_state_reader_parity").build(spark, sf0001)
+    val files = Registry.byName("stream_file_sink_parity").build(spark, sf0001)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+      .select(D.ntz(col("window.start")).as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+    val union = state.unionByName(files).orderBy("bucket", "event_type")
+    assert(union.collect().toSeq == batch.collect().toSeq,
+      "state ∪ files must reproduce the batch aggregate exactly")
+    val overlap = state.select("bucket", "event_type")
+      .join(files.select("bucket", "event_type"), Seq("bucket", "event_type"))
+      .count()
+    assert(overlap == 0L, s"$overlap buckets live in BOTH the files and the store")
+    assert(state.count() >= 1L, "no retained bucket — the retention grade is vacuous")
+    Memo.clear(spark)
+  }
+
   test("cents-bound tripwire: corpus-total cents magnitudes sit far under the documented limits (ADVICE-r15)") {
     // D.cents()/sumCents/sumNetCents are exact only while the ×100 round
     // trick stays below ~2^51/100 per value and the per-group cents sum
