@@ -875,8 +875,219 @@ object Streaming {
             WHERE bucket + INTERVAL 1 HOUR > m - INTERVAL 10 MINUTES
             ORDER BY bucket, event_type"""))
 
+  /** Timer-sessionizer rows. TmSess doubles as the two state shapes (the
+    * OPEN session ValueState and the closed-pending ListState); money
+    * rides as exact integer cents (the TwsCountSum convention) and is
+    * converted to the graded double only at emission. */
+  final case class TmIn(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class TmSess(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_cents: Long)
+  final case class TmOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Event-time TIMER sessionizer: ts_session's 30-min-gap semantics
+    * re-implemented on the transformWithState timer surface instead of
+    * `session_window` — gaps-and-islands fold per key per batch (rows
+    * sorted (ts, event_id), the oracle's window order), closed sessions
+    * parked in a ListState, the OPEN tail in a ValueState, and exactly
+    * ONE armed event-time timer per key at the earliest pending close
+    * (end + 30 min); `handleExpiredTimer` emits every session whose
+    * close the watermark has passed, then re-arms at the next close.
+    * Timer ms vs oracle µs: the timer registers at CEIL(close_µs / 1000),
+    * so a fire (wm_ms ≥ timer_ms) implies wm_µs ≥ close_µs — the timer
+    * can never emit a session the µs-exact oracle withholds; the reverse
+    * sub-ms boundary window is the same class the session_window keys
+    * already carry (wm is ms-floored engine-side, µs-exact oracle-side)
+    * and is parity-checked at all five SFs. */
+  final class TmSessionizer extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, TmIn, TmOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var open: ValueState[TmSess] = _
+    @transient private var pending: ListState[TmSess] = _
+    @transient private var armed: ValueState[Long] = _
+    private val GapUs = 30L * 60 * 1000000L
+    private def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    private def closeMs(s: TmSess): Long =
+      (us(s.session_end) + GapUs + 999L) / 1000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[TmSess]("open",
+        Encoders.product[TmSess], TTLConfig.NONE)
+      pending = getHandle.getListState[TmSess]("pending",
+        Encoders.product[TmSess], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    /** Keep exactly one live timer per key: the earliest close among
+      * pending ∪ open. consumedFired=true when called from the expiry
+      * path, where the previously-armed timer no longer exists. */
+    private def rearm(consumedFired: Boolean): Unit = {
+      val closes = (pending.get().toSeq ++
+        (if (open.exists()) Seq(open.get()) else Nil)).map(closeMs)
+      val cur = if (armed.exists()) Some(armed.get()) else None
+      if (closes.isEmpty) {
+        cur.foreach { c => if (!consumedFired) getHandle.deleteTimer(c) }
+        armed.clear()
+      } else {
+        val mn = closes.min
+        if (!cur.contains(mn) || consumedFired) {
+          cur.foreach { c => if (!consumedFired) getHandle.deleteTimer(c) }
+          getHandle.registerTimer(mn)
+          armed.update(mn)
+        }
+      }
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TmIn],
+        tv: TimerValues): Iterator[TmOut] = {
+      val sorted = rows.toArray.sortBy(r => (us(r.ts), r.event_id))
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { r =>
+        val c = math.rint(r.value * 100).toLong
+        cur match {
+          case Some(s) if us(r.ts) - us(s.session_end) <= GapUs =>
+            cur = Some(s.copy(session_end = r.ts,
+              n_events = s.n_events + 1, sum_cents = s.sum_cents + c))
+          case other =>
+            other.foreach(pending.appendValue)
+            cur = Some(TmSess(key, r.ts, r.ts, 1L, c))
+        }
+      }
+      cur.foreach(open.update)
+      rearm(consumedFired = false)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TmOut] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      def due(s: TmSess) = us(s.session_end) + GapUs <= wmUs
+      val (done, keep) = pending.get().toArray.partition(due)
+      if (keep.isEmpty) pending.clear() else pending.put(keep)
+      val openDone = if (open.exists() && due(open.get())) {
+        val s = open.get(); open.clear(); Seq(s)
+      } else Nil
+      armed.clear() // the fired timer is consumed; rearm registers fresh
+      rearm(consumedFired = true)
+      (done ++ openDone).sortBy(s => us(s.session_start)).iterator
+        .map(s => TmOut(s.user_id, s.session_start, s.session_end,
+          s.n_events, s.sum_cents.toDouble / 100.0))
+    }
+  }
+
+  /** EVENT-TIME TIMER parity (round-16 — the timer surface of
+    * transformWithState, the one stateful mechanism still ungraded after
+    * stream_tws_parity graded user state: registerTimer/deleteTimer/
+    * handleExpiredTimer with timers CHECKPOINTED and restored across
+    * restart). The TmSessionizer scaladoc above holds the mechanics; the
+    * graded claim is that a hand-built timer state machine reproduces
+    * ts_session's gaps-and-islands semantics BYTE-FOR-BYTE under the
+    * append emission rule — the same oracle stream_session_parity grades
+    * for the built-in session_window operator, so the two keys verify
+    * each other across completely different engines (built-in session
+    * merge vs user timers). Two waves through the restart machinery:
+    * wave 1 commits sessions, timers and the watermark into the
+    * checkpoint; wave 2 must restore all three — a straddle session
+    * extends the restored OPEN state, an undue wave-1 timer fires in
+    * wave 2's expiry batch, and a lost timer simply never emits its
+    * session (row missing → hash break).
+    *
+    * 100-TB shape: per-key state is the open session + the
+    * not-yet-closed pending tail (watermark-bounded), one timer per key;
+    * the per-batch in-key sort is bounded by source admission control
+    * (maxFilesPerTrigger), not corpus size. */
+  val streamTimerParity = Q(
+    "stream_timer_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamtimer:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark, sfDir) {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val prevProv = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val midMs = mm.getTimestamp(0).getTime +
+          (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+        val split = new java.sql.Timestamp(midMs)
+        val base = tempDir("graft_stream_timer_")
+        val src = s"$base/src"
+        def stage(batch: org.apache.spark.sql.DataFrame): Unit =
+          batch.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+            .coalesce(1).write.mode("append").parquet(src)
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        def runOnce(): Unit = {
+          val in = spark.readStream.schema(inSchema).parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .as[TmIn](org.apache.spark.sql.Encoders.product[TmIn])
+          val out = in
+            .groupByKey((r: TmIn) => r.user_id)(
+              org.apache.spark.sql.Encoders.scalaLong)
+            .transformWithState(new TmSessionizer, TimeMode.EventTime(),
+              OutputMode.Append())(
+              org.apache.spark.sql.Encoders.product[TmOut])
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        stage(ev.filter(col("ts") <= lit(split)))
+        runOnce() // run 1: sessions + TIMERS + watermark into the checkpoint
+        stage(ev.filter(col("ts") > lit(split)))
+        runOnce() // run 2: restart — state AND armed timers restored
+        spark.read.parquet(s"$base/out")
+          .select(col("user_id"),
+            D.ntz(col("session_start")).as("session_start"),
+            D.ntz(col("session_end")).as("session_end"),
+            col("n_events"), col("sum_value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } finally {
+        prevProv match {
+          case Some(p) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      }
+    }.orderBy("user_id", "session_start"),
+    // stream_session_parity's oracle VERBATIM: the user-timer state
+    // machine must reproduce the built-in session engine's files exactly
+    Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+                 flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+              FROM events),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged),
+            sess AS (
+              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_events, ${D.oSumDec("value")} AS sum_value
+              FROM numbered GROUP BY user_id, sid)
+            SELECT user_id, session_start, session_end, n_events, sum_value
+            FROM sess CROSS JOIN mx
+            WHERE session_end + INTERVAL 30 MINUTES <= m - INTERVAL 10 MINUTES
+            ORDER BY user_id, session_start"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
     streamSessionParity, streamJoinParity, streamRestartParity,
     streamOuterJoinParity, streamLateDropParity, streamDedupParity,
-    streamTwsParity, streamStateReaderParity)
+    streamTwsParity, streamStateReaderParity, streamTimerParity)
 }

@@ -74,6 +74,39 @@ class Round16OpsSpec extends SparkSpec {
     Memo.clear(spark)
   }
 
+  test("stream_timer_parity == stream_session_parity graded frames: user timers reproduce the built-in session engine (sf0.001)") {
+    val timers = Registry.byName("stream_timer_parity").build(spark, sf0001)
+    val builtin = Registry.byName("stream_session_parity").build(spark, sf0001)
+    assert(timers.collect().toSeq == builtin.collect().toSeq)
+    Memo.clear(spark)
+  }
+
+  test("stream_timer_parity: ≥1 session emits ONLY via a restart-restored timer at every SF") {
+    // a session wholly inside wave 1 (session_end ≤ split) whose close
+    // (end + 30 min) is past wave 1's committed watermark (max₁ − 10 min)
+    // cannot emit in wave 1 — its presence in the final output proves the
+    // armed timer survived the checkpoint restart and fired in wave 2
+    for (sf <- allSfs) {
+      val ev = Tables.events(spark, sf)
+        .select(col("ts").cast("timestamp").as("ts"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val midMs = mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+      val split = new java.sql.Timestamp(midMs)
+      val max1 = ev.filter(col("ts") <= lit(split))
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val wm1 = new java.sql.Timestamp(max1.getTime - 10 * 60 * 1000L)
+      val out = Registry.byName("stream_timer_parity").build(spark, sf)
+      val viaRestoredTimer = out.filter(
+        col("session_end") <= lit(split).cast("timestamp_ntz") &&
+          col("session_end") + expr("INTERVAL 30 MINUTES") >
+            lit(wm1).cast("timestamp_ntz")).count()
+      assert(viaRestoredTimer >= 1,
+        s"$sf: no session emitted via a restart-restored timer — that path is untested")
+    }
+    Memo.clear(spark)
+  }
+
   test("cents-bound tripwire: corpus-total cents magnitudes sit far under the documented limits (ADVICE-r15)") {
     // D.cents()/sumCents/sumNetCents are exact only while the ×100 round
     // trick stays below ~2^51/100 per value and the per-group cents sum
