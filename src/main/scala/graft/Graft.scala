@@ -60,10 +60,13 @@ object Graft {
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     var baseDir: java.io.File = null
     try {
+      // through the family tempDir: pid-stamped name + reaper-registered,
+      // so a SIGKILL between here and the finally below still gets
+      // reclaimed by the next JVM's startup sweep (round-17)
       val base = {
-        val p = java.nio.file.Files.createTempDirectory("graft_stream_warm_")
-        baseDir = p.toFile
-        p.toString
+        val p = graft.queries.Streaming.tempDir("graft_stream_warm_")
+        baseDir = new java.io.File(p)
+        p
       }
       spark.range(2)
         .select(col("id"),

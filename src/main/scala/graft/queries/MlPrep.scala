@@ -193,8 +193,17 @@ object MlPrep {
       val cols = Seq(
         round(vector_to_array(col("v_scaled")).getItem(0), 6).as("f_norm"),
         col("label_d").cast("bigint").as("label")) ++
+        // get(·,i) + coalesce(·,0), not bare getItem (ADVICE-r16): with
+        // fewer than 5 distinct event types the one-hot vector is shorter
+        // than the fixed 5-column graded shape — and under Spark 4's ANSI
+        // default an out-of-bounds getItem THROWS (verified in
+        // Round17OpsSpec), so the old decode didn't just mis-null, it
+        // aborted. get() tolerates the short vector (NULL), coalesce maps
+        // it to the oracle's CASE-else 0. (>5 types is already shape-safe:
+        // a row whose label ≥ 5 reads 0 in all five slots on both engines.)
         (0 to 4).map(i =>
-          vector_to_array(col("oh")).getItem(i).cast("int").as(s"oh_$i"))
+          coalesce(get(vector_to_array(col("oh")), lit(i)), lit(0.0))
+            .cast("int").as(s"oh_$i"))
       model.transform(ev)
         .select(col("event_id") +: cols: _*)
         .orderBy("event_id")
@@ -206,7 +215,11 @@ object MlPrep {
               FROM events GROUP BY event_type),
             mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
             SELECT event_id,
-                   round((value - mn) / nullif(mx - mn, 0.0), 6) AS f_norm,
+                   -- constant column ⇒ 0.5, MinMaxScaler's published
+                   -- convention (0.5·(max_range+min_range) on [0,1]);
+                   -- the old nullif(mx-mn,0) yielded NULL there
+                   round(CASE WHEN mx = mn THEN 0.5
+                              ELSE (value - mn) / (mx - mn) END, 6) AS f_norm,
                    label,
                    CASE WHEN label = 0 THEN 1 ELSE 0 END AS oh_0,
                    CASE WHEN label = 1 THEN 1 ELSE 0 END AS oh_1,

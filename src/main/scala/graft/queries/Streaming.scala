@@ -45,14 +45,42 @@ object Streaming {
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-      }
-      tmpDirs.forEach(d => rm(d))
+      tmpDirs.forEach(d => rmTree(d))
     }, "graft-stream-tmp-reaper"))
+    // kill-proof leg (VERDICT-r15 #5 / round-16 missing #3): the shutdown
+    // hook never fires for a SIGKILLed JVM — the round-16 driver bench
+    // left 10 family dirs stamped inside its own kill window. Sweeping at
+    // family init reclaims any prior JVM's orphans no matter how it died.
+    sweepStaleTmp()
   }
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(rmTree); f.delete(); ()
+  }
+  /** Reclaim `/tmp/graft_stream_*` orphans left by DEAD JVMs. Every dir
+    * this family creates embeds its owner's pid (`…_p<pid>_…`), so
+    * liveness is checkable (`/proc/<pid>`) and a sweep can never delete a
+    * dir a concurrently-running sibling JVM (sbt test beside check.sh)
+    * still reads. Legacy pid-less names (pre-round-17, or spec dirs that
+    * bypassed tempDir) are reclaimed on age: 30 min is far beyond any
+    * single build, so only a dir whose owner stalled or died qualifies. */
+  private[graft] def sweepStaleTmp(): Unit = try {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val pidPat = java.util.regex.Pattern.compile("_p(\\d+)_")
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    Option(tmpRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_stream_"))
+      .foreach { d =>
+        val m = pidPat.matcher(d.getName)
+        val stale =
+          if (m.find()) !new java.io.File(s"/proc/${m.group(1)}").exists()
+          else d.lastModified() < cutoff
+        if (stale) rmTree(d)
+      }
+  } catch { case scala.util.control.NonFatal(_) => () }
+  private[graft] def tempDir(prefix: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val p = java.nio.file.Files.createTempDirectory(s"${prefix}p${pid}_")
     tmpDirs.add(p.toFile)
     p.toString
   }
@@ -73,20 +101,69 @@ object Streaming {
   private val evRowsBySf = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def streamPartitions(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map { raw =>
+      // validated, not a bare toInt (ADVICE-r16): a typo'd override would
+      // otherwise abort EVERY streaming key with a bare
+      // NumberFormatException far from its cause
+      val n = scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_PARTITIONS must be a positive integer, got '$raw'"))
+      require(n > 0,
+        s"SPARK_GRAFT_STREAM_PARTITIONS must be > 0, got $n")
+      n
+    }.getOrElse {
       // footer-metadata count — no column IO; cached per fixture dir
       val rows = evRowsBySf.getOrElseUpdate(sfDir,
         try spark.read.parquet(s"$sfDir/events.parquet").count()
-        catch { case scala.util.control.NonFatal(_) => 0L })
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // loud, not silent (ADVICE-r16): a missing/corrupt events
+            // fixture pins the 4-partition floor; say so once per dir so
+            // an sf5 run sized like sf0.1 is attributable
+            System.err.println(
+              s"graft.Streaming: events.parquet count failed under $sfDir " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "falling back to the 4-state-partition floor")
+            0L
+        })
       math.min(32L, math.max(4L, rows / 250000L)).toInt
     }
+  /** Depth-counted, not save/restore-per-call (round-17): Bench prebuilds
+    * the streaming memos CONCURRENTLY, and independent save/restore pairs
+    * race — T2 would read T1's in-flight stream value as "prev" and
+    * restore it after T1 already put the batch default back, leaving the
+    * session's batch keys running at the stream partition count. The
+    * first entering build saves the true prior value and sets the target;
+    * only the last exiting build restores. All concurrent builds in one
+    * process target the same (spark, sfDir), so a single shared slot is
+    * sufficient; a hypothetical second sfDir simply rides the first's
+    * target for the overlap — a sizing nuance, never a correctness one. */
+  private val confLock = new Object
+  private var confDepth = 0
+  private var confPrev: String = null
   private def withStreamConf[T](spark: org.apache.spark.sql.SparkSession,
       sfDir: String)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      streamPartitions(spark, sfDir).toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val target = streamPartitions(spark, sfDir).toString
+    confLock.synchronized {
+      if (confDepth == 0) {
+        confPrev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", target)
+      }
+      confDepth += 1
+    }
+    try f finally confLock.synchronized {
+      confDepth -= 1
+      if (confDepth == 0)
+        spark.conf.set("spark.sql.shuffle.partitions", confPrev)
+    }
   }
+
+  /** Keys whose build mutates `stateStore.providerClass` (RocksDB for
+    * transformWithState) — Bench must not prebuild these concurrently
+    * with other streaming builds: the provider conf is session-global and
+    * is read at each query's start. */
+  val providerMutatingKeys: Set[String] =
+    Set("stream_tws_parity", "stream_timer_parity")
 
   /** Streaming tumbling 1h aggregation graded against the BATCH oracle. */
   val streamTumblingParity = Q(
@@ -810,6 +887,95 @@ object Streaming {
                      AS sum_cents
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** flatMapGroupsWithState parity (round-17, VERDICT-r16 #5 — the one
+    * §2.10 capability row still graded only at spec level): the SAME
+    * per-user count+cents census and two-wave restart as
+    * `stream_tws_parity`, re-expressed on the PREDECESSOR user-state API
+    * (`flatMapGroupsWithState`, `GroupState` + `GroupStateTimeout`)
+    * over the DEFAULT HDFS-backed state store — the deliberate contrast:
+    * tws grades the Spark-4 API on RocksDB, this key grades the
+    * Spark-2/3 API every production migration starts from, on the store
+    * the other non-tws keys run. Wave 1 runs to AvailableNow completion
+    * and commits each user's GroupState into the checkpoint; wave 2's
+    * new start() must restore every GroupState and fold the second wave
+    * in. Emissions are strictly increasing in n_events per key (the
+    * processor emits the updated census each batch), so the graded frame
+    * recovers final state from the append sink via max_by(n_events) —
+    * and both keys share ONE batch oracle, so the two user-state APIs
+    * are pinned byte-for-byte against each other across state backends.
+    *
+    * 100-TB shape: identical to tws — one 24-byte state row per user,
+    * hash-partitioned on the grouping key across SF-sized state
+    * partitions; NoTimeout (an all-time census holds state while the
+    * key lives); the graded-frame recovery is one hash agg over files. */
+  val streamFmgwsParity = Q(
+    "stream_fmgws_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamfmgws:${Tables.tableKey(sfDir, "events")}") {
+      withStreamConf(spark, sfDir) {
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val midMs = mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+      val split = new java.sql.Timestamp(midMs)
+      val base = tempDir("graft_stream_fmgws_")
+      val src = s"$base/src"
+      def stage(batch: org.apache.spark.sql.DataFrame): Unit =
+        batch.select(col("user_id"), col("value"))
+          .coalesce(1).write.mode("append").parquet(src)
+      val inSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      // census fold: read restored GroupState, fold the batch, write it
+      // back, emit the updated census (same monotone-emission recovery
+      // contract as TwsCountSum)
+      def fold(key: Long, rows: Iterator[TwsIn],
+          state: GroupState[TwsOut]): Iterator[TwsOut] = {
+        var n = 0L; var s = 0L
+        rows.foreach { r => n += 1; s += math.rint(r.value * 100).toLong }
+        val prev = state.getOption.getOrElse(TwsOut(key, 0L, 0L))
+        val upd = TwsOut(key, prev.n_events + n, prev.sum_cents + s)
+        state.update(upd)
+        Iterator.single(upd)
+      }
+      def runOnce(): Unit = {
+        val in = spark.readStream.schema(inSchema).parquet(src)
+          .as[TwsIn](Encoders.product[TwsIn])
+        val out = in
+          .groupByKey((r: TwsIn) => r.user_id)(Encoders.scalaLong)
+          .flatMapGroupsWithState[TwsOut, TwsOut](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)(
+            Encoders.product[TwsOut], Encoders.product[TwsOut])
+        val q = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(ev.filter(col("ts") <= lit(split)))
+      runOnce() // run 1: every user's GroupState commits into the checkpoint
+      stage(ev.filter(col("ts") > lit(split)))
+      runOnce() // run 2: restart — GroupStates restored, wave 2 folded in
+      spark.read.parquet(s"$base/out")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          expr("max_by(sum_cents, n_events)").as("sum_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }.orderBy("user_id"),
+    // stream_tws_parity's oracle VERBATIM: the two user-state APIs must
+    // produce the identical census across different state backends
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** STATE-STORE READER parity (round-16 — the ops surface none of the
     * other streaming keys grade: Spark 4's state data source,
     * `spark.read.format("statestore")`, which opens a checkpoint's state
@@ -832,11 +998,17 @@ object Streaming {
     * 100-TB shape: the reader scans state files partition-parallel with
     * no interaction with the live query; retained state is bounded by
     * the open calendar window (watermark-evicted), never event volume. */
-  val streamStateReaderParity = Q(
-    "stream_state_reader_parity",
-    (spark, sfDir) => graft.util.Memo(spark,
-        s"$sfDir:streamstatereader:${Tables.tableKey(sfDir, "events")}") {
-      withStreamConf(spark, sfDir) {
+  /** The checkpoint the state-source keys read: the canonical tumbling
+    * aggregation run to AvailableNow completion over a ONE-FILE staged
+    * source (single data batch 0, then the watermark-advance batch 1
+    * that evicts/emits the closed buckets). Memoized on its own key and
+    * returning the base dir, so `stream_state_reader_parity` (latest
+    * snapshot) and `stream_state_timetravel` (batch-0 snapshot) share
+    * ONE streaming build. */
+  private def stateReaderBase(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = graft.util.Memo(spark,
+      s"$sfDir:streamstatereaderbase:${Tables.tableKey(sfDir, "events")}") {
+    withStreamConf(spark, sfDir) {
       val ev = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"), col("value"))
@@ -853,15 +1025,51 @@ object Streaming {
         .option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      base
+    }
+  }
+
+  /** Open a checkpoint's aggregation state via the Spark-4 state data
+    * source and decode the internal (count, decimal-sum) buffers to the
+    * graded (bucket, event_type, n, sum_value) shape. `batchId = None`
+    * reads the LATEST snapshot; `Some(b)` time-travels to the state as
+    * of committed batch `b`. The buffer layout (value.count / value.sum)
+    * is a Spark-internal detail — asserted up front (ADVICE-r16) so a
+    * minor-version layout shift fails with a targeted message instead of
+    * an obscure analysis error deep in the select. */
+  private def decodedStateBuckets(spark: org.apache.spark.sql.SparkSession,
+      ckpt: String, batchId: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val rd = spark.read.format("statestore").option("path", ckpt)
+    val st = batchId.fold(rd)(b => rd.option("batchId", b.toString)).load()
+    locally {
+      import org.apache.spark.sql.types.StructType
+      val valueFields = st.schema("value").dataType match {
+        case s: StructType => s.fieldNames.toSet
+        case other => throw new IllegalStateException(
+          "statestore 'value' column is not a struct (got " + other +
+          "); Spark's state-reader buffer layout has changed")
+      }
+      val need = Set("count", "sum")
+      require(need.subsetOf(valueFields),
+        s"statestore aggregation buffer is missing ${need.diff(valueFields)
+          .mkString(",")} (has: ${valueFields.mkString(",")}); " +
+        "Spark's internal buffer layout has changed — update the decode")
+    }
+    st.select(D.ntz(col("key.window.start")).as("bucket"),
+      col("key.event_type").as("event_type"),
+      col("value.count").as("n"),
+      D.dbl(col("value.sum").cast(D.Money)).as("sum_value"))
+  }
+
+  val streamStateReaderParity = Q(
+    "stream_state_reader_parity",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamstatereader:${Tables.tableKey(sfDir, "events")}") {
       // the graded frame: the checkpoint's retained state, decoded from
       // the internal (count, decimal-sum) aggregation buffers
-      spark.read.format("statestore").option("path", s"$base/ckpt").load()
-        .select(D.ntz(col("key.window.start")).as("bucket"),
-          col("key.event_type").as("event_type"),
-          col("value.count").as("n"),
-          D.dbl(col("value.sum").cast(D.Money)).as("sum_value"))
+      decodedStateBuckets(spark, s"${stateReaderBase(spark, sfDir)}/ckpt",
+          batchId = None)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
     }.orderBy("bucket", "event_type"),
     // batch aggregate under the COMPLEMENT of the append emission rule:
     // exactly the still-open buckets live in the store
@@ -874,6 +1082,41 @@ object Streaming {
             FROM b CROSS JOIN mx
             WHERE bucket + INTERVAL 1 HOUR > m - INTERVAL 10 MINUTES
             ORDER BY bucket, event_type"""))
+
+  /** STATE TIME-TRAVEL (round-17, VERDICT-r16 #6 — the state source's
+    * snapshot options, the operational "what did state look like BEFORE
+    * the watermark moved?" debugging workflow): `batchId = 0` reads the
+    * SAME memoized checkpoint `stream_state_reader_parity` grades, as of
+    * the FIRST committed batch. The staged source is one file, so batch 0
+    * ingests the whole corpus while the watermark is still at zero —
+    * nothing has been evicted yet, and the snapshot must hold EVERY
+    * bucket with its full final aggregate; the eviction that empties the
+    * closed buckets out of the store happens only in the watermark-advance
+    * batch 1 the latest-snapshot key grades. Three keys, one checkpoint,
+    * three mutually-pinning claims: batch-0 state = the plain batch GROUP
+    * BY (this key), latest state = its watermark-open complement slice
+    * (reader key), sink files = the closed slice (file-sink key). A
+    * time-travel read that silently serves the LATEST snapshot instead of
+    * the requested one breaks this key's hash against the full aggregate.
+    *
+    * 100-TB shape: snapshot reads scan the checkpoint's state files
+    * partition-parallel at a chosen version — RocksDB/HDFS store
+    * snapshots are retained by `minBatchesToRetain`, so the travel window
+    * is an ops-configured constant, never data-sized. */
+  val streamStateTimetravel = Q(
+    "stream_state_timetravel",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamstatett:${Tables.tableKey(sfDir, "events")}") {
+      decodedStateBuckets(spark, s"${stateReaderBase(spark, sfDir)}/ckpt",
+          batchId = Some(0L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.orderBy("bucket", "event_type"),
+    // batch 0 ran with watermark 0: the snapshot is the FULL aggregate
+    Some(s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                    event_type, count(*) AS n,
+                    ${D.oSumDec("value")} AS sum_value
+             FROM events GROUP BY bucket, event_type
+             ORDER BY bucket, event_type"""))
 
   /** Timer-sessionizer rows. TmSess doubles as the two state shapes (the
     * OPEN session ValueState and the closed-pending ListState); money
@@ -947,7 +1190,16 @@ object Streaming {
         val c = math.rint(r.value * 100).toLong
         cur match {
           case Some(s) if us(r.ts) - us(s.session_end) <= GapUs =>
-            cur = Some(s.copy(session_end = r.ts,
+            // min/max, not blind replace (ADVICE-r16): a late-but-in-gap
+            // row — possible when a wave splits into multiple micro-batches
+            // or a restored OPEN session is newer than a replayed row —
+            // must widen the session, never move session_end backwards
+            // (which would corrupt the gap/close arithmetic downstream).
+            cur = Some(s.copy(
+              session_start =
+                if (us(r.ts) < us(s.session_start)) r.ts else s.session_start,
+              session_end =
+                if (us(r.ts) > us(s.session_end)) r.ts else s.session_end,
               n_events = s.n_events + 1, sum_cents = s.sum_cents + c))
           case other =>
             other.foreach(pending.appendValue)
@@ -1089,5 +1341,6 @@ object Streaming {
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
     streamSessionParity, streamJoinParity, streamRestartParity,
     streamOuterJoinParity, streamLateDropParity, streamDedupParity,
-    streamTwsParity, streamStateReaderParity, streamTimerParity)
+    streamTwsParity, streamFmgwsParity, streamStateReaderParity,
+    streamStateTimetravel, streamTimerParity)
 }

@@ -16,7 +16,10 @@ class StreamingParitySpec extends SparkSpec {
     * EventTimeWatermark in Spark 4.1); session TZ is UTC so the cast
     * changes no values. */
   private def stagedEventsDir(): String = {
-    val dir = Files.createTempDirectory("graft_stream_").toString
+    // family tempDir, not a raw createTempDirectory (VERDICT-r16 missing
+    // #3): pid-stamped + reaper-registered, so spec dirs are reclaimed
+    // even when the test JVM is killed hard
+    val dir = graft.queries.Streaming.tempDir("graft_stream_spec_")
     val ev = Tables.events(spark, sf0001)
       .withColumn("ts", col("ts").cast("timestamp"))
       .select("event_id", "ts", "user_id", "event_type", "value")
