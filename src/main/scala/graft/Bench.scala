@@ -80,16 +80,32 @@ object Bench {
       graft.queries.Streaming.providerMutatingKeys.contains)
     val prebuilt = {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       def build(name: String): Option[String] =
         try { SparkEntry.queries(name)(spark, sfDir).count(); Some(name) }
         catch { case scala.util.control.NonFatal(_) => None }
-      val parallel = try
-        Await.result(Future.sequence(poolKeys.map(k => Future(build(k)))),
-          Duration.Inf).flatten
-      finally pool.shutdown()
+      // Bounded await per key against a SHARED deadline (round-18,
+      // ADVICE-r17: Duration.Inf meant one wedged state store hung the
+      // whole bench with no timeout, no partial artifact, and no name —
+      // the old sequential build at least identified the hung key by
+      // position). The deadline is generous (30 min default, env-
+      // overridable for huge SFs — the sf5 cold build is ~4 min total);
+      // a key still running at the deadline is logged BY NAME, marked
+      // not-prebuilt, and the suite proceeds — its timed read then pays
+      // (and reports) the real cost or failure itself.
+      val deadlineSec = sys.env.getOrElse(
+        "SPARK_GRAFT_PREBUILD_TIMEOUT_SEC", "1800").toInt
+      val deadline = System.nanoTime() + deadlineSec.seconds.toNanos
+      val futs = poolKeys.map(k => k -> Future(build(k)))
+      val parallel = try futs.flatMap { case (k, f) =>
+        val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        try Await.result(f, left.millis)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          System.err.println(
+            s"[graft] WARN: stream prebuild still running at deadline: $k"); None }
+      } finally pool.shutdown()
       parallel ++ provKeys.flatMap(build)
     }
     val prebuildSec = (System.nanoTime() - preT0) / 1e9
@@ -124,9 +140,18 @@ object Bench {
       }
       if (cols.length > 8) cols(8).toLong else -1L
     } catch { case _: Throwable => -1L }
+    // NonFatal only (round-18, VERDICT-r17 #7, carried three rounds): a
+    // query failure reads as -1 in the artifact, but a FATAL error (OOM,
+    // stack overflow) aborts the whole run loudly — summing the healthy
+    // rest after an OOM would grade a corrupted-JVM suite as a speedup.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case scala.util.control.NonFatal(_) => return -1.0
+        case fatal: Throwable =>
+          System.err.println(s"[graft] FATAL during bench query: $fatal")
+          throw fatal
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Per-query self-diagnosis, UNCONDITIONAL (round-5 verdict #1: the

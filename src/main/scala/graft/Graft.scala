@@ -156,9 +156,14 @@ object Graft {
     }
   }
 
-  /** Free every memoized build (ANN indexes, signature/edge frames) and
-    * unpersist their cached blocks. A long-lived session should call this
-    * when done with a fixture dir — the memo cannot free itself (see
-    * util.Memo's scaladoc); the next query invocation simply rebuilds. */
-  def freeCaches(spark: SparkSession): Unit = graft.util.Memo.clear(spark)
+  /** Free every memoized build (ANN indexes, signature/edge frames),
+    * unpersist their cached blocks, and drop the session's analyzed-scan
+    * cache (round-18, ADVICE-r17: scanCache was the one session cache
+    * this didn't reach). A long-lived session should call this when done
+    * with a fixture dir — the memo cannot free itself (see util.Memo's
+    * scaladoc); the next query invocation simply rebuilds. */
+  def freeCaches(spark: SparkSession): Unit = {
+    graft.util.Memo.clear(spark)
+    graft.util.Tables.clear(spark)
+  }
 }

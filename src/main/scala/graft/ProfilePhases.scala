@@ -40,10 +40,16 @@ object ProfilePhases {
     val sums = scala.collection.mutable.LinkedHashMap(
       "build" -> 0.0, "plan" -> 0.0, "exec" -> 0.0)
     keys.foreach { q =>
-      // one untimed run: memo builds + codegen cache for this plan
-      try q.build(spark, sfDir).count()
-      catch { case scala.util.control.NonFatal(e) =>
-        println(s"${q.name} FAILED: $e"); return }
+      // one untimed run: memo builds + codegen cache for this plan.
+      // Failure skips THIS key only (ADVICE-r17: `return` here is a
+      // non-local return from main — the first bad key used to abort the
+      // whole run, skipping every remaining key, the TOTAL line, and
+      // spark.stop(), while printing what read as a per-key skip).
+      val warmOk =
+        try { q.build(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          println(s"${q.name} FAILED (skipped): $e"); false }
+      if (warmOk) {
       val (b, p, e) = (new Array[Double](reps), new Array[Double](reps),
         new Array[Double](reps))
       for (i <- 0 until reps) {
@@ -60,6 +66,7 @@ object ProfilePhases {
       def med(a: Array[Double]) = a.sorted.apply(a.length / 2)
       sums("build") += med(b); sums("plan") += med(p); sums("exec") += med(e)
       println(f"${q.name}%-34s build ${med(b)}%7.1f ms  plan ${med(p)}%7.1f ms  exec ${med(e)}%7.1f ms")
+      }
     }
     println(f"TOTAL (medians, ${keys.size} keys): " +
       sums.map { case (k, v) => f"$k ${v / 1000}%.2f s" }.mkString("  "))

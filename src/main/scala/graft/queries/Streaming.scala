@@ -56,25 +56,41 @@ object Streaming {
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(rmTree); f.delete(); ()
   }
-  /** Reclaim `/tmp/graft_stream_*` orphans left by DEAD JVMs. Every dir
-    * this family creates embeds its owner's pid (`…_p<pid>_…`), so
-    * liveness is checkable (`/proc/<pid>`) and a sweep can never delete a
-    * dir a concurrently-running sibling JVM (sbt test beside check.sh)
-    * still reads. Legacy pid-less names (pre-round-17, or spec dirs that
-    * bypassed tempDir) are reclaimed on age: 30 min is far beyond any
-    * single build, so only a dir whose owner stalled or died qualifies. */
+  /** Reclaim `/tmp/graft_*` / `/tmp/graft-*` orphan DIRECTORIES left by
+    * DEAD JVMs (widened from `graft_stream_` in round-18, VERDICT-r17 #4:
+    * the spec prefixes — graft_late_, graft_tws_out_, graft_zorder_,
+    * graft-degraded, … — had accumulated 187 orphans / 871 MB that the
+    * family-only sweep never matched; every spec site now also routes
+    * through `tempDir`, so new dirs are pid-stamped and reaper-held).
+    * Every dir this family creates embeds its owner's pid (`…_p<pid>_…`),
+    * so liveness is checkable (`/proc/<pid>`) and a sweep can never
+    * delete a dir a concurrently-running sibling JVM (sbt test beside
+    * check.sh) still reads. The /proc probe is only trusted when a
+    * procfs is actually mounted (ADVICE-r17: on a non-Linux host
+    * /proc/<pid> never exists, which would classify a RUNNING sibling's
+    * live checkpoints as dead); otherwise pid-stamped dirs fall back to
+    * the same age rule as legacy pid-less names: 30 min is far beyond
+    * any single build, so only a dir whose owner stalled or died
+    * qualifies. Plain files (e.g. the driver's graft_sysprompt.* notes)
+    * are never touched — the isDirectory filter excludes them. */
   private[graft] def sweepStaleTmp(): Unit = try {
     val tmpRoot = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     val pidPat = java.util.regex.Pattern.compile("_p(\\d+)_")
+    val procfs = new java.io.File("/proc/self").exists()
     val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    val selfPid = ProcessHandle.current().pid().toString
     Option(tmpRoot.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_stream_"))
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("graft_") || f.getName.startsWith("graft-")))
       .foreach { d =>
         val m = pidPat.matcher(d.getName)
-        val stale =
-          if (m.find()) !new java.io.File(s"/proc/${m.group(1)}").exists()
-          else d.lastModified() < cutoff
+        val pid = if (m.find()) Some(m.group(1)) else None
+        val stale = pid match {
+          case Some(p) if p == selfPid => false // our own live dir
+          case Some(p) if procfs => !new java.io.File(s"/proc/$p").exists()
+          case _ => d.lastModified() < cutoff
+        }
         if (stale) rmTree(d)
       }
   } catch { case scala.util.control.NonFatal(_) => () }

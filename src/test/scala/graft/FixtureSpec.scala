@@ -155,8 +155,7 @@ class FixtureSpec extends SparkSpec {
   test("a broken events table degrades only events queries (sub_scalar still answers)") {
     // Fixture dir with every table EXCEPT events — simulates the round-7
     // failure mode where the events read threw for all SQL-facade queries.
-    val dir = java.nio.file.Files.createTempDirectory("graft-degraded").toFile
-    dir.deleteOnExit()
+    val dir = new java.io.File(graft.queries.Streaming.tempDir("graft-degraded"))
     expectedCounts.keys.filter(_ != "events").foreach { t =>
       java.nio.file.Files.createSymbolicLink(
         new java.io.File(dir, s"$t.parquet").toPath,

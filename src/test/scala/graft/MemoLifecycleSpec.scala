@@ -54,7 +54,7 @@ class MemoLifecycleSpec extends SparkSpec {
     // mid-stream (r7 and r9 both did), which changes bytes under an
     // unchanged path. Replayed here against a temp copy (testdata itself
     // is read-only to us, and the hazard is about the path staying fixed).
-    val tmp = java.nio.file.Files.createTempDirectory("graft-regen").toFile
+    val tmp = new java.io.File(graft.queries.Streaming.tempDir("graft-regen"))
     val path = new java.io.File(tmp, "embeddings.parquet").getAbsolutePath
     try {
       val src = spark.read.parquet(s"$sf0001/embeddings.parquet")
@@ -92,7 +92,7 @@ class MemoLifecycleSpec extends SparkSpec {
     // hazard) and served frames built from the OLD bytes. Their keys now
     // carry Tables.tableKey's (name, size, mtime) footprint. Replayed
     // against a temp copy, same as the index-key test above.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dt-regen").toFile
+    val tmp = new java.io.File(graft.queries.Streaming.tempDir("graft-dt-regen"))
     val dir = tmp.getAbsolutePath
     try {
       Memo.clear(spark)
@@ -115,6 +115,41 @@ class MemoLifecycleSpec extends SparkSpec {
         "regeneration must MISS both memos (new footprint-bearing keys)")
     } finally {
       Memo.clear(spark)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("scanCache: regen replaces in place — one live entry per (session, path)") {
+    // VERDICT-r17 #6 / ADVICE-r17: the r17 scanCache keyed on the
+    // footprint itself, so every in-place fixture regeneration GREW the
+    // map (old plan stranded, strongly held). Post-restructure the cache
+    // is (session -> path -> (footprint, plan)): a regeneration must
+    // REPLACE the entry — serving the new bytes — and freeCaches must
+    // drop the session slice entirely.
+    val tmp = new java.io.File(graft.queries.Streaming.tempDir("graft-scache-regen"))
+    val dir = tmp.getAbsolutePath
+    val path = s"$dir/nation.parquet"
+    try {
+      val src = spark.read.parquet(s"$sf0001/nation.parquet")
+      src.write.mode("overwrite").parquet(path)
+      val n1 = graft.util.Tables(spark, dir, "nation").count()
+      assert(graft.util.Tables.scanCacheEntries(spark, path) == 1)
+      graft.util.Tables(spark, dir, "nation").count() // hit, no growth
+      assert(graft.util.Tables.scanCacheEntries(spark, path) == 1)
+      // the regeneration: same path, new bytes (what gen_sf.py does)
+      src.limit(3).write.mode("overwrite").parquet(path)
+      val n2 = graft.util.Tables(spark, dir, "nation").count()
+      assert(n2 == 3 && n2 != n1,
+        "regenerated fixture must be re-read, not served stale")
+      assert(graft.util.Tables.scanCacheEntries(spark, path) == 1,
+        "regen must REPLACE the (session, path) entry, not strand the old one")
+      Graft.freeCaches(spark)
+      assert(graft.util.Tables.scanCacheEntries(spark, path) == 0,
+        "freeCaches must drop the session's scan-cache slice")
+    } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
       }

@@ -25,7 +25,7 @@ class Round13OpsSpec extends SparkSpec {
     // this round; a Spark behavior change here must flip this test and
     // the oracles together).
     import spark.implicits._
-    val base = Files.createTempDirectory("graft_wm_tie_").toString
+    val base = graft.queries.Streaming.tempDir("graft_wm_tie_")
     try {
       Seq("2024-01-01 10:00:30", "2024-01-01 10:30:00", "2024-01-01 11:10:00")
         .toDF("tss").select(to_timestamp($"tss").as("ts"))
@@ -54,7 +54,7 @@ class Round13OpsSpec extends SparkSpec {
     // watermark 09:35:00 — emitted, matching the graded oracle's
     // session_end + 30min <= max(ts) - 10min.
     import spark.implicits._
-    val base = Files.createTempDirectory("graft_wm_sess_").toString
+    val base = graft.queries.Streaming.tempDir("graft_wm_sess_")
     try {
       Seq(("2024-01-01 09:00:00", 1L), ("2024-01-01 09:05:00", 1L),
           ("2024-01-01 09:45:00", 2L))
@@ -91,7 +91,7 @@ class Round13OpsSpec extends SparkSpec {
     // watermark emission rule. The time split guarantees chunk 2 is
     // never late behind the phase-1 watermark (chunk1 max = cut, so the
     // phase-1 watermark is cut - 10min < every chunk-2 ts).
-    val base = Files.createTempDirectory("graft_ckpt_rec_").toString
+    val base = graft.queries.Streaming.tempDir("graft_ckpt_rec_")
     try {
       val ev = Tables.events(spark, sf0001)
         .withColumn("ts", col("ts").cast("timestamp"))
@@ -235,7 +235,7 @@ class Round13OpsSpec extends SparkSpec {
     // sink/z-layout frame. The guard is Tables.tableKey riding in every
     // such memo key; pin the negative: same path, new bytes ⇒ new key ⇒
     // cache miss and rebuild.
-    val tmp = Files.createTempDirectory("graft-tk-regen").toFile
+    val tmp = new java.io.File(graft.queries.Streaming.tempDir("graft-tk-regen"))
     try {
       val sfDir = tmp.getAbsolutePath
       val src = spark.read.parquet(s"$sf0001/orders.parquet")

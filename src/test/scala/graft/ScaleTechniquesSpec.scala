@@ -9,7 +9,7 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     // external tables via explicit paths — warehouse.dir is a static conf
-    val wh = Files.createTempDirectory("graft_buckets_").toString
+    val wh = graft.queries.Streaming.tempDir("graft_buckets_")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
     spark.read.parquet(s"$sf0001/orders.parquet")
@@ -220,8 +220,8 @@ class ScaleTechniquesSpec extends SparkSpec {
         .bitwiseOR(
           shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1))
     }.reduce(_ bitwiseOR _).cast("bigint")
-    val zdir = Files.createTempDirectory("graft_zorder_").toString
-    val cdir = Files.createTempDirectory("graft_csort_").toString
+    val zdir = graft.queries.Streaming.tempDir("graft_zorder_")
+    val cdir = graft.queries.Streaming.tempDir("graft_csort_")
     dims.withColumn("zkey", zkey)
       .repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(zdir)

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 class SourcesSpec extends SparkSpec {
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.queries.Streaming.tempDir(prefix)
 
   test("csv round-trip: header + explicit schema preserves values and types") {
     val dir = tmp("graft_csv")

@@ -101,7 +101,7 @@ class StreamingParitySpec extends SparkSpec {
 
   test("watermark drops data later than the delay in append mode") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_late_").toString
+    val dir = graft.queries.Streaming.tempDir("graft_late_")
     def write(rows: Seq[(Long, String)]): Unit =
       rows.map { case (id, t) => (id, java.sql.Timestamp.valueOf(t)) }
         .toDF("event_id", "ts")
@@ -109,8 +109,8 @@ class StreamingParitySpec extends SparkSpec {
     // Two runs over one checkpoint: the watermark survives the restart, so
     // run 2 sees the late row against run 1's committed watermark — the
     // real-world late-arrival shape, with deterministic batch boundaries.
-    val ckpt = Files.createTempDirectory("graft_late_ckpt_").toString
-    val out = Files.createTempDirectory("graft_late_out_").toString
+    val ckpt = graft.queries.Streaming.tempDir("graft_late_ckpt_")
+    val out = graft.queries.Streaming.tempDir("graft_late_out_")
     def runOnce(): Unit = {
       val schema = spark.read.parquet(dir).schema
       val agg = spark.readStream.schema(schema).parquet(dir)
@@ -143,7 +143,7 @@ class StreamingParitySpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val dir = stagedEventsDir()
-    val outDir = Files.createTempDirectory("graft_state_out_").toString
+    val outDir = graft.queries.Streaming.tempDir("graft_state_out_")
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -188,7 +188,7 @@ class StreamingParitySpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
     val dir = stagedEventsDir()
-    val outDir = Files.createTempDirectory("graft_tws_out_").toString
+    val outDir = graft.queries.Streaming.tempDir("graft_tws_out_")
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -356,7 +356,7 @@ class StreamingParitySpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
     val dir = stagedEventsDir()
-    val outDir = Files.createTempDirectory("graft_funnel_out_").toString
+    val outDir = graft.queries.Streaming.tempDir("graft_funnel_out_")
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -475,7 +475,7 @@ class StreamingParitySpec extends SparkSpec {
       val initState = priorExact.unionByName(priorBands)
         .as[(String, Seq[Long])].groupByKey(_._1)
       // ---- today's crawl, staged as four micro-batches of probe rows
-      val stageDir = Files.createTempDirectory("graft_incdedup_in_").toString
+      val stageDir = graft.queries.Streaming.tempDir("graft_incdedup_in_")
       (0 until 4).foreach { i =>
         batchDocs.filter(pmod((col("doc_id") - 1) / 2, lit(4)) === i)
           .select("doc_id", "text", "tk")
@@ -511,7 +511,7 @@ class StreamingParitySpec extends SparkSpec {
           rows.map { case (docId, _) => (docId, kind, hit, ids) }
         }
       }
-      val outDir = Files.createTempDirectory("graft_incdedup_out_").toString
+      val outDir = graft.queries.Streaming.tempDir("graft_incdedup_out_")
       val verdicts = probes.groupByKey(_._2)
         .transformWithState(new Probe, TimeMode.None(), OutputMode.Update(),
           initState)
@@ -569,7 +569,7 @@ class StreamingParitySpec extends SparkSpec {
     // exactly the sessions a live job would still be holding.
     import spark.implicits._
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-    val dir = Files.createTempDirectory("graft_tsession_in_").toString
+    val dir = graft.queries.Streaming.tempDir("graft_tsession_in_")
     val ev = Tables.events(spark, sf0001)
       .withColumn("ts", col("ts").cast("timestamp"))
       .select("event_id", "ts", "user_id", "value")
@@ -580,7 +580,7 @@ class StreamingParitySpec extends SparkSpec {
       staged.filter(col("q") === i).drop("q")
         .coalesce(1).write.mode("append").parquet(dir)
     }
-    val outDir = Files.createTempDirectory("graft_tsession_out_").toString
+    val outDir = graft.queries.Streaming.tempDir("graft_tsession_out_")
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
