@@ -82,7 +82,12 @@ object Streaming {
     val selfPid = ProcessHandle.current().pid().toString
     Option(tmpRoot.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory &&
-        (f.getName.startsWith("graft_") || f.getName.startsWith("graft-")))
+        (f.getName.startsWith("graft_") || f.getName.startsWith("graft-")) &&
+        // graft_sink is a MANAGED cache root (sfTag-keyed sink_*/fn_zorder
+        // outputs, overwritten per run, re-read lazily by memoized frames
+        // for the owning session's whole life) — pid-less by design, so
+        // the age rule could delete it under a live long-running sibling.
+        f.getName != "graft_sink")
       .foreach { d =>
         val m = pidPat.matcher(d.getName)
         val pid = if (m.find()) Some(m.group(1)) else None
