@@ -1495,6 +1495,120 @@ object MlPrep {
                    round((CAST(qv AS DOUBLE) / qtot) / p_raw, 4) AS boost
             FROM q CROSS JOIN qt ORDER BY lang"""))
 
+  /** GRPO-style group-relative advantage (round 18 — the RLHF-data-prep
+    * family: reward postprocessing for policy-gradient training). Model:
+    * each user is a PROMPT GROUP and its purchase events are sampled
+    * completions with scalar rewards (`value`); the advantage of a
+    * completion is its reward standardized WITHIN ITS GROUP,
+    * (r − mean_g) / std_pop_g — the group-relative baseline that GRPO
+    * substitutes for a learned critic. Degenerate groups (n < 2 or zero
+    * variance — a prompt with no reward signal) are dropped, as a real
+    * pipeline drops them.
+    *
+    * Determinism: rewards are lifted to exact integer cents, and mean /
+    * variance come from exact BIGINT Σr and Σr² window sums — both
+    * engines then run the IDENTICAL double sequence (s/n, ss/n − mean²),
+    * so no accumulation-order noise exists for round(…,4) to absorb
+    * (contrast ml_zscore, which grades the float-avg discipline).
+    *
+    * 100-TB shape: one shuffle on user_id serves all three window sums
+    * (same partition spec → one exchange + one sort); no join, no
+    * broadcast of a group-count-sized frame (groups scale with users —
+    * a stats-join formulation would shuffle twice). */
+  val mlGrpoAdvantage = Q(
+    "ml_grpo_advantage",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("r_c"))
+        .withColumn("group_n", count(lit(1)).over(w))
+        .withColumn("mean_c", sum(col("r_c")).over(w).cast("double") / col("group_n"))
+        .withColumn("var_c",
+          sum(col("r_c") * col("r_c")).over(w).cast("double") / col("group_n")
+            - col("mean_c") * col("mean_c"))
+        .filter(col("group_n") >= 2 && col("var_c") > 0.0)
+        .select(col("event_id"), col("user_id"), col("group_n"),
+          (round((col("r_c").cast("double") - col("mean_c")) / sqrt(col("var_c")), 4)
+            + lit(0.0)).as("advantage"))
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (
+              SELECT event_id, user_id,
+                     CAST(ROUND(value * 100, 0) AS BIGINT) AS r_c
+              FROM events WHERE event_type = 'purchase'),
+            g AS (
+              SELECT event_id, user_id, r_c,
+                     CAST(count(*) OVER w AS BIGINT) AS group_n,
+                     CAST(SUM(r_c) OVER w AS DOUBLE) AS s,
+                     CAST(SUM(r_c * r_c) OVER w AS DOUBLE) AS ss
+              FROM r WINDOW w AS (PARTITION BY user_id))
+            SELECT event_id, user_id, group_n,
+                   round((CAST(r_c AS DOUBLE) - s / group_n)
+                         / sqrt(ss / group_n - (s / group_n) * (s / group_n)), 4)
+                     + 0.0 AS advantage
+            FROM g
+            WHERE group_n >= 2
+              AND ss / group_n - (s / group_n) * (s / group_n) > 0.0
+            ORDER BY event_id"""))
+
+  /** DPO preference-pair construction (round 18, RLHF-data-prep family):
+    * per prompt group (user), pair the highest-reward completion
+    * (chosen) against the lowest (rejected), dropping no-signal groups
+    * (margin 0). Ties break on event_id ASC on both ends, so the pair is
+    * a deterministic function of the data — the property a reproducible
+    * preference dataset needs.
+    *
+    * 100-TB shape (plan-audited at sf0.001): Spark 4 rewrites each
+    * rk=1 filter into a WindowGroupLimit pair — a PARTIAL map-side
+    * top-1 per group BEFORE the exchange, then a final top-1 after —
+    * so each branch shuffles at most one row per group, not the event
+    * volume, and the chosen⋈rejected join of two group-sized frames
+    * broadcasts. (The branches scan the fact twice, but each scan's
+    * shuffle is group-bounded — cheaper at scale than materializing one
+    * full double-window pass.) Margins ride as exact cents; no float
+    * compares anywhere. */
+  val mlPreferencePairs = Q(
+    "ml_preference_pairs",
+    (spark, sfDir) => {
+      val ranked = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("r_c"))
+        .withColumn("rk_hi", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("r_c").desc, col("event_id").asc)))
+        .withColumn("rk_lo", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("r_c").asc, col("event_id").asc)))
+      val chosen = ranked.filter(col("rk_hi") === 1)
+        .select(col("user_id"), col("event_id").as("chosen_id"), col("r_c").as("c_c"))
+      val rejected = ranked.filter(col("rk_lo") === 1)
+        .select(col("user_id").as("u2"), col("event_id").as("rejected_id"),
+          col("r_c").as("j_c"))
+      chosen.join(rejected, col("user_id") === col("u2"))
+        .filter(col("c_c") > col("j_c"))
+        .select(col("user_id"), col("chosen_id"), col("rejected_id"),
+          ((col("c_c") - col("j_c")).cast("double") / 100.0).as("margin"))
+        .orderBy("user_id")
+    },
+    Some("""WITH r AS (
+              SELECT event_id, user_id,
+                     CAST(ROUND(value * 100, 0) AS BIGINT) AS r_c
+              FROM events WHERE event_type = 'purchase'),
+            k AS (
+              SELECT event_id, user_id, r_c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY r_c DESC, event_id ASC) AS rk_hi,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY r_c ASC, event_id ASC) AS rk_lo
+              FROM r)
+            SELECT c.user_id, c.event_id AS chosen_id, j.event_id AS rejected_id,
+                   CAST(c.r_c - j.r_c AS DOUBLE) / 100.0 AS margin
+            FROM (SELECT * FROM k WHERE rk_hi = 1) c
+            JOIN (SELECT * FROM k WHERE rk_lo = 1) j ON c.user_id = j.user_id
+            WHERE c.r_c > j.r_c
+            ORDER BY c.user_id"""))
+
   def qs: Seq[Q] = Seq(mlMixtureEntropy, mlBpeEncode, mlBpeVocab,
     mlTokenizerFertility, mlMinmaxNorm, mlZscore, mlOnehot, mlLabelIndex,
     mlSplitHash, mlPipelineBatch, mlPipelineMllib, mlShuffleBatch, mlFeatureHash,
@@ -1504,5 +1618,5 @@ object MlPrep {
     mlTargetEncode,
     mlImportanceSample, mlQuantileBucket, mlNestedSubsamples, mlBpeMergeStep,
     mlFeatureCross, mlAucEval, mlCalibrationBins, mlDatasetCard, mlOovRate,
-    mlSampleTemperature)
+    mlSampleTemperature, mlGrpoAdvantage, mlPreferencePairs)
 }
