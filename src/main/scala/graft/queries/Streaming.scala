@@ -1359,9 +1359,97 @@ object Streaming {
             WHERE session_end + INTERVAL 30 MINUTES <= m - INTERVAL 10 MINUTES
             ORDER BY user_id, session_start"""))
 
+  /** The two-wave dropDuplicatesWithinWatermark run behind
+    * `stream_dropdup_within_watermark`, memoized on its own key and
+    * returning the base dir so the Round18 spec can open `$base/ckpt`
+    * with the state source and pin the BOUNDED-STATE claim (the whole
+    * reason this API exists) without a second streaming build. Staging
+    * replays stream_dedup_parity's three duplicate classes — in-batch,
+    * live-state cross-restart, and post-eviction late — against the
+    * OTHER dedup operator. */
+  private[graft] def dropdupWwBase(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = graft.util.Memo(spark,
+      s"$sfDir:streamdropdupww:${Tables.tableKey(sfDir, "events")}") {
+    withStreamConf(spark, sfDir) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val midMs = mm.getTimestamp(0).getTime +
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2
+      val split = new java.sql.Timestamp(midMs)
+      val wave1 = ev.filter(col("ts") <= lit(split))
+      val wave2 = ev.filter(col("ts") > lit(split))
+      val max1 = wave1.agg(max(col("ts"))).head().getTimestamp(0)
+      val wm1 = new java.sql.Timestamp(max1.getTime - 10L * 60 * 1000)
+      val lateCut = new java.sql.Timestamp(wm1.getTime - 3600L * 1000)
+      val base = tempDir("graft_stream_dropdupww_")
+      val src = s"$base/src"
+      def stage(batch: org.apache.spark.sql.DataFrame): Unit =
+        batch.coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val deduped = spark.readStream
+          .schema(ev.schema).parquet(src)
+          .withWatermark("ts", "10 minutes")
+          // event-time column NOT in the key: event_id alone, state
+          // evicted when the watermark passes eventTime + delay
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = deduped.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stage(wave1.unionByName(wave1.filter(col("event_id") % 3 === 0)))
+      runOnce()
+      stage(wave2
+        .unionByName(wave2.filter(col("event_id") % 3 === 0))
+        .unionByName(wave1.filter(col("ts") > lit(wm1)))
+        .unionByName(wave1.filter(col("ts") < lit(lateCut))))
+      runOnce()
+      base
+    }
+  }
+
+  /** BOUNDED-STATE STREAMING DEDUPLICATION parity (round-18):
+    * `dropDuplicatesWithinWatermark`, the Spark-3.5+ dedup operator
+    * whose key set EXCLUDES the event-time column. stream_dedup_parity
+    * grades classic `dropDuplicates("event_id","ts")`, where eviction
+    * works only because the time column rides in the key; this key
+    * dedups on `event_id` ALONE — the shape real idempotent ingest
+    * needs (a retried record keeps its id, not its timestamp) — and the
+    * store instead tracks eventTime + delay per key, evicting when the
+    * watermark passes it. Same three injected duplicate classes as the
+    * classic key (in-batch, live-state cross-restart, post-eviction
+    * late — the late class is caught by the late-input filter here,
+    * since an expired-state key is by construction behind the
+    * watermark), so the sink must again hold EXACTLY the original
+    * events, each once; the two keys cross-check the two dedup
+    * operators against the identical oracle. Round18OpsSpec additionally
+    * opens the checkpoint with the state source and pins the BOUNDED
+    * claim: retained keys = the 20-minute watermark+delay tail, not the
+    * corpus (classic dropDuplicates("event_id") without the time column
+    * would hold every key forever).
+    *
+    * 100-TB shape: state is hash-partitioned on the dedup key and
+    * bounded by the dedup horizon (delay + watermark lag) — a TRUE
+    * at-least-once→exactly-once guard whose store size is a time
+    * constant, independent of corpus size. */
+  val streamDropdupWithinWatermark = Q(
+    "stream_dropdup_within_watermark",
+    (spark, sfDir) => graft.util.Memo(spark,
+        s"$sfDir:streamdropdupww:frame:${Tables.tableKey(sfDir, "events")}") {
+      spark.read.parquet(s"${dropdupWwBase(spark, sfDir)}/out")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          D.ntz(col("ts")).as("ts"), col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type, ts, value
+            FROM events ORDER BY event_id"""))
+
   def qs: Seq[Q] = Seq(streamTumblingParity, streamFileSinkParity,
     streamSessionParity, streamJoinParity, streamRestartParity,
     streamOuterJoinParity, streamLateDropParity, streamDedupParity,
     streamTwsParity, streamFmgwsParity, streamStateReaderParity,
-    streamStateTimetravel, streamTimerParity)
+    streamStateTimetravel, streamTimerParity, streamDropdupWithinWatermark)
 }
