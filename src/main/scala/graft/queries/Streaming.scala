@@ -181,10 +181,48 @@ object Streaming {
 
   /** Keys whose build mutates `stateStore.providerClass` (RocksDB for
     * transformWithState) — Bench must not prebuild these concurrently
-    * with other streaming builds: the provider conf is session-global and
-    * is read at each query's start. */
+    * with the OTHER streaming builds: the provider conf is session-global
+    * and is read at each query's start. They MAY run concurrently with
+    * each other: both route through `withRocksProvider`, which (like
+    * `withStreamConf`) is depth-counted, so the session conf stays
+    * RocksDB until the LAST of the overlapping builds exits — a restart
+    * wave can never observe the default provider mid-build (round-18
+    * optimization: the two builds are ~7 s sequential at sf0.1 and
+    * independent — separate sources, checkpoints and sinks — so Bench
+    * now overlaps them after the main pool drains). */
   val providerMutatingKeys: Set[String] =
     Set("stream_tws_parity", "stream_timer_parity")
+
+  /** Depth-counted RocksDB provider scope (see providerMutatingKeys).
+    * First entering build saves the prior providerClass and sets RocksDB;
+    * only the last exiting build restores — the same discipline
+    * `withStreamConf` applies to the shuffle-partition conf, for the same
+    * reason: independent save/restore pairs race under the concurrent
+    * prebuild (T2 would read T1's in-flight RocksDB value as "prev", or
+    * T1's restore would flip T2's not-yet-started restart wave back to
+    * the HDFS provider against a RocksDB-format checkpoint). */
+  private val provLock = new Object
+  private var provDepth = 0
+  private var provPrev: Option[String] = None
+  private[graft] def withRocksProvider[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    provLock.synchronized {
+      if (provDepth == 0) {
+        provPrev = spark.conf.getOption(key)
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      }
+      provDepth += 1
+    }
+    try f finally provLock.synchronized {
+      provDepth -= 1
+      if (provDepth == 0) provPrev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 
   /** Streaming tumbling 1h aggregation graded against the BATCH oracle. */
   val streamTumblingParity = Q(
@@ -846,11 +884,7 @@ object Streaming {
         s"$sfDir:streamtws:${Tables.tableKey(sfDir, "events")}") {
       withStreamConf(spark, sfDir) {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-      val prevProv = spark.conf.getOption(
-        "spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksProvider(spark) {
         val ev = Tables.events(spark, sfDir)
           .select(col("event_id"), col("user_id"),
             col("ts").cast("timestamp").as("ts"), col("value"))
@@ -892,13 +926,6 @@ object Streaming {
           .agg(max(col("n_events")).as("n_events"),
             expr("max_by(sum_cents, n_events)").as("sum_cents"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      } finally {
-        prevProv match {
-          case Some(p) => spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", p)
-          case None => spark.conf.unset(
-            "spark.sql.streaming.stateStore.providerClass")
-        }
       }
       }
     }.orderBy("user_id"),
@@ -1275,11 +1302,7 @@ object Streaming {
         s"$sfDir:streamtimer:${Tables.tableKey(sfDir, "events")}") {
       withStreamConf(spark, sfDir) {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-      val prevProv = spark.conf.getOption(
-        "spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksProvider(spark) {
         val ev = Tables.events(spark, sfDir)
           .select(col("event_id"), col("user_id"),
             col("ts").cast("timestamp").as("ts"), col("value"))
@@ -1327,13 +1350,6 @@ object Streaming {
             D.ntz(col("session_end")).as("session_end"),
             col("n_events"), col("sum_value"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      } finally {
-        prevProv match {
-          case Some(p) => spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", p)
-          case None => spark.conf.unset(
-            "spark.sql.streaming.stateStore.providerClass")
-        }
       }
       }
     }.orderBy("user_id", "session_start"),

@@ -539,7 +539,9 @@ object TextOps {
         .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
           col("d2") === col("sd2"))
         .select(col("d1"), col("d2"),
-          size(filter(col("t1"), x => array_contains(col("t2"), x))).as("inter"),
+          // hash-based O(|A|+|B|) intersect; == the filter/contains count
+          // on these collect_set (duplicate-free) inputs — round 18
+          size(array_intersect(col("t1"), col("t2"))).as("inter"),
           size(col("t1")).as("n1"), size(col("t2")).as("n2"))
       scored.select(col("d1"), col("d2"),
         round(col("inter").cast("double")
@@ -1466,7 +1468,9 @@ object TextOps {
       .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
         col("d2") === col("sd2"))
       .select(col("d1"), col("d2"),
-        size(filter(col("t1"), x => array_contains(col("t2"), x))).as("inter"),
+        // hash-based O(|A|+|B|) intersect; == the filter/contains count
+        // on these collect_set (duplicate-free) inputs — round 18
+        size(array_intersect(col("t1"), col("t2"))).as("inter"),
         size(col("t1")).as("n1"), size(col("t2")).as("n2"))
       .filter(round(col("inter").cast("double")
         / (col("n1") + col("n2") - col("inter")), 4) >= 0.5)
@@ -1619,7 +1623,12 @@ object TextOps {
         .join(sets.select(col("doc_id").as("sd2"), col("ts").as("t2")),
           col("d2") === col("sd2"))
         .select(col("d1"), col("d2"),
-          size(filter(col("t1"), x => array_contains(col("t2"), x)))
+          // |A∩B| via the hash-based array_intersect (round-18, guide
+          // §1.2 per-task work): filter+array_contains was O(|A|·|B|)
+          // per candidate pair; array_intersect builds one hash set —
+          // O(|A|+|B|). Cardinalities are identical because both sides
+          // are array_distinct'ed sets (no duplicates to collapse).
+          size(array_intersect(col("t1"), col("t2")))
             .cast("bigint").as("inter"),
           size(col("t1")).cast("bigint").as("n1"),
           size(col("t2")).cast("bigint").as("n2"))
@@ -2567,7 +2576,9 @@ object TextOps {
         .select(col("d1"), col("d2"),
           (size(filter(zip_with(col("sg1"), col("sg2"),
             (a, b) => a === b), x => x)).cast("double") / 8.0).as("est"),
-          size(filter(col("t1"), x => array_contains(col("t2"), x)))
+          // hash-based O(|A|+|B|) intersect; == the filter/contains count
+          // on these collect_set (duplicate-free) inputs — round 18
+          size(array_intersect(col("t1"), col("t2")))
             .as("inter"),
           size(col("t1")).as("n1"), size(col("t2")).as("n2"))
         .select(col("d1"), col("d2"), col("est"),

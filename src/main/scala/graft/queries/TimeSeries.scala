@@ -376,13 +376,20 @@ object TimeSeries {
   val tsAnomalyMad = Q(
     "ts_anomaly_mad",
     (spark, sfDir) => {
+      // Round-18 single-exchange form (guide §2.4: windows over the same
+      // key share one shuffle): med and mad are per-user PERCENTILE
+      // aggregates, so both ride as window aggregates over ONE
+      // hashpartitioning(user_id) exchange — the old shape aggregated
+      // events twice (two full shuffles) and re-joined the results back
+      // through two more joins over three scans of the fact. Values are
+      // identical: the same percentile over the same per-user multiset,
+      // same round(·,4), broadcast to each row of the group either way.
+      // Plan diff: 3 Exchange + 2 joins → 1 Exchange, 1 scan, no joins.
       val ev = Tables.events(spark, sfDir)
-      val med = ev.groupBy("user_id")
-        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
-      val mad = ev.join(med, Seq("user_id"))
-        .groupBy("user_id")
-        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
-      ev.join(med, Seq("user_id")).join(mad, Seq("user_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      ev.withColumn("med", round(expr("percentile(value, 0.5)").over(w), 4))
+        .withColumn("mad",
+          round(expr("percentile(abs(value - med), 0.5)").over(w), 4))
         .filter(abs(col("value") - col("med")) > lit(3.0) * 1.4826 * col("mad"))
         .select("event_id", "user_id", "value", "med", "mad")
         .orderBy("event_id")
@@ -1157,7 +1164,23 @@ object TimeSeries {
   val tsSessionizedFunnel = Q(
     "ts_sessionized_funnel",
     (spark, sfDir) => {
+      // Round-18 single-exchange form (guide §2.4): the old shape
+      // re-executed the sessionize window THREE times (once per stage
+      // subtree) and shuffled three stage aggregates back through two
+      // (user, sid)-keyed joins. Every stage threshold is a per-session
+      // aggregate, so all three ride as stacked window aggregates over
+      // (user_id, sid) — which hashpartitioning(user_id) from the sid
+      // window already satisfies (subset rule), so the WHOLE funnel runs
+      // on ONE fact exchange; the session-level collapse then needs no
+      // exchange either, and only the final 1-row census shuffles.
+      // Stage values are identical by construction: t1 = min ts of the
+      // session's views (null ⇒ the session is absent from the old s1),
+      // t2 = min ts of clicks strictly after t1 (a null t1 nulls the
+      // comparison, so such sessions count in neither form), t3 same
+      // one step on. Plan diff: 6 Exchange / 2 joins / 3 window
+      // re-executions → 2 Exchange, no joins, one window pass.
       val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wSess = Window.partitionBy("user_id", "sid")
       val ev = Tables.events(spark, sfDir)
         .withColumn("brk",
           when(unix_micros(col("ts").cast("timestamp"))
@@ -1167,19 +1190,22 @@ object TimeSeries {
         .withColumn("sid", sum(col("brk"))
           .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
         .select("user_id", "sid", "event_type", "ts")
-      val s1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id", "sid").agg(min("ts").as("t1"))
-      val s2 = ev.join(s1, Seq("user_id", "sid"))
-        .filter(col("event_type") === "click" && col("ts") > col("t1"))
-        .groupBy("user_id", "sid").agg(min("ts").as("t2"))
-      val s3 = ev.join(s2, Seq("user_id", "sid"))
-        .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
-        .groupBy("user_id", "sid").agg(min("ts").as("t3"))
-      def one(df: org.apache.spark.sql.DataFrame, name: String) =
-        df.agg(count(lit(1)).as("n_sessions"))
-          .select(lit(name).as("stage"), col("n_sessions"))
-      one(s1, "1_view").unionAll(one(s2, "2_click"))
-        .unionAll(one(s3, "3_purchase"))
+      val staged = ev
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(wSess))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(wSess))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(wSess))
+      staged.groupBy("user_id", "sid")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"))
+        .select(expr(
+          "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3)")
+          .as(Seq("stage", "n_sessions")))
         .orderBy("stage")
     },
     Some("""WITH flagged AS (
