@@ -364,7 +364,9 @@ object Joins {
           col("l_orderkey") === col("o_orderkey") && col("lsalt") === col("salt"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
-          graft.util.D.sumDec(col("l_extendedprice")).as("revenue"))
+          // fact-scaling row count through the sum → primitive cents
+          // path (bit-identical to sumDec per its scaladoc) — round 18
+          graft.util.D.sumCents(col("l_extendedprice")).as("revenue"))
         .orderBy("o_orderpriority")
     },
     Some(s"""SELECT o.o_orderpriority,
@@ -573,7 +575,9 @@ object Joins {
       pre.join(keys, pre("l_orderkey") === keys("o_orderkey"), "semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          D.sumDec(col("l_extendedprice")).as("sum_price"))
+          // fact-scaling row count through the sum → primitive cents
+          // path (bit-identical to sumDec per its scaladoc) — round 18
+          D.sumCents(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     },
     Some(s"""SELECT l_returnflag, count(*) AS n,

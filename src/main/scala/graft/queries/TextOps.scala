@@ -118,14 +118,18 @@ object TextOps {
   val textNgramJaccard = Q(
     "text_ngram_jaccard",
     (spark, sfDir) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // Row-local 2-gram shingle SETS over the cached token array
+      // (round 18, same rewrite as text_repetition_stats' bigrams): the
+      // old posexplode + lead() window + DISTINCT shuffled the slice's
+      // token stream twice to build what array_distinct over a transform
+      // yields per row. The inverted-index self-join below is the key's
+      // demonstrated technique and stays exactly as it was.
       val shingles = docToks(spark, sfDir)
-        .filter(col("doc_id") < 50)
-        .select(col("doc_id"), posexplode(col("tk")))
-        .withColumn("nxt", lead(col("col"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("col"), col("nxt")).as("sh"))
-        .distinct()
+        .filter(col("doc_id") < 50 && size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"""
+            .stripMargin))).as("sh"))
       val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
       shingles.select(col("doc_id").as("d1"), col("sh"))
         .join(shingles.select(col("doc_id").as("d2"), col("sh").as("sh2")),
@@ -394,16 +398,20 @@ object TextOps {
       graft.functions.CharNgrams.register(spark)
       docToks(spark, sfDir)
         // char_ngrams_native emits every 8-char window in one O(bytes)
-        // pass; docs shorter than the window yield an empty array and
-        // explode drops them — the same zero-window semantics the old
-        // explode(sequence)+filter scaffold enforced, without shipping
-        // the FULL text once per position through the explode.
+        // pass. Round-18 (guide §2.4): the fingerprint is a PER-DOC
+        // reduction, so it stays row-local — array_min over the hashed
+        // windows ≡ the grouped min, size(array_distinct) ≡ the grouped
+        // countDistinct — where the old explode + groupBy shuffled ~5M
+        // (doc_id, md5) rows at sf0.1 to recompose rows it already had.
+        // Docs shorter than the window yield an empty array: the size>0
+        // filter reproduces explode's drop-empty semantics exactly.
         .select(col("doc_id"),
-          explode(expr("char_ngrams_native(text, 8)")).as("win"))
-        .select(col("doc_id"), md5(col("win")).as("h"))
-        .groupBy("doc_id")
-        .agg(min(col("h")).as("fingerprint"),
-          countDistinct(col("h")).as("n_windows"))
+          expr("transform(char_ngrams_native(text, 8), w -> md5(w))")
+            .as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          array_min(col("hs")).as("fingerprint"),
+          size(array_distinct(col("hs"))).cast("bigint").as("n_windows"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, min(h) AS fingerprint,
@@ -474,9 +482,7 @@ object TextOps {
   val textMinhashBandPairs = Q(
     "text_minhash_band_pairs",
     (spark, sfDir) =>
-      graft.ops.Ops.minhashCandidatePairsArr(
-          docToks(spark, sfDir).filter(col("doc_id") < 200),
-          col("doc_id"), col("tk"), numHashes = 8, bands = 2)
+      unigramCandPairs(spark, sfDir, 200)
         .withColumnRenamed("id1", "d1").withColumnRenamed("id2", "d2")
         .orderBy("d1", "d2"),
     Some("""WITH toks AS (SELECT DISTINCT doc_id, tok
@@ -519,20 +525,22 @@ object TextOps {
     "text_lsh_dedup_verified",
     (spark, sfDir) => {
       val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
-      val toks = docsF
-        .select(col("doc_id"), explode(col("tk")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .distinct()
       // candidate generation through the ONE banding implementation
       // (Ops.minhashBands / minhashCandidatePairs) — a hash-family or
-      // band-layout change lands in every LSH consumer at once
-      val cand = graft.ops.Ops
-        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"),
-          numHashes = 8, bands = 2)
+      // band-layout change lands in every LSH consumer at once; the
+      // (slice, 8, 2) candidate frame is memoized across its three
+      // unigram consumers (round 18)
+      val cand = unigramCandPairs(spark, sfDir, 200)
         .select(col("id1").as("d1"), col("id2").as("d2"))
-      // verify stage: exact Jaccard over sorted token sets, candidates only
-      val sets = toks.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      // verify stage: exact Jaccard over sorted token sets, candidates
+      // only. Row-local set construction (round 18, guide §2.4):
+      // sort_array(array_distinct(filter(tk))) over the cached token
+      // array ≡ sort_array(collect_set(exploded tokens)) — the old
+      // explode + DISTINCT + groupBy chain shuffled the token stream
+      // twice to build the same per-doc arrays.
+      val sets = docsF.select(col("doc_id"),
+        sort_array(array_distinct(filter(col("tk"), t => length(t) > 0)))
+          .as("ts"))
       val scored = cand
         .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
           col("d1") === col("sd1"))
@@ -800,14 +808,20 @@ object TextOps {
   val textRepetitionStats = Q(
     "text_repetition_stats",
     (spark, sfDir) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // Round-18 (guide §2.4): adjacent-pair construction is row-local
+      // over the cached token array — the old posexplode + lead() window
+      // shuffled and sorted the full ~480k-token stream by (doc_id, pos)
+      // just to look one element ahead. The transform-over-sequence form
+      // emits the identical bigram multiset (element_at is 1-based; docs
+      // with <2 tokens produced no lead rows before and are filtered the
+      // same way here), so the aggregates below are unchanged.
       docToks(spark, sfDir)
-        .select(col("doc_id"), posexplode(col("tk")))
-        .withColumnRenamed("col", "tok")
+        .filter(size(col("tk")) >= 2)
         .select(col("doc_id"),
-          concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("bigram"),
-          lead("tok", 1).over(w).isNotNull.as("ok"))
-        .filter(col("ok"))
+          explode(expr(
+            """transform(sequence(1, size(tk) - 1),
+              |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"""
+              .stripMargin)).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(sum("n").as("n_bigrams"), max("n").as("max_bigram_n"),
@@ -894,17 +908,20 @@ object TextOps {
   val textNgramTopk = Q(
     "text_ngram_topk",
     (spark, sfDir) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
       // the doc_id spread comes from the shared docToks cache — no
-      // per-query repartition constant (round-5 verdict #7)
+      // per-query repartition constant (round-5 verdict #7). Round-18
+      // (guide §2.4): trigram construction is row-local over the cached
+      // token array — the old posexplode + two lead() windows shuffled
+      // and sorted the full token stream by (doc_id, pos) just to look
+      // two elements ahead; identical trigram multiset (docs with <3
+      // tokens produced only null-lead rows before, filtered both ways).
       docToks(spark, sfDir)
-        .select(col("doc_id"), posexplode(col("tk")))
-        .withColumnRenamed("col", "tok")
-        .select(
-          concat_ws(" ", col("tok"), lead("tok", 1).over(w),
-            lead("tok", 2).over(w)).as("trigram"),
-          lead("tok", 2).over(w).isNotNull.as("ok"))
-        .filter(col("ok"))
+        .filter(size(col("tk")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 2),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |                 element_at(tk, i + 2)))""".stripMargin))
+          .as("trigram"))
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram"))
         .limit(20)
@@ -1452,16 +1469,12 @@ object TextOps {
   private def dedupVerifiedEdges(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val docsF = docToks(spark, sfDir).filter(col("doc_id") < 200)
-    val toks = docsF
-      .select(col("doc_id"), explode(col("tk")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .distinct()
-    val cand = graft.ops.Ops
-      .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"),
-        numHashes = 8, bands = 2)
+    val cand = unigramCandPairs(spark, sfDir, 200)
       .select(col("id1").as("d1"), col("id2").as("d2"))
-    val sets = toks.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+    // row-local set construction — see text_lsh_dedup_verified (round 18)
+    val sets = docsF.select(col("doc_id"),
+      sort_array(array_distinct(filter(col("tk"), t => length(t) > 0)))
+        .as("ts"))
     val dup = cand
       .join(sets.select(col("doc_id").as("sd1"), col("ts").as("t1")),
         col("d1") === col("sd1"))
@@ -1591,6 +1604,24 @@ object TextOps {
     * intersect run once per (session, corpus generation) instead of once
     * per query — the materialized candidate-measure table a production
     * dedup pipeline writes between banding and its policy passes. */
+  /** Memoized banded candidate pairs over the doc_id < cap unigram slice
+    * (8 hashes, 2 bands) — round 18: the SAME frame was rebuilt inline by
+    * three cap-200 consumers (text_minhash_band_pairs,
+    * text_lsh_dedup_verified, dedupVerifiedEdges) and two cap-50 ones
+    * (text_dedup_eval, text_dedup_threshold_sweep); each rebuild re-ran
+    * the per-doc signature expressions and the band equi-join. Same
+    * session-cache shape as shinglePairMeasures: banding runs once per
+    * (session, corpus, cap), consumers read the persisted pairs. */
+  private def unigramCandPairs(spark: SparkSession, sfDir: String,
+      cap: Int): DataFrame =
+    graft.util.Memo(spark,
+        s"$sfDir:unigram_cand_$cap:${Tables.tableKey(sfDir, "documents")}") {
+      graft.ops.Ops.minhashCandidatePairsArr(
+          docToks(spark, sfDir).filter(col("doc_id") < cap),
+          col("doc_id"), col("tk"), numHashes = 8, bands = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private def shinglePairMeasures(spark: SparkSession, sfDir: String)
       : DataFrame =
     graft.util.Memo(spark,
@@ -2555,15 +2586,16 @@ object TextOps {
       }
       val sig = sigRaw.select(col("graft_id"),
         array((0 until 8).map(i => col(s"graft_h$i")): _*).as("sg"))
-      val cand = graft.ops.Ops
-        .candidatePairsFromBands(
-          graft.ops.Ops.minhashBandsFromSig(sigRaw, 8, 2))
+      // the memoized (slice, 8, 2) candidate frame (round 18) — the
+      // expression-form banding is value-identical to bandsFromSig over
+      // sigRaw (Round11OpsSpec pins the bit-equality), and the shared
+      // persisted frame costs nothing per consumer
+      val cand = unigramCandPairs(spark, sfDir, 200)
         .select(col("id1").as("d1"), col("id2").as("d2"))
-      val sets = docsF
-        .select(col("doc_id"), explode(col("tk")).as("tok"))
-        .filter(length(col("tok")) > 0).distinct()
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      // row-local set construction — see text_lsh_dedup_verified (round 18)
+      val sets = docsF.select(col("doc_id"),
+        sort_array(array_distinct(filter(col("tk"), t => length(t) > 0)))
+          .as("ts"))
       cand
         .join(sig.select(col("graft_id").as("g1"), col("sg").as("sg1")),
           col("d1") === col("g1"))
@@ -2747,22 +2779,30 @@ object TextOps {
     "text_dedup_eval",
     (spark, sfDir) => {
       val docsF = docToks(spark, sfDir).filter(col("doc_id") < 50)
-      val toks = docsF
-        .select(col("doc_id"), explode(col("tk")).as("tok"))
-        .filter(length(col("tok")) > 0).distinct()
-      val card = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = toks.select(col("doc_id").as("a"), col("tok"))
-        .join(toks.select(col("doc_id").as("b"), col("tok")), "tok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      val truth = inter
-        .join(card.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(card.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      // Round-18 truth-side restructure (guide §2.4 remove shuffles
+      // outright): the old inverted-index form exploded tokens, ran
+      // DISTINCT, self-joined on token, re-aggregated per pair and
+      // joined two cardinality frames back — six shuffles over a
+      // 50-doc slice. The token SET per doc is row-local from the
+      // cached tk array (array_distinct∘filter ≡ the exploded
+      // DISTINCT), and the slice is capped by construction, so the
+      // all-pairs truth is a broadcast join with one hash-based
+      // array_intersect per pair — zero exchanges before the final
+      // tiny census aggregates. Values identical: same token sets,
+      // |A∩B| ≥ 0.5-Jaccard threshold can only pass with i ≥ 1, so
+      // the equi-join's implicit i ≥ 1 restriction drops nothing.
+      val sets = docsF.select(col("doc_id"),
+        array_distinct(filter(col("tk"), t => length(t) > 0)).as("ts"))
+      val truth = sets.select(col("doc_id").as("a"), col("ts").as("t1"))
+        .join(broadcast(sets.select(col("doc_id").as("b"), col("ts").as("t2"))),
+          col("a") < col("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("t1"), col("t2"))).as("i"),
+          size(col("t1")).as("na"), size(col("t2")).as("nb"))
         .filter(col("i").cast("double")
           / (col("na") + col("nb") - col("i")).cast("double") >= 0.5)
         .select(col("a"), col("b"))
-      val cand = graft.ops.Ops
-        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"), 8, 2)
+      val cand = unigramCandPairs(spark, sfDir, 50)
         .select(col("id1").as("ca"), col("id2").as("cb"))
       val tp = truth.join(cand,
         col("a") === col("ca") && col("b") === col("cb"), "left_semi")
@@ -2852,22 +2892,28 @@ object TextOps {
     "text_dedup_threshold_sweep",
     (spark, sfDir) => {
       val docsF = docToks(spark, sfDir).filter(col("doc_id") < 50)
-      val toks = docsF
-        .select(col("doc_id"), explode(col("tk")).as("tok"))
-        .filter(length(col("tok")) > 0).distinct()
-      val card = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = toks.select(col("doc_id").as("a"), col("tok"))
-        .join(toks.select(col("doc_id").as("b"), col("tok")), "tok")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      val cand = graft.ops.Ops
-        .minhashCandidatePairsArr(docsF, col("doc_id"), col("tk"), 8, 2)
+      // Round-18 restructure, same as text_dedup_eval's truth side
+      // (guide §2.4): row-local token sets + broadcast all-pairs with a
+      // hash intersect replace the exploded inverted-index self-join —
+      // six shuffles on the 50-doc slice drop to zero before the final
+      // tiny aggregates. The extra i = 0 pairs this admits change
+      // nothing: is_true is false at every tau for i = 0 (u > 0 — docs
+      // have ≥1 token), and banding candidates always share ≥1 token
+      // under an exact hash family, so c = 1 ⇒ i ≥ 1 (the old
+      // inter-driven left_outer dropped only (i=0, c=0) rows, which
+      // contribute to no aggregate). DuckDB oracle unchanged; parity
+      // proves the equivalence.
+      val sets = docsF.select(col("doc_id"),
+        array_distinct(filter(col("tk"), t => length(t) > 0)).as("ts"))
+      val cand = unigramCandPairs(spark, sfDir, 50)
         .select(col("id1").as("ca"), col("id2").as("cb"), lit(1).as("c"))
-      val pairs = inter
-        .join(card.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(card.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .select(col("a"), col("b"), col("i"),
-          (col("na") + col("nb") - col("i")).as("u"))
+      val pairs = sets.select(col("doc_id").as("a"), col("ts").as("t1"))
+        .join(broadcast(sets.select(col("doc_id").as("b"), col("ts").as("t2"))),
+          col("a") < col("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("t1"), col("t2"))).cast("bigint").as("i"),
+          (size(col("t1")) + size(col("t2"))).cast("bigint").as("nn"))
+        .withColumn("u", col("nn") - col("i"))
         .join(cand, col("a") === col("ca") && col("b") === col("cb"),
           "left_outer")
         .select(col("i"), col("u"), coalesce(col("c"), lit(0)).as("c"))
@@ -3107,7 +3153,10 @@ object TextOps {
           when(col("rn") > 1, "3_duplicate")
             .otherwise("4_admitted").as("outcome"))
       val staged = rejected.unionByName(survivors)
-      val total = staged.agg(count(lit(1)).as("total"))
+      // total ≡ the corpus row count (every doc lands in exactly one
+      // outcome), so it comes from the persisted docToks scan instead of
+      // re-executing the union + dedup window a second time (round 18)
+      val total = docToks(spark, sfDir).agg(count(lit(1)).as("total"))
       staged.groupBy("outcome").agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(total))
         .select(col("outcome"), col("n"),

@@ -946,7 +946,12 @@ object TimeSeries {
         .withColumn("vp", lag(col("avg_v"), 1).over(wDay))
         .withColumn("tn", lead(col("avg_t"), 1).over(wDay))
         .withColumn("vn", lead(col("avg_v"), 1).over(wDay))
-      val scored = pts.join(nb, Seq("day"))
+      // nb is calendar-sized (one row per day) at ANY corpus size —
+      // broadcast it so the neighbor attach is a hash join instead of a
+      // sort-merge that sorts+shuffles the pts side (round 18, guide
+      // §3.1: stats on the derived frame are unknown, so the planner
+      // won't pick the broadcast by itself)
+      val scored = pts.join(broadcast(nb), Seq("day"))
         .withColumn("area2",
           when(col("tp").isNull || col("tn").isNull, lit(null))
             .otherwise(abs(
