@@ -23,8 +23,12 @@ while [ "$(date +%s)" -lt "$END" ]; do
   OK=$(awk -v l="$L" 'BEGIN{print (l < 1.0) ? 1 : 0}')
   echo "$(date +%T) dress-gate steal=${D}j/60s load=$L" >&2
   if [ "$D" -lt 120 ] && [ "$OK" = "1" ]; then
+    # sbt prefixes every stdout line with '[info] ', so a bare grep '^{'
+    # NEVER matches — this exact bug produced the 0-byte
+    # bench_r16_sbt_dress.json and the r17 no-record (VERDICT-r17 #3);
+    # strip the prefix instead of anchoring on it.
     SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-      sbt "runMain graft.Bench" 2>/dev/null | grep '^{' \
+      sbt "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' \
       > tools/bench_r18_sbt_dress.json
     if [ -s tools/bench_r18_sbt_dress.json ]; then
       echo "dress recorded $(date +%T)" >&2; break
