@@ -1317,11 +1317,12 @@ object MlPrep {
     "ml_dataset_card",
     (spark, sfDir) => {
       val docs = graft.queries.TextOps.docToks(spark, sfDir)
-      val toks = docs
-        .select(explode(transform(col("tk"), t => lower(t))).as("term"))
-        .filter(length(col("term")) > 0)
-      val vocab = toks.agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("term")).as("vocab_size"))
+      // vocabulary census from the shared term-count memo (round 18):
+      // sum(cnt) ≡ count of token instances, count(*) ≡ countDistinct —
+      // the old form re-exploded the corpus and ran a two-level distinct
+      val vocab = graft.queries.TextOps.termCounts(spark, sfDir)
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("vocab_size"))
       docs.agg(
           count(lit(1)).as("n_docs"),
           countDistinct(md5(col("text"))).as("n_unique_texts"),
@@ -1370,10 +1371,8 @@ object MlPrep {
   val mlOovRate = Q(
     "ml_oov_rate",
     (spark, sfDir) => {
-      val cnt = graft.queries.TextOps.docToks(spark, sfDir)
-        .select(explode(transform(col("tk"), t => lower(t))).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy("term").agg(count(lit(1)).as("n"))
+      val cnt = graft.queries.TextOps.termCounts(spark, sfDir)
+        .withColumnRenamed("cnt", "n") // shared memo — round 18
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("term"))
       val ranked = cnt.withColumn("rk", row_number().over(w).cast("bigint"))
