@@ -40,6 +40,7 @@ while [ "$(date +%s)" -lt "$END" ]; do
   if [ "$D" -lt 120 ] && [ "$OK" = "1" ]; then
     TMP="${OUT}.attempt"
     SPARK_GRAFT_BENCH_REPS=$REPS SPARK_GRAFT_SF_DIR="$SFDIR" \
+      SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
       java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC \
       -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
