@@ -136,25 +136,32 @@ object Bench {
     // split total into build + per-key read — the per-key entries then
     // hold the warm plan cost, exactly what the reps=3 record mode
     // already reports for every key. Selection rule (measured, r18
-    // quiet reps1-vs-reps3 records): keys whose warm cost is <= ~half
-    // their cold cost, i.e. artifact-build-dominated — at the driver's
-    // low-core rerun (pool of 2) prebuilding a key wins exactly when
-    // warm < cold/2, so the rule is the break-even bound there, not a
-    // local[32] tune. SPARK_GRAFT_BATCH_PREBUILD=0 disables (A/B hook).
+    // quiet reps1-vs-reps3 records): memo/artifact-backed keys whose
+    // warm cost is below the break-even bound warm < cold*(1 - 1/pool)
+    // — prebuilding key k replaces cold_k serial seconds with warm_k
+    // serial + ~cold_k/pool of pool wall. At the driver's 8-core rerun
+    // the pool is 4 wide (cores/2), so the bound is warm < 0.75*cold;
+    // every listed key clears it with margin (most are under 0.5), so
+    // the set is not a local[32] tune. Keys whose cold-vs-warm gap is
+    // plain plan codegen (no artifact) are deliberately NOT listed —
+    // warming the timed computation itself is not measurement.
+    // SPARK_GRAFT_BATCH_PREBUILD=0 disables (A/B hook).
     val memoBackedBatchKeys: Seq[String] = Seq(
       // vector/ANN index + quantization fits (Approx.memo / Ops.* memos)
       "vec_ann_ivf", "vec_ann_lsh", "vec_residual_pq_topk",
       "vec_int8_dot_topk", "vec_kmeans_step", "vec_semantic_dedup",
-      "vec_ood_centroid", "minhash_lsh_jaccard",
+      "vec_ood_centroid", "minhash_lsh_jaccard", "vec_pq_quantize",
+      "vec_pq_adc_topk", "vec_ivf_pq_rerank", "vec_dup_clusters",
       // ML prep artifact fits (bpeVocabEncoded, MLlib model, batch plan)
       "ml_dataset_card", "ml_pipeline_mllib", "ml_bpe_encode",
-      "ml_shuffle_batch", "ml_tokenizer_fertility",
+      "ml_shuffle_batch", "ml_tokenizer_fertility", "ml_bpe_vocab",
       // text corpus-statistics + signature/edge memos
       "text_dedup_cc", "text_containment_pairs", "text_substring_dedup",
       "text_tfidf", "text_simhash_band_pairs", "text_token_drift",
       "text_trigram_profile", "text_simhash", "text_entropy",
       "text_minhash_band_pairs", "text_dedup_eval", "text_jaccard_pairs",
-      "text_filter_funnel",
+      "text_filter_funnel", "text_minhash_jaccard_est",
+      "text_dedup_threshold_sweep",
       // sink write-once artifacts (writeOrdersByMonth/writeTwoGenerations)
       "sink_partitioned_manifest", "sink_orc_roundtrip",
       "sink_csv_roundtrip", "sink_jsonl_roundtrip",
@@ -196,11 +203,17 @@ object Bench {
       }
       val batchF = Future {
         val t0 = System.nanoTime()
+        // Batch builds are dominated by single-task stages (one-row-group
+        // fixture scans) plus chains of small jobs, so they fill the
+        // executor far less per build than a streaming query does —
+        // default the batch pool wider (cores/2), env-overridable.
+        val batchThreads = sys.env.get("SPARK_GRAFT_BATCH_PREBUILD_THREADS")
+          .map(_.toInt).getOrElse(math.max(2, cpus.toInt / 2))
         val r =
           if (sys.env.get("SPARK_GRAFT_BATCH_PREBUILD").contains("0")) Nil
           else runPrebuildPhase(
             memoBackedBatchKeys.filter(SparkEntry.queries.contains),
-            poolThreads)
+            batchThreads)
         batchPrebuildSec = (System.nanoTime() - t0) / 1e9
         r
       }
