@@ -107,14 +107,17 @@ object Bench {
             s"[graft] WARN: prebuild still running at deadline: $k"); None }
       } finally pool.shutdown()
     }
-    // Pool width scales with the worker count instead of the fixed 6
-    // (round-18, guide §2.6 "overlap independent jobs"): each build is
-    // a streaming query over ~4 state partitions plus staging writes,
-    // so cores/4 concurrent builds keep the executor busy through each
-    // query's commit-log tail without oversubscribing a small host
-    // (32 cores → 8 builds, 4 cores → 2 — measured sf0.1: pool wall
-    // 12.0 s at 6 threads → bounded by the slowest key at 8).
-    val poolThreads = math.max(2, cpus.toInt / 4)
+    // Pool width scales with the worker count (guide §2.6 "overlap
+    // independent jobs"). Round-19 re-measured the width with the batch
+    // track running concurrently: cores/2 beats r18's cores/4 — at 32
+    // cores the 12 pool keys then launch in ONE wave (span bounded by
+    // the slowest build + the provider phase) instead of two, and the
+    // streaming builds are latency-bound (commit-log tails), not
+    // CPU-bound, so the extra in-flight queries don't oversubscribe.
+    // Back-to-back steal-0 records: width 8 → stream span 20.2 s /
+    // total 104.9; width 16 → 17.1 s / 98.6. Env-overridable.
+    val poolThreads = sys.env.get("SPARK_GRAFT_STREAM_PREBUILD_THREADS")
+      .map(_.toInt).getOrElse(math.max(2, cpus.toInt / 2))
     val streamKeys = SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq
     val (provKeys, poolKeys) = streamKeys.partition(
       graft.queries.Streaming.providerMutatingKeys.contains)
